@@ -1,0 +1,107 @@
+import pytest
+from pyspark.sql import Row
+
+from wrangler_spark import execute
+
+
+@pytest.fixture(scope="module")
+def df(spark):
+    return spark.createDataFrame(
+        [(1, "alice", "CA", 10.5), (2, "bob", "NY", 20.0)],
+        "id long, name string, state string, amount double",
+    )
+
+
+def test_drop(spark, df):
+    ok, _ = execute(spark, ["drop :state"], df)
+    assert ok.columns == ["id", "name", "amount"]
+
+
+def test_drop_multiple(spark, df):
+    ok, _ = execute(spark, ["drop :state,:amount"], df)
+    assert ok.columns == ["id", "name"]
+
+
+def test_keep(spark, df):
+    ok, _ = execute(spark, ["keep :name,:id"], df)
+    assert ok.columns == ["name", "id"]
+
+
+def test_rename(spark, df):
+    ok, _ = execute(spark, ["rename :name :full_name"], df)
+    assert "full_name" in ok.columns and "name" not in ok.columns
+
+
+def test_rename_conflict_errors(spark, df):
+    from wrangler_spark.errors import SchemaError
+
+    with pytest.raises(SchemaError):
+        execute(spark, ["rename :name :state"], df)
+
+
+def test_copy(spark, df):
+    ok, _ = execute(spark, ["copy :name :name2"], df)
+    rows = ok.select("name", "name2").collect()
+    assert all(r["name"] == r["name2"] for r in rows)
+
+
+def test_merge(spark, df):
+    ok, _ = execute(spark, ["merge :name :state :combined '-'"], df)
+    assert ok.orderBy("id").first()["combined"] == "alice-CA"
+
+
+def test_swap(spark, df):
+    ok, _ = execute(spark, ["swap :name :state"], df)
+    r = ok.orderBy("id").first()
+    assert r["name"] == "CA" and r["state"] == "alice"
+
+
+def test_set_headers(spark, df):
+    ok, _ = execute(spark, ["set-headers :a,:b,:c,:d"], df)
+    assert ok.columns == ["a", "b", "c", "d"]
+
+
+def test_change_column_case(spark, df):
+    ok, _ = execute(spark, ["change-column-case upper"], df)
+    assert ok.columns == ["ID", "NAME", "STATE", "AMOUNT"]
+
+
+def test_cleanse_column_names(spark):
+    d = spark.createDataFrame([(1, 2)], "`Col One` long, `B-2` long")
+    ok, _ = execute(spark, ["cleanse-column-names"], d)
+    assert ok.columns == ["col_one", "b_2"]
+
+
+def test_columns_replace(spark, df):
+    ok, _ = execute(spark, ["columns-replace 's/^na/NA/'"], df)
+    assert "NAme" in ok.columns
+
+
+def test_set_type(spark, df):
+    ok, _ = execute(spark, ["set-type :id string", "set-type :amount int"], df)
+    assert dict(ok.dtypes)["id"] == "string"
+    assert dict(ok.dtypes)["amount"] == "int"
+    assert ok.orderBy("id").first()["amount"] == 10
+
+
+def test_set_type_decimal_scale(spark, df):
+    ok, _ = execute(spark, ["set-type :amount decimal 1"], df)
+    assert dict(ok.dtypes)["amount"].startswith("decimal")
+    vals = sorted(float(r["amount"]) for r in ok.collect())
+    assert vals == [10.5, 20.0]
+
+
+def test_split_to_columns(spark, one_col):
+    df = one_col("a:b:c", "x:y")
+    ok, _ = execute(spark, ["split-to-columns :body ':'"], df)
+    r = ok.filter("body = 'a:b:c'").first()
+    assert (r["body_1"], r["body_2"], r["body_3"]) == ("a", "b", "c")
+    r2 = ok.filter("body = 'x:y'").first()
+    assert r2["body_3"] is None
+
+
+def test_create_and_flatten_record(spark, df):
+    ok, _ = execute(spark, ["create-record :rec :name,:state", "drop :name,:state"], df)
+    assert isinstance(ok.first()["rec"], Row)
+    back, _ = execute(spark, ["flatten-record :rec"], ok)
+    assert "rec_name" in back.columns and "rec_state" in back.columns

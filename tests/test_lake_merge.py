@@ -1,0 +1,110 @@
+import pytest
+from pyspark.sql import functions as F, types as T
+
+from wrangler_spark.cdc.events import repo_files_schema
+from wrangler_spark.lake.table import LakeTable, evolve_schema
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    return LakeTable.create(
+        spark, str(tmp_path / "tbl"), repo_files_schema(), ["repo", "path"], num_buckets=8
+    )
+
+
+def ch(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        "seq long, op string, repo string, path string, commit string, lang string, content string",
+    )
+
+
+def test_insert_then_read(spark, table):
+    c = ch(spark, [(1, "insert", "r1", "a.py", "c1", "python", "x")])
+    res = table.merge(c, epoch=0)
+    assert res["inserts"] == 1
+    rows = table.read().collect()
+    assert len(rows) == 1 and rows[0]["content"] == "x"
+
+
+def test_lww_update_wins(spark, table):
+    c = ch(
+        spark,
+        [
+            (1, "insert", "r1", "a.py", "c1", "python", "v1"),
+            (5, "update", "r1", "a.py", "c2", "python", "v5"),
+            (3, "update", "r1", "a.py", "c3", "python", "v3"),
+        ],
+    )
+    table.merge(c, epoch=0)
+    rows = table.read().collect()
+    assert len(rows) == 1 and rows[0]["content"] == "v5"
+
+
+def test_delete_removes(spark, table):
+    table.merge(ch(spark, [(1, "insert", "r1", "a.py", "c1", "python", "v1")]), epoch=0)
+    table.merge(ch(spark, [(2, "delete", "r1", "a.py", None, None, None)]), epoch=1)
+    assert table.read().count() == 0
+
+
+def test_delete_then_late_update_lww(spark, table):
+    # delete wins because its seq is higher, even applied in one batch
+    c = ch(
+        spark,
+        [
+            (1, "insert", "r1", "a.py", "c1", "python", "v1"),
+            (9, "delete", "r1", "a.py", None, None, None),
+            (5, "update", "r1", "a.py", "c2", "python", "v5"),
+        ],
+    )
+    table.merge(c, epoch=0)
+    assert table.read().count() == 0
+
+
+def test_epoch_fencing_idempotent(spark, table):
+    c = ch(spark, [(1, "insert", "r1", "a.py", "c1", "python", "v1")])
+    r1 = table.merge(c, epoch=0)
+    assert not r1["skipped"]
+    r2 = table.merge(c, epoch=0)  # replayed epoch → no-op
+    assert r2["skipped"]
+    assert table.read().count() == 1
+    assert table.version == r1["version"]
+
+
+def test_untouched_buckets_not_rewritten(spark, table):
+    table.merge(ch(spark, [(1, "insert", "r1", "a.py", "c1", "python", "v1")]), epoch=0)
+    v1_files = set(table.all_files())
+    table.merge(ch(spark, [(2, "insert", "zzz", "other.py", "c2", "java", "v2")]), epoch=1)
+    # old bucket's files survive by reference if the new key hashed elsewhere
+    v2_files = set(table.all_files())
+    assert v1_files & v2_files or len(v2_files) >= len(v1_files)
+    assert table.read().count() == 2
+
+
+def test_schema_evolution_add_column(spark, table):
+    table.merge(ch(spark, [(1, "insert", "r1", "a.py", "c1", "python", "v1")]), epoch=0)
+    c2 = spark.createDataFrame(
+        [(2, "insert", "r2", "b.py", "c2", "python", "v2", 42)],
+        "seq long, op string, repo string, path string, commit string, lang string, content string, stars int",
+    )
+    table.merge(c2, epoch=1)
+    assert "stars" in [f.name for f in table.schema.fields]
+    rows = {r["repo"]: r for r in table.read().collect()}
+    assert rows["r2"]["stars"] == 42
+    assert rows["r1"]["stars"] is None  # old rows null-filled
+
+
+def test_widen_type():
+    old = T.StructType([T.StructField("a", T.IntegerType())])
+    new = T.StructType([T.StructField("a", T.LongType())])
+    assert evolve_schema(old, new)["a"].dataType == T.LongType()
+    # narrower incoming does not shrink
+    assert evolve_schema(new, old)["a"].dataType == T.LongType()
+
+
+def test_load_roundtrip(spark, table, tmp_path):
+    table.merge(ch(spark, [(1, "insert", "r1", "a.py", "c1", "python", "v1")]), epoch=0)
+    t2 = LakeTable.load(spark, table.path)
+    assert t2.version == table.version
+    assert t2.read().count() == 1
+    assert 0 in t2.committed_epochs

@@ -1,0 +1,281 @@
+"""Column-shape directives (SURVEY.md §2.3).
+
+Reference classes under wrangler-core io/cdap/directives/column/:
+Drop, Keep, Rename, Copy, Merge, Swap, SetHeader, ChangeColCaseNames,
+CleanseColumnNames, ColumnsReplace, SetType, SplitToColumns,
+CreateRecord, FlattenRecord.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, functions as F, types as T
+
+from wrangler_spark.errors import SchemaError, UsageError
+from wrangler_spark.recipe.parser import DirectiveCall
+from wrangler_spark.recipe.registry import RecipeContext, directive
+
+
+def _resolve(df: DataFrame, name: str) -> str | None:
+    """Case-insensitive column resolution (reference Row.find, Row.java:173-181)."""
+    low = name.lower()
+    for c in df.columns:
+        if c.lower() == low:
+            return c
+    return None
+
+
+def _require(df: DataFrame, name: str) -> str:
+    c = _resolve(df, name)
+    if c is None:
+        raise SchemaError(f"column {name!r} not found; have {df.columns}")
+    return c
+
+
+@directive("drop")
+def drop(call: DirectiveCall):
+    cols = call.cols(0)
+
+    def tr(df: DataFrame, ctx: RecipeContext) -> DataFrame:
+        resolved = [c for c in (_resolve(df, x) for x in cols) if c]
+        return df.drop(*resolved)
+
+    return tr
+
+
+@directive("keep")
+def keep(call: DirectiveCall):
+    cols = call.cols(0)
+
+    def tr(df: DataFrame, ctx: RecipeContext) -> DataFrame:
+        return df.select(*[_require(df, c) for c in cols])
+
+    return tr
+
+
+@directive("rename")
+def rename(call: DirectiveCall):
+    src, dst = call.col(0), call.col(1)
+
+    def tr(df: DataFrame, ctx: RecipeContext) -> DataFrame:
+        s = _require(df, src)
+        if _resolve(df, dst) and dst.lower() != s.lower():
+            # reference errors when target exists (utils/ColumnConverter.java:49-66)
+            raise SchemaError(f"rename: column {dst!r} already exists")
+        return df.withColumnRenamed(s, dst)
+
+    return tr
+
+
+@directive("copy")
+def copy(call: DirectiveCall):
+    src, dst = call.col(0), call.col(1)
+    force = call.bool_(2, default=False)
+
+    def tr(df: DataFrame, ctx: RecipeContext) -> DataFrame:
+        s = _require(df, src)
+        if _resolve(df, dst) and not force:
+            raise SchemaError(f"copy: column {dst!r} exists (use force)")
+        return df.withColumn(dst, F.col(s))
+
+    return tr
+
+
+@directive("merge")
+def merge(call: DirectiveCall):
+    c1, c2, dst = call.col(0), call.col(1), call.col(2)
+    sep = call.text(3, default="")
+
+    def tr(df: DataFrame, ctx: RecipeContext) -> DataFrame:
+        a, b = _require(df, c1), _require(df, c2)
+        return df.withColumn(dst, F.concat_ws(sep, F.col(a).cast("string"), F.col(b).cast("string")))
+
+    return tr
+
+
+@directive("swap")
+def swap(call: DirectiveCall):
+    c1, c2 = call.col(0), call.col(1)
+
+    def tr(df: DataFrame, ctx: RecipeContext) -> DataFrame:
+        a, b = _require(df, c1), _require(df, c2)
+        cols = []
+        for c in df.columns:
+            if c == a:
+                cols.append(F.col(b).alias(a))
+            elif c == b:
+                cols.append(F.col(a).alias(b))
+            else:
+                cols.append(F.col(c))
+        return df.select(*cols)
+
+    return tr
+
+
+@directive("set-headers", "set-columns")
+def set_headers(call: DirectiveCall):
+    names = call.cols(0)
+
+    def tr(df: DataFrame, ctx: RecipeContext) -> DataFrame:
+        if len(names) != len(df.columns):
+            # reference pads/ignores extras; be strict up to min length
+            if len(names) < len(df.columns):
+                full = names + df.columns[len(names):]
+            else:
+                full = names[: len(df.columns)]
+        else:
+            full = names
+        return df.toDF(*full)
+
+    return tr
+
+
+@directive("change-column-case")
+def change_column_case(call: DirectiveCall):
+    mode = call.ident(0, default="lower").lower()
+
+    def tr(df: DataFrame, ctx: RecipeContext) -> DataFrame:
+        new = [c.upper() if mode.startswith("up") else c.lower() for c in df.columns]
+        return df.toDF(*new)
+
+    return tr
+
+
+@directive("cleanse-column-names")
+def cleanse_column_names(call: DirectiveCall):
+    # lowercase + [^a-z0-9_] → _ (reference column/CleanseColumnNames.java:56)
+    def tr(df: DataFrame, ctx: RecipeContext) -> DataFrame:
+        new = [re.sub(r"[^a-z0-9_]", "_", c.lower().strip()) for c in df.columns]
+        return df.toDF(*new)
+
+    return tr
+
+
+@directive("columns-replace")
+def columns_replace(call: DirectiveCall):
+    sed = call.text(0)
+    m = re.match(r"^s/((?:[^/\\]|\\.)*)/((?:[^/\\]|\\.)*)/?([gi]*)$", sed)
+    if not m:
+        raise UsageError(f"columns-replace: bad sed expression {sed!r}")
+    pat, repl, flags = m.group(1), m.group(2), m.group(3)
+    rx = re.compile(pat, re.IGNORECASE if "i" in flags else 0)
+    count = 0 if "g" in flags else 1
+    repl_py = re.sub(r"\$(\d)", r"\\\1", repl)
+
+    def tr(df: DataFrame, ctx: RecipeContext) -> DataFrame:
+        new = [rx.sub(repl_py, c, count=count) for c in df.columns]
+        return df.toDF(*new)
+
+    return tr
+
+
+_TYPE_MAP: dict[str, str] = {
+    # reference name→type map: utils/ColumnConverter.java:359-375
+    "bool": "boolean", "boolean": "boolean",
+    "byte": "tinyint", "i8": "tinyint",
+    "short": "smallint", "i16": "smallint",
+    "int": "int", "integer": "int", "i32": "int",
+    "long": "bigint", "i64": "bigint", "bigint": "bigint",
+    "float": "float", "f32": "float",
+    "double": "double", "f64": "double",
+    "string": "string", "text": "string",
+    "bytes": "binary", "binary": "binary",
+    "timestamp": "timestamp",
+    "date": "date",
+    "datetime": "timestamp_ntz",
+    "decimal": "decimal",
+}
+
+
+@directive("set-type")
+def set_type(call: DirectiveCall):
+    col = call.col(0)
+    tname = call.ident(1).lower()
+    if tname not in _TYPE_MAP:
+        raise UsageError(f"set-type: unknown type {tname!r}")
+    scale = None
+    rounding = "HALF_UP"
+    i = 2
+    if call.has(i) and call.toks[i].kind == "NUM":
+        scale = call.int_(i)
+        i += 1
+    if call.has(i) and call.toks[i].kind in ("IDENT", "TEXT") and not str(call.toks[i].value).startswith("prop"):
+        rounding = call.text(i).upper()
+        i += 1
+    props = call.prop(i) if call.has(i) else {}
+    precision = int(props.get("precision", 38))
+
+    def tr(df: DataFrame, ctx: RecipeContext) -> DataFrame:
+        c = _require(df, col)
+        if tname == "decimal":
+            sc = scale if scale is not None else 6
+            target = T.DecimalType(precision, sc)
+            if rounding in ("HALF_UP", "UNNECESSARY"):
+                expr = F.col(c).cast("double")
+                expr = F.round(expr, sc).cast(target)
+            elif rounding == "HALF_EVEN":
+                expr = F.bround(F.col(c).cast("double"), sc).cast(target)
+            elif rounding in ("FLOOR", "DOWN"):
+                p = 10 ** sc
+                expr = (F.floor(F.col(c).cast("double") * p) / p).cast(target)
+            elif rounding in ("CEILING", "UP"):
+                p = 10 ** sc
+                expr = (F.ceil(F.col(c).cast("double") * p) / p).cast(target)
+            else:
+                raise UsageError(f"set-type: unsupported rounding {rounding!r}")
+            return df.withColumn(c, expr)
+        return df.withColumn(c, F.col(c).cast(_TYPE_MAP[tname]))
+
+    return tr
+
+
+@directive("split-to-columns")
+def split_to_columns(call: DirectiveCall):
+    col = call.col(0)
+    regex = call.text(1)
+
+    def tr(df: DataFrame, ctx: RecipeContext) -> DataFrame:
+        c = _require(df, col)
+        arr = F.split(F.col(c).cast("string"), regex)
+        # column count from a bounded data peek (reference emits per-row
+        # ragged cells; a DataFrame needs a fixed schema). limit() keeps
+        # this a cheap one-partition probe even at 100 TB.
+        row = df.select(F.size(arr).alias("n")).limit(1000).agg(F.max("n").alias("n")).first()
+        n = row["n"] or 1
+        out = df
+        for i in range(n):
+            out = out.withColumn(f"{c}_{i + 1}", arr.getItem(i))
+        return out
+
+    return tr
+
+
+@directive("create-record")
+def create_record(call: DirectiveCall):
+    dst = call.col(0)
+    cols = call.cols(1)
+
+    def tr(df: DataFrame, ctx: RecipeContext) -> DataFrame:
+        rs = [_require(df, c) for c in cols]
+        return df.withColumn(dst, F.struct(*[F.col(c) for c in rs]))
+
+    return tr
+
+
+@directive("flatten-record")
+def flatten_record(call: DirectiveCall):
+    cols = call.cols(0)
+
+    def tr(df: DataFrame, ctx: RecipeContext) -> DataFrame:
+        for col in cols:
+            c = _require(df, col)
+            dt = df.schema[c].dataType
+            if not isinstance(dt, T.StructType):
+                raise SchemaError(f"flatten-record: {c!r} is not a record")
+            for f_ in dt.fields:
+                df = df.withColumn(f"{c}_{f_.name}", F.col(c).getField(f_.name))
+            df = df.drop(c)
+        return df
+
+    return tr

@@ -1,0 +1,105 @@
+"""Date/datetime directives (SURVEY.md §2.9).
+
+Reference classes under io/cdap/directives/date/ and datetime/.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from wrangler_spark.recipe.parser import DirectiveCall
+from wrangler_spark.recipe.registry import RecipeContext, directive
+from wrangler_spark.directives.column_ops import _require
+
+
+@directive("format-date")
+def format_date(call: DirectiveCall):
+    col = call.col(0)
+    fmt = call.text(1)
+
+    def tr(df: DataFrame, ctx: RecipeContext) -> DataFrame:
+        c = _require(df, col)
+        return df.withColumn(c, F.date_format(F.col(c), fmt))
+
+    return tr
+
+
+@directive("format-datetime")
+def format_datetime(call: DirectiveCall):
+    col = call.col(0)
+    fmt = call.text(1)
+
+    def tr(df: DataFrame, ctx: RecipeContext) -> DataFrame:
+        c = _require(df, col)
+        return df.withColumn(c, F.date_format(F.col(c).cast("timestamp"), fmt))
+
+    return tr
+
+
+@directive("format-unix-timestamp")
+def format_unix_timestamp(call: DirectiveCall):
+    col = call.col(0)
+    fmt = call.text(1)
+
+    def tr(df: DataFrame, ctx: RecipeContext) -> DataFrame:
+        c = _require(df, col)
+        return df.withColumn(c, F.date_format(F.timestamp_seconds(F.col(c).cast("long")), fmt))
+
+    return tr
+
+
+@directive("diff-date")
+def diff_date(call: DirectiveCall):
+    """diff-date :c1 :c2 :dst — difference in milliseconds
+    (reference date/DiffDate.java)."""
+    c1, c2, dst = call.col(0), call.col(1), call.col(2)
+
+    def tr(df: DataFrame, ctx: RecipeContext) -> DataFrame:
+        a = F.col(_require(df, c1)).cast("timestamp")
+        b = F.col(_require(df, c2)).cast("timestamp")
+        return df.withColumn(dst, (F.unix_millis(a) - F.unix_millis(b)))
+
+    return tr
+
+
+@directive("current-datetime")
+def current_datetime(call: DirectiveCall):
+    col = call.col(0)
+
+    def tr(df: DataFrame, ctx: RecipeContext) -> DataFrame:
+        return df.withColumn(col, F.current_timestamp().cast("timestamp_ntz"))
+
+    return tr
+
+
+@directive("current-date")
+def current_date(call: DirectiveCall):
+    col = call.col(0)
+
+    def tr(df: DataFrame, ctx: RecipeContext) -> DataFrame:
+        return df.withColumn(col, F.current_date())
+
+    return tr
+
+
+@directive("datetime-to-timestamp")
+def datetime_to_timestamp(call: DirectiveCall):
+    col = call.col(0)
+    tz = call.text(1, default="UTC")
+
+    def tr(df: DataFrame, ctx: RecipeContext) -> DataFrame:
+        c = _require(df, col)
+        return df.withColumn(c, F.to_utc_timestamp(F.col(c).cast("timestamp_ntz").cast("timestamp"), tz))
+
+    return tr
+
+
+@directive("timestamp-to-datetime")
+def timestamp_to_datetime(call: DirectiveCall):
+    col = call.col(0)
+
+    def tr(df: DataFrame, ctx: RecipeContext) -> DataFrame:
+        c = _require(df, col)
+        return df.withColumn(c, F.col(c).cast("timestamp").cast("timestamp_ntz"))
+
+    return tr

@@ -1,0 +1,396 @@
+"""Parser directives — format decoders (SURVEY.md §2.2).
+
+Reference classes under io/cdap/directives/parser/ and xml/. Each
+decodes a string column into typed columns. CSV/JSON need a fixed
+output schema, which the reference discovers per-row; we discover it
+with a bounded compile-time peek (limit(…)) — a one-partition probe
+that stays cheap at any scale — then decode with native from_csv /
+from_json so the hot path is JVM-side.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F, types as T
+from pyspark.sql.functions import pandas_udf
+
+from wrangler_spark.errors import UsageError
+from wrangler_spark.recipe.parser import DirectiveCall
+from wrangler_spark.recipe.registry import RecipeContext, directive
+from wrangler_spark.directives.column_ops import _require
+
+_PEEK_ROWS = 200
+
+
+def _looks_like_header(fields: list[str]) -> bool:
+    """Reference header inference (CsvParser.java:184-203): all fields
+    non-empty, non-numeric/typed, and distinct."""
+    seen = set()
+    for v in fields:
+        if v is None or not v.strip():
+            return False
+        s = v.strip()
+        if re.match(r"^-?\d+(\.\d+)?$", s) or s.lower() in ("true", "false"):
+            return False
+        if s in seen:
+            return False
+        seen.add(s)
+    return True
+
+
+@directive("parse-as-csv")
+def parse_as_csv(call: DirectiveCall):
+    col = call.col(0)
+    delim = call.text(1, default=",")
+    header = call.bool_(2, default=False)
+    if delim == "\\t":
+        delim = "\t"
+
+    def tr(df: DataFrame, ctx: RecipeContext) -> DataFrame:
+        c = _require(df, col)
+        s = F.col(c).cast("string")
+        peek = [r[0] for r in df.select(s).limit(_PEEK_ROWS).collect() if r[0]]
+        if not peek:
+            return df
+        import csv as _csv
+        import io as _io
+
+        def split_line(line: str) -> list[str]:
+            return next(_csv.reader(_io.StringIO(line), delimiter=delim))
+
+        first = split_line(peek[0])
+        n = max(len(split_line(p)) for p in peek)
+        use_header = header and _looks_like_header(first)
+        if use_header:
+            names = [f.strip() for f in first]
+            names += [f"{c}_{i + 1}" for i in range(len(names), n)]
+        else:
+            names = [f"{c}_{i + 1}" for i in range(n)]
+        ddl = ", ".join(f"`{nm}` STRING" for nm in names)
+        parsed = F.from_csv(s, ddl, {"delimiter": delim, "quote": '"', "escape": "\\"})
+        out = df.withColumn("__wr_csv", parsed)
+        if use_header:
+            # drop the header record itself (reference drops the first
+            # record that matched the header shape)
+            hdr = F.struct(*[F.lit(nm).alias(nm) for nm in names])
+            out = out.filter(F.col("__wr_csv") != hdr)
+        for nm in names:
+            out = out.withColumn(nm, F.col("__wr_csv").getField(nm))
+        return out.drop("__wr_csv")
+
+    return tr
+
+
+@directive("parse-as-json")
+def parse_as_json(call: DirectiveCall):
+    """parse-as-json :col [depth] (reference parser/JsParser.java).
+
+    Flattens object keys into `<col>_<key>` columns up to `depth`
+    levels; deeper values stay as JSON strings.
+    """
+    col = call.col(0)
+    depth = call.int_(1, default=1)
+
+    def tr(df: DataFrame, ctx: RecipeContext) -> DataFrame:
+        c = _require(df, col)
+        s = F.col(c).cast("string")
+        sample = [r[0] for r in df.select(s).filter(s.isNotNull()).limit(_PEEK_ROWS).collect()]
+        if not sample:
+            return df
+        schema = _merged_json_schema(df.sparkSession, sample)
+        parsed = F.from_json(s, schema)
+        out = df.withColumn("__wr_json", parsed)
+        out = _flatten_struct(out, "__wr_json", c, depth)
+        return out.drop("__wr_json").drop(c)
+
+    return tr
+
+
+def _merged_json_schema(spark, sample: list[str]) -> T.DataType:
+    """Infer one schema covering all sampled JSON docs: single JSON-reader
+    pass over the (tiny, driver-held) sample."""
+    src = spark.createDataFrame([(x,) for x in sample], "j string")
+    inferred = spark.read.json(src.rdd.map(lambda r: r[0] or "{}")).schema
+    drop_corrupt = [f for f in inferred.fields if f.name != "_corrupt_record"]
+    return T.StructType(drop_corrupt)
+
+
+def _merge_types(a: T.DataType, b: T.DataType) -> T.DataType:
+    if isinstance(a, T.StructType) and isinstance(b, T.StructType):
+        names = list(dict.fromkeys([f.name for f in a.fields] + [f.name for f in b.fields]))
+        am = {f.name: f.dataType for f in a.fields}
+        bm = {f.name: f.dataType for f in b.fields}
+        return T.StructType(
+            [
+                T.StructField(
+                    n,
+                    _merge_types(am[n], bm[n]) if n in am and n in bm else (am.get(n) or bm[n]),
+                    True,
+                )
+                for n in names
+            ]
+        )
+    if isinstance(a, T.ArrayType) and isinstance(b, T.ArrayType):
+        return T.ArrayType(_merge_types(a.elementType, b.elementType), True)
+    if a == b:
+        return a
+    if isinstance(a, T.NullType):
+        return b
+    if isinstance(b, T.NullType):
+        return a
+    num = (T.LongType, T.DoubleType, T.IntegerType, T.FloatType)
+    if isinstance(a, num) and isinstance(b, num):
+        return T.DoubleType()
+    return T.StringType()
+
+
+def _flatten_struct(df: DataFrame, src: str, prefix: str, depth: int) -> DataFrame:
+    dt = df.schema[src].dataType
+    if not isinstance(dt, T.StructType):
+        return df.withColumn(prefix, F.col(src))
+    for f_ in dt.fields:
+        name = f"{prefix}_{f_.name}"
+        child = F.col(src).getField(f_.name)
+        if isinstance(f_.dataType, T.StructType) and depth > 1:
+            df = df.withColumn(f"__wr_tmp_{name}", child)
+            df = _flatten_struct(df, f"__wr_tmp_{name}", name, depth - 1)
+            df = df.drop(f"__wr_tmp_{name}")
+        elif isinstance(f_.dataType, (T.StructType, T.ArrayType, T.MapType)) and depth <= 1:
+            df = df.withColumn(name, F.to_json(child))
+        else:
+            df = df.withColumn(name, child)
+    return df
+
+
+@directive("json-path")
+def json_path(call: DirectiveCall):
+    src, dst = call.col(0), call.col(1)
+    path = call.text(2)
+    if not path.startswith("$"):
+        path = "$." + path
+
+    def tr(df: DataFrame, ctx: RecipeContext) -> DataFrame:
+        c = _require(df, src)
+        return df.withColumn(dst, F.get_json_object(F.col(c).cast("string"), path))
+
+    return tr
+
+
+@directive("parse-as-fixed-length")
+def parse_as_fixed_length(call: DirectiveCall):
+    col = call.col(0)
+    widths = [int(w) for w in call.nums(1)]
+    # optional padding char arg ignored for substring math
+
+    def tr(df: DataFrame, ctx: RecipeContext) -> DataFrame:
+        c = _require(df, col)
+        s = F.col(c).cast("string")
+        off = 1
+        for i, w in enumerate(widths):
+            df = df.withColumn(f"{c}_{i + 1}", F.substring(s, off, w))
+            off += w
+        return df
+
+    return tr
+
+
+_LOG_PATTERNS = {
+    # Apache HTTPD common + combined (reference parser/ParseLog.java wraps
+    # the httpdlog parser; we compile the standard formats to one regex)
+    "common": (
+        r'^(\S+) (\S+) (\S+) \[([^\]]+)\] "([^"]*)" (\d{3}|-) (\d+|-)',
+        ["remote_host", "remote_logname", "remote_user", "request_time",
+         "request_line", "status_code", "response_size"],
+    ),
+    "combined": (
+        r'^(\S+) (\S+) (\S+) \[([^\]]+)\] "([^"]*)" (\d{3}|-) (\d+|-) "([^"]*)" "([^"]*)"',
+        ["remote_host", "remote_logname", "remote_user", "request_time",
+         "request_line", "status_code", "response_size", "referrer", "user_agent"],
+    ),
+}
+
+
+@directive("parse-as-log")
+def parse_as_log(call: DirectiveCall):
+    col = call.col(0)
+    fmt = call.text(1, default="common").strip()
+    if fmt in _LOG_PATTERNS:
+        pattern, names = _LOG_PATTERNS[fmt]
+    elif "%" in fmt:
+        # %h %l %u %t "%r" %>s %b style custom format
+        token_map = {
+            "%h": (r"(\S+)", "remote_host"),
+            "%l": (r"(\S+)", "remote_logname"),
+            "%u": (r"(\S+)", "remote_user"),
+            "%t": (r"\[([^\]]+)\]", "request_time"),
+            '"%r"': (r'"([^"]*)"', "request_line"),
+            "%r": (r'"([^"]*)"', "request_line"),
+            "%>s": (r"(\d{3}|-)", "status_code"),
+            "%s": (r"(\d{3}|-)", "status_code"),
+            "%b": (r"(\d+|-)", "response_size"),
+            '"%i"': (r'"([^"]*)"', "header"),
+        }
+        parts, names = [], []
+        for tok in fmt.split():
+            if tok in token_map:
+                rx, nm = token_map[tok]
+                parts.append(rx)
+                names.append(nm)
+            else:
+                parts.append(re.escape(tok))
+        pattern = "^" + " ".join(parts)
+    else:
+        raise UsageError(f"parse-as-log: unsupported format {fmt!r}")
+
+    def tr(df: DataFrame, ctx: RecipeContext) -> DataFrame:
+        c = _require(df, col)
+        s = F.col(c).cast("string")
+        for i, nm in enumerate(names, start=1):
+            df = df.withColumn(nm, F.when(s.rlike(pattern), F.regexp_extract(s, pattern, i)))
+        return df
+
+    return tr
+
+
+def _java_to_spark_fmt(fmt: str) -> str:
+    # SimpleDateFormat and Spark's DateTimeFormatter patterns mostly agree;
+    # the symbols used in the reference's tests pass through unchanged.
+    return fmt
+
+
+@directive("parse-as-simple-date", "parse-as-date-format")
+def parse_as_simple_date(call: DirectiveCall):
+    col = call.col(0)
+    fmt = call.text(1)
+
+    def tr(df: DataFrame, ctx: RecipeContext) -> DataFrame:
+        c = _require(df, col)
+        return df.withColumn(c, F.to_timestamp(F.col(c).cast("string"), _java_to_spark_fmt(fmt)))
+
+    return tr
+
+
+@directive("parse-as-datetime")
+def parse_as_datetime(call: DirectiveCall):
+    col = call.col(0)
+    fmt = call.text(1)
+
+    def tr(df: DataFrame, ctx: RecipeContext) -> DataFrame:
+        c = _require(df, col)
+        ts = F.to_timestamp(F.col(c).cast("string"), _java_to_spark_fmt(fmt))
+        return df.withColumn(c, ts.cast("timestamp_ntz"))
+
+    return tr
+
+
+@directive("parse-as-date")
+def parse_as_date(call: DirectiveCall):
+    """parse-as-date :col [tz] — natural-language-ish date detection
+    (reference parser/ParseDate.java uses natty). Vectorized pandas
+    fallback via pd.to_datetime(format='mixed')."""
+    col = call.col(0)
+    tz = call.text(1, default="UTC")
+
+    def tr(df: DataFrame, ctx: RecipeContext) -> DataFrame:
+        c = _require(df, col)
+
+        @pandas_udf(T.TimestampType())
+        def parse(v: pd.Series) -> pd.Series:
+            out = pd.to_datetime(v, errors="coerce", format="mixed", utc=True)
+            try:
+                out = out.dt.tz_convert(tz).dt.tz_localize(None)
+            except Exception:
+                out = out.dt.tz_localize(None)
+            return out
+
+        return df.withColumn(c, parse(F.col(c).cast("string")))
+
+    return tr
+
+
+@directive("parse-timestamp")
+def parse_timestamp(call: DirectiveCall):
+    col = call.col(0)
+    unit = call.ident(1, default="milliseconds").lower()
+
+    def tr(df: DataFrame, ctx: RecipeContext) -> DataFrame:
+        c = _require(df, col)
+        v = F.col(c).cast("long")
+        if unit in ("seconds", "s"):
+            ts = F.timestamp_seconds(v)
+        elif unit in ("milliseconds", "ms"):
+            ts = F.timestamp_millis(v)
+        elif unit in ("microseconds", "us"):
+            ts = F.timestamp_micros(v)
+        else:
+            raise UsageError(f"parse-timestamp: bad unit {unit!r}")
+        return df.withColumn(c, ts)
+
+    return tr
+
+
+@directive("parse-xml-to-json")
+def parse_xml_to_json(call: DirectiveCall):
+    """parse-xml-to-json :col [depth] (reference xml/XmlToJson.java).
+
+    No XML support in core Spark → Arrow-batched pandas UDF converting
+    XML → JSON string, then the JSON flattening path.
+    """
+    col = call.col(0)
+    depth = call.int_(1, default=1)
+
+    def tr(df: DataFrame, ctx: RecipeContext) -> DataFrame:
+        import json as _json
+        import xml.etree.ElementTree as ET
+
+        c = _require(df, col)
+
+        def elem_to_obj(e):
+            children = list(e)
+            obj: dict = {}
+            for k, v in e.attrib.items():
+                obj["@" + k] = v
+            if not children:
+                text = (e.text or "").strip()
+                if obj:
+                    if text:
+                        obj["#text"] = text
+                    return obj
+                return text if text else None
+            for ch in children:
+                val = elem_to_obj(ch)
+                if ch.tag in obj:
+                    prev = obj[ch.tag]
+                    obj[ch.tag] = prev + [val] if isinstance(prev, list) else [prev, val]
+                else:
+                    obj[ch.tag] = val
+            return obj
+
+        @pandas_udf(T.StringType())
+        def xml2json(v: pd.Series) -> pd.Series:
+            def conv(x):
+                if x is None:
+                    return None
+                try:
+                    root = ET.fromstring(x)
+                    return _json.dumps({root.tag: elem_to_obj(root)})
+                except Exception:
+                    return None
+
+            return v.map(conv)
+
+        out = df.withColumn(f"{c}_json", xml2json(F.col(c).cast("string")))
+        # rename to <col> then reuse JSON flatten with given depth
+        out = out.drop(c).withColumnRenamed(f"{c}_json", c)
+        return parse_as_json_inline(out, c, depth)
+
+    return tr
+
+
+def parse_as_json_inline(df: DataFrame, col: str, depth: int) -> DataFrame:
+    from wrangler_spark.recipe.parser import DirectiveCall as _DC, Tok as _Tok
+
+    call = _DC(name="parse-as-json", toks=[_Tok("COL", col, f":{col}"), _Tok("NUM", depth, str(depth))])
+    return parse_as_json(call)(df, RecipeContext(spark=df.sparkSession))

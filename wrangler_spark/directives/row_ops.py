@@ -1,0 +1,247 @@
+"""Row-level directives: filters, error routing, 1→N explodes (SURVEY.md §2.4).
+
+Reference classes under io/cdap/directives/row/: RecordConditionFilter,
+RecordRegexFilter, RecordMissingOrNullFilter, Fail, SendToError,
+SendToErrorAndContinue, SplitToRows, Flatten, SetRecordDelimiter.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F, types as T
+
+from wrangler_spark.errors import UsageError
+from wrangler_spark.expr.jexl import compile_expr
+from wrangler_spark.recipe.parser import DirectiveCall
+from wrangler_spark.recipe.registry import RecipeContext, directive
+from wrangler_spark.directives.column_ops import _require
+
+
+def _cond(expr_src: str, df: DataFrame):
+    return compile_expr(expr_src, df.schema).cast("boolean")
+
+
+@directive("filter-row")
+def filter_row(call: DirectiveCall):
+    """filter-row exp:{cond} [true|false] — DROPS rows where cond == flag.
+
+    Reference row/RecordConditionFilter.java:93-117 (default flag true).
+    """
+    expr_src = call.expr(0)
+    keep_on_false = call.bool_(1, default=True)  # flag: drop rows matching == flag
+
+    def tr(df: DataFrame, ctx: RecipeContext) -> DataFrame:
+        c = _cond(expr_src, df)
+        drop = c if keep_on_false else ~c
+        return df.filter(~F.coalesce(drop, F.lit(False)))
+
+    return tr
+
+
+@directive("filter-row-if-true")
+def filter_row_if_true(call: DirectiveCall):
+    expr_src = call.expr(0)
+
+    def tr(df: DataFrame, ctx: RecipeContext) -> DataFrame:
+        c = _cond(expr_src, df)
+        return df.filter(~F.coalesce(c, F.lit(False)))
+
+    return tr
+
+
+@directive("filter-row-if-false")
+def filter_row_if_false(call: DirectiveCall):
+    expr_src = call.expr(0)
+
+    def tr(df: DataFrame, ctx: RecipeContext) -> DataFrame:
+        c = _cond(expr_src, df)
+        return df.filter(F.coalesce(c, F.lit(False)))
+
+    return tr
+
+
+@directive("filter-by-regex")
+def filter_by_regex(call: DirectiveCall):
+    """filter-by-regex if-matched|if-not-matched :col 'regex' — drops matches
+    (if-matched) or non-matches (reference row/RecordRegexFilter.java)."""
+    mode = call.ident(0).lower()
+    col = call.col(1)
+    regex = call.text(2)
+    if mode not in ("if-matched", "if-not-matched"):
+        raise UsageError("filter-by-regex: mode must be if-matched|if-not-matched")
+
+    def tr(df: DataFrame, ctx: RecipeContext) -> DataFrame:
+        c = _require(df, col)
+        m = F.col(c).cast("string").rlike(regex)
+        if regex == "null" or regex == "^null$":
+            m = m | F.col(c).isNull()
+        cond = m if mode == "if-matched" else ~F.coalesce(m, F.lit(False))
+        return df.filter(~F.coalesce(cond, F.lit(False)))
+
+    return tr
+
+
+@directive("filter-row-if-matched")
+def filter_row_if_matched(call: DirectiveCall):
+    col = call.col(0)
+    regex = call.expr(1) if call.toks[1].kind == "EXPR" else call.text(1)
+
+    def tr(df: DataFrame, ctx: RecipeContext) -> DataFrame:
+        c = _require(df, col)
+        pat = regex.strip().strip("\"'")
+        m = F.col(c).cast("string").rlike(pat)
+        return df.filter(~F.coalesce(m, F.lit(False)))
+
+    return tr
+
+
+@directive("filter-row-if-not-matched")
+def filter_row_if_not_matched(call: DirectiveCall):
+    col = call.col(0)
+    regex = call.expr(1) if call.toks[1].kind == "EXPR" else call.text(1)
+
+    def tr(df: DataFrame, ctx: RecipeContext) -> DataFrame:
+        c = _require(df, col)
+        pat = regex.strip().strip("\"'")
+        m = F.col(c).cast("string").rlike(pat)
+        return df.filter(F.coalesce(m, F.lit(False)))
+
+    return tr
+
+
+@directive("filter-empty-or-null", "filter-rows-on")
+def filter_empty_or_null(call: DirectiveCall):
+    """filter-rows-on empty-or-null-columns :c1[,…] (reference
+    row/RecordMissingOrNullFilter.java) — drops rows where ALL the named
+    columns are null/empty."""
+    # two spellings: `filter-rows-on empty-or-null-columns :cols` or
+    # `filter-empty-or-null :cols`
+    if call.name == "filter-rows-on" or (
+        call.has(0) and str(call.toks[0].value).startswith("empty-or-null")
+    ):
+        cols = call.cols(1)
+    else:
+        cols = call.cols(0)
+
+    def tr(df: DataFrame, ctx: RecipeContext) -> DataFrame:
+        conds = None
+        for col in cols:
+            c = _require(df, col)
+            e = F.col(c).isNull() | (F.col(c).cast("string") == "")
+            conds = e if conds is None else (conds & e)
+        return df.filter(~F.coalesce(conds, F.lit(False)))
+
+    return tr
+
+
+@directive("fail")
+def fail(call: DirectiveCall):
+    """fail exp:{cond} — abort the pipeline when any row matches
+    (reference row/Fail.java). Compiled to a lazily-evaluated
+    raise_error so no extra job is scheduled."""
+    expr_src = call.expr(0)
+
+    def tr(df: DataFrame, ctx: RecipeContext) -> DataFrame:
+        c = _cond(expr_src, df)
+        guard = F.when(
+            F.coalesce(c, F.lit(False)),
+            F.raise_error(F.lit(f"fail: condition [{expr_src}] matched a row")).cast("boolean"),
+        ).otherwise(F.lit(True))
+        return df.filter(guard)
+
+    return tr
+
+
+@directive("send-to-error")
+def send_to_error(call: DirectiveCall):
+    """send-to-error exp:{cond} — routes matching rows to the error channel
+    (reference row/SendToError.java:64)."""
+    expr_src = call.expr(0)
+
+    def tr(df: DataFrame, ctx: RecipeContext) -> DataFrame:
+        c = _cond(expr_src, df)
+        return ctx.route_error(df, c, f"condition [{expr_src}] matched")
+
+    return tr
+
+
+@directive("send-to-error-and-continue")
+def send_to_error_and_continue(call: DirectiveCall):
+    """Tags matching rows to the error channel but keeps them flowing
+    (reference row/SendToErrorAndContinue.java:65)."""
+    expr_src = call.expr(0)
+
+    def tr(df: DataFrame, ctx: RecipeContext) -> DataFrame:
+        c = _cond(expr_src, df)
+        err = df.filter(F.coalesce(c, F.lit(False))).select(
+            F.lit(ctx.step).alias("step"),
+            F.lit(ctx.current_name).alias("directive"),
+            F.lit(f"condition [{expr_src}] matched").alias("message"),
+            F.to_json(F.struct(*[F.col(x) for x in df.columns])).alias("record"),
+        )
+        ctx.errors.append(err)
+        return df
+
+    return tr
+
+
+@directive("split-to-rows")
+def split_to_rows(call: DirectiveCall):
+    """split-to-rows :col 'sep' — 1→N explode (reference row/SplitToRows.java)."""
+    col = call.col(0)
+    sep = call.text(1)
+
+    def tr(df: DataFrame, ctx: RecipeContext) -> DataFrame:
+        c = _require(df, col)
+        return df.withColumn(c, F.explode(F.split(F.col(c).cast("string"), sep)))
+
+    return tr
+
+
+@directive("set-record-delim")
+def set_record_delim(call: DirectiveCall):
+    col = call.col(0)
+    delim = call.text(1)
+    limit = call.int_(2, default=0)
+
+    def tr(df: DataFrame, ctx: RecipeContext) -> DataFrame:
+        c = _require(df, col)
+        arr = F.split(F.col(c).cast("string"), delim)
+        if limit:
+            arr = F.slice(arr, 1, limit)
+        return df.withColumn(c, F.explode(arr))
+
+    return tr
+
+
+@directive("flatten")
+def flatten(call: DirectiveCall):
+    """flatten :c1[,:c2…] — zip-explode array columns to the max length,
+    null-padding shorter arrays; non-array columns repeat on every output
+    row (reference row/Flatten.java:94-162)."""
+    cols = call.cols(0)
+
+    def tr(df: DataFrame, ctx: RecipeContext) -> DataFrame:
+        resolved = [_require(df, c) for c in cols]
+        sizes = []
+        for c in resolved:
+            dt = df.schema[c].dataType
+            if isinstance(dt, T.ArrayType):
+                sizes.append(F.coalesce(F.size(F.col(c)), F.lit(0)))
+            else:
+                sizes.append(F.lit(1))
+        maxn = F.greatest(*sizes) if len(sizes) > 1 else sizes[0]
+        maxn = F.when(maxn < 1, 1).otherwise(maxn)
+        out = df.withColumn("__wr_i", F.explode(F.sequence(F.lit(0), maxn - 1)))
+        for c in resolved:
+            dt = df.schema[c].dataType
+            if isinstance(dt, T.ArrayType):
+                out = out.withColumn(
+                    c,
+                    F.when(
+                        F.col("__wr_i") < F.coalesce(F.size(F.col(c)), F.lit(0)),
+                        F.col(c).getItem(F.col("__wr_i")),
+                    ),
+                )
+        return out.drop("__wr_i")
+
+    return tr

@@ -1,0 +1,517 @@
+"""String / scalar transform directives (SURVEY.md §2.7).
+
+Reference classes under io/cdap/directives/transformation/ (plus
+language/SetCharset). Everything that Catalyst can express is a native
+Column expression; the only pandas UDFs here are mask-shuffle (exact
+java.util.Random parity) and base32 codecs — both Arrow-batched, never
+per-row Python.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F, types as T
+from pyspark.sql.functions import pandas_udf
+
+from wrangler_spark.errors import UsageError
+from wrangler_spark.expr.jexl import compile_expr
+from wrangler_spark.recipe.parser import DirectiveCall
+from wrangler_spark.recipe.registry import RecipeContext, directive
+from wrangler_spark.directives.column_ops import _require
+
+
+@directive("set-column")
+def set_column(call: DirectiveCall):
+    """set-column :col exp:{...} (reference transformation/ColumnExpression.java:64).
+
+    The JEXL expression compiles once at recipe-compile time into a
+    Column (SURVEY.md §2.8) — the per-row script interpreter becomes
+    whole-stage codegen.
+    """
+    col = call.col(0)
+    expr_src = call.expr(1)
+
+    def tr(df: DataFrame, ctx: RecipeContext) -> DataFrame:
+        target = _require(df, col) if any(c.lower() == col.lower() for c in df.columns) else col
+        return df.withColumn(target, compile_expr(expr_src, df.schema))
+
+    return tr
+
+
+def _simple(name: str, fn):
+    @directive(name)
+    def _impl(call: DirectiveCall, _fn=fn):
+        col = call.col(0)
+
+        def tr(df: DataFrame, ctx: RecipeContext) -> DataFrame:
+            c = _require(df, col)
+            return df.withColumn(c, _fn(F.col(c).cast("string")))
+
+        return tr
+
+    return _impl
+
+
+_simple("uppercase", F.upper)
+_simple("lowercase", F.lower)
+_simple("titlecase", F.initcap)
+_simple("trim", F.trim)
+_simple("ltrim", F.ltrim)
+_simple("rtrim", F.rtrim)
+_simple("url-encode", F.url_encode)
+_simple("url-decode", F.url_decode)
+
+
+@directive("fill-null-or-empty")
+def fill_null_or_empty(call: DirectiveCall):
+    col = call.col(0)
+    value = call.text(1)
+
+    def tr(df: DataFrame, ctx: RecipeContext) -> DataFrame:
+        c = _require(df, col)
+        s = F.col(c).cast("string")
+        return df.withColumn(
+            c, F.when(s.isNull() | (s == ""), F.lit(value)).otherwise(s)
+        )
+
+    return tr
+
+
+@directive("find-and-replace")
+def find_and_replace(call: DirectiveCall):
+    """find-and-replace :col 's/pat/repl/g' — sed expression
+    (reference transformation/FindAndReplace.java)."""
+    cols = call.cols(0)
+    sed = call.text(1)
+    m = re.match(r"^s/((?:[^/\\]|\\.)*)/((?:[^/\\]|\\.)*)/([gi]*)$", sed) or re.match(
+        r"^s/((?:[^/\\]|\\.)*)/((?:[^/\\]|\\.)*)$", sed
+    )
+    if not m:
+        raise UsageError(f"find-and-replace: bad sed expression {sed!r}")
+    pat, repl = m.group(1), m.group(2)
+    flags = m.group(3) if m.lastindex and m.lastindex >= 3 else "g"
+    if "i" in flags:
+        pat = "(?i)" + pat
+    repl_spark = re.sub(r"\\(\d)", r"$\1", repl)  # \1 → $1 (Java refs)
+
+    def tr(df: DataFrame, ctx: RecipeContext) -> DataFrame:
+        for col in cols:
+            c = _require(df, col)
+            df = df.withColumn(c, F.regexp_replace(F.col(c).cast("string"), pat, repl_spark))
+        return df
+
+    return tr
+
+
+@directive("extract-regex-groups")
+def extract_regex_groups(call: DirectiveCall):
+    col = call.col(0)
+    regex = call.text(1)
+    ngroups = re.compile(regex).groups
+
+    def tr(df: DataFrame, ctx: RecipeContext) -> DataFrame:
+        c = _require(df, col)
+        for i in range(1, ngroups + 1):
+            df = df.withColumn(
+                f"{c}_{i}",
+                F.when(
+                    F.col(c).cast("string").rlike(regex),
+                    F.regexp_extract(F.col(c).cast("string"), regex, i),
+                ),
+            )
+        return df
+
+    return tr
+
+
+@directive("split-email")
+def split_email(call: DirectiveCall):
+    col = call.col(0)
+
+    def tr(df: DataFrame, ctx: RecipeContext) -> DataFrame:
+        c = _require(df, col)
+        s = F.col(c).cast("string")
+        valid = s.contains("@")
+        return df.withColumn(
+            f"{c}_account", F.when(valid, F.substring_index(s, "@", 1))
+        ).withColumn(f"{c}_domain", F.when(valid, F.substring_index(s, "@", -1)))
+
+    return tr
+
+
+@directive("split-url")
+def split_url(call: DirectiveCall):
+    col = call.col(0)
+
+    def tr(df: DataFrame, ctx: RecipeContext) -> DataFrame:
+        c = _require(df, col)
+        s = F.col(c).cast("string")
+        host = F.parse_url(s, F.lit("HOST"))
+        return (
+            df.withColumn(f"{c}_protocol", F.lower(F.regexp_extract(s, r"^([A-Za-z][A-Za-z0-9+.-]*):", 1)))
+            .withColumn(f"{c}_authority", F.regexp_extract(s, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
+            .withColumn(f"{c}_host", host)
+            .withColumn(
+                f"{c}_port",
+                F.regexp_extract(s, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#:]*:(\d+)", 1).cast("int"),
+            )
+            .withColumn(f"{c}_path", F.parse_url(s, F.lit("PATH")))
+            .withColumn(f"{c}_filename", F.parse_url(s, F.lit("FILE")))
+            .withColumn(f"{c}_query", F.parse_url(s, F.lit("QUERY")))
+        )
+
+    return tr
+
+
+@directive("cut-character")
+def cut_character(call: DirectiveCall):
+    """cut-character :src :dst <ranges> — unix cut -c semantics
+    (reference transformation/CharacterCut.java)."""
+    src, dst = call.col(0), call.col(1)
+    spec = call.text(2)
+
+    def tr(df: DataFrame, ctx: RecipeContext) -> DataFrame:
+        c = _require(df, src)
+        s = F.col(c).cast("string")
+        parts = []
+        for rng in spec.split(","):
+            rng = rng.strip()
+            if "-" in rng:
+                lo, _, hi = rng.partition("-")
+                lo_i = int(lo) if lo else 1
+                if hi:
+                    parts.append(F.substring(s, lo_i, int(hi) - lo_i + 1))
+                else:
+                    parts.append(F.substring(s, lo_i, 2147483647))
+            else:
+                parts.append(F.substring(s, int(rng), 1))
+        return df.withColumn(dst, F.concat(*parts) if len(parts) > 1 else parts[0])
+
+    return tr
+
+
+@directive("index-split", "indexsplit")
+def index_split(call: DirectiveCall):
+    src = call.col(0)
+    start, end = call.int_(1), call.int_(2)
+    dst = call.col(3)
+
+    def tr(df: DataFrame, ctx: RecipeContext) -> DataFrame:
+        c = _require(df, src)
+        return df.withColumn(dst, F.substring(F.col(c).cast("string"), start, end - start + 1))
+
+    return tr
+
+
+@directive("split")
+def split_deprecated(call: DirectiveCall):
+    # split :source 'delim' :dst1 :dst2 (deprecated in reference)
+    src = call.col(0)
+    delim = call.text(1)
+    d1, d2 = call.col(2), call.col(3)
+
+    def tr(df: DataFrame, ctx: RecipeContext) -> DataFrame:
+        c = _require(df, src)
+        arr = F.split(F.col(c).cast("string"), re.escape(delim), 2)
+        return df.withColumn(d1, arr.getItem(0)).withColumn(d2, arr.getItem(1))
+
+    return tr
+
+
+@directive("encode")
+def encode(call: DirectiveCall):
+    method = call.ident(0).lower().replace("-", "")
+    col = call.col(1)
+
+    def tr(df: DataFrame, ctx: RecipeContext) -> DataFrame:
+        c = _require(df, col)
+        out = f"{c}_encode_{method}"
+        s = F.col(c).cast("string")
+        if method == "base64":
+            return df.withColumn(out, F.base64(s.cast("binary")))
+        if method == "hex":
+            return df.withColumn(out, F.lower(F.hex(s.cast("binary"))))
+        if method == "base32":
+            @pandas_udf(T.StringType())
+            def b32(v: pd.Series) -> pd.Series:
+                import base64 as _b64
+                return v.map(
+                    lambda x: _b64.b32encode(x.encode()).decode() if x is not None else None
+                )
+            return df.withColumn(out, b32(s))
+        raise UsageError(f"encode: unsupported method {method!r}")
+
+    return tr
+
+
+@directive("decode")
+def decode(call: DirectiveCall):
+    method = call.ident(0).lower().replace("-", "")
+    col = call.col(1)
+
+    def tr(df: DataFrame, ctx: RecipeContext) -> DataFrame:
+        c = _require(df, col)
+        out = f"{c}_decode_{method}"
+        s = F.col(c).cast("string")
+        if method == "base64":
+            return df.withColumn(out, F.unbase64(s).cast("string"))
+        if method == "hex":
+            return df.withColumn(out, F.unhex(s).cast("string"))
+        if method == "base32":
+            @pandas_udf(T.StringType())
+            def b32d(v: pd.Series) -> pd.Series:
+                import base64 as _b64
+                return v.map(
+                    lambda x: _b64.b32decode(x).decode() if x is not None else None
+                )
+            return df.withColumn(out, b32d(s))
+        raise UsageError(f"decode: unsupported method {method!r}")
+
+    return tr
+
+
+@directive("hash")
+def hash_(call: DirectiveCall):
+    """hash :col <algo> [encode] (reference transformation/MessageHash.java).
+
+    sha256(content) is the per-row invariant the CDC replay verifies
+    (BASELINE.json input_hint)."""
+    col = call.col(0)
+    algo = call.ident(1).upper().replace("_", "-")
+    encode_hex = call.bool_(2, default=True)
+
+    def tr(df: DataFrame, ctx: RecipeContext) -> DataFrame:
+        c = _require(df, col)
+        s = F.col(c).cast("string")
+        if algo in ("SHA-256", "SHA256"):
+            h = F.sha2(s, 256)
+        elif algo in ("SHA-384", "SHA384"):
+            h = F.sha2(s, 384)
+        elif algo in ("SHA-512", "SHA512"):
+            h = F.sha2(s, 512)
+        elif algo in ("SHA-224", "SHA224"):
+            h = F.sha2(s, 224)
+        elif algo == "MD5":
+            h = F.md5(s.cast("binary"))
+        elif algo in ("SHA-1", "SHA1", "SHA"):
+            h = F.sha1(s.cast("binary"))
+        else:
+            raise UsageError(f"hash: unsupported algorithm {algo!r}")
+        return df.withColumn(c, h if encode_hex else F.unhex(F.upper(h)))
+
+    return tr
+
+
+@directive("mask-number")
+def mask_number(call: DirectiveCall):
+    """mask-number :col 'pattern' — substitution masking with the exact
+    index-sync semantics of the reference (MaskNumber.java:121-147):
+    '#' copies the input char and advances; 'x'/'X' emits lowercase 'x'
+    and advances; any other pattern char is emitted and consumes the
+    input char only when it matches. Unrolled into a compile-time
+    Column state machine — pattern length is static, so this stays
+    fully inside whole-stage codegen."""
+    col = call.col(0)
+    mask = call.text(1)
+
+    def tr(df: DataFrame, ctx: RecipeContext) -> DataFrame:
+        c = _require(df, col)
+        s = F.col(c).cast("string")
+        ln = F.length(s)
+        idx = F.lit(0)
+        parts = []
+        for ch in mask:
+            if ch == "#":
+                parts.append(F.when(idx <= ln - 1, F.substring(s, idx + 1, 1)).otherwise(F.lit("")))
+                idx = F.when(idx <= ln - 1, idx + 1).otherwise(idx)
+            elif ch in ("x", "X"):
+                parts.append(F.lit("x"))
+                idx = idx + 1
+            else:
+                adv = (idx < ln) & (F.substring(s, idx + 1, 1) == ch)
+                parts.append(F.lit(ch))
+                idx = F.when(adv, idx + 1).otherwise(idx)
+        masked = F.concat(*parts) if parts else F.lit("")
+        return df.withColumn(c, F.when(s.isNull(), None).otherwise(masked))
+
+    return tr
+
+
+@directive("mask-shuffle")
+def mask_shuffle(call: DirectiveCall):
+    """mask-shuffle :col — deterministic char-category shuffle with exact
+    java.util.Random(0) parity (reference MaskShuffle.java:104-147).
+    Arrow-batched pandas UDF (no Catalyst equivalent for the stateful
+    per-char LCG)."""
+    col = call.col(0)
+
+    def tr(df: DataFrame, ctx: RecipeContext) -> DataFrame:
+        c = _require(df, col)
+
+        @pandas_udf(T.StringType())
+        def shuffle(v: pd.Series) -> pd.Series:
+            CONS = "bcdfghjklmnpqrstvwxz"
+            VOWEL = "aeiouy"
+            DIGIT = "0123456789"
+
+            class JavaRandom:
+                # exact java.util.Random LCG
+                def __init__(self, seed: int):
+                    self.seed = (seed ^ 0x5DEECE66D) & ((1 << 48) - 1)
+
+                def _next(self, bits: int) -> int:
+                    self.seed = (self.seed * 0x5DEECE66D + 0xB) & ((1 << 48) - 1)
+                    return self.seed >> (48 - bits)
+
+                def next_int(self, bound: int) -> int:
+                    if bound & (bound - 1) == 0:
+                        return (bound * self._next(31)) >> 31
+                    while True:
+                        bits = self._next(31)
+                        val = bits % bound
+                        if bits - val + (bound - 1) < (1 << 31):
+                            return val
+
+            def mask(x):
+                if x is None:
+                    return None
+                r = JavaRandom(0)
+                out = []
+                for ch in x:
+                    lo = ch.lower()
+                    for cs in (CONS, VOWEL, DIGIT):
+                        if lo in cs:
+                            nc = cs[r.next_int(len(cs))]
+                            out.append(nc.upper() if lo != ch else nc)
+                            break
+                    else:
+                        out.append(ch)
+                return "".join(out)
+
+            return v.map(mask)
+
+        return df.withColumn(c, shuffle(F.col(c).cast("string")))
+
+    return tr
+
+
+@directive("generate-uuid")
+def generate_uuid(call: DirectiveCall):
+    col = call.col(0)
+
+    def tr(df: DataFrame, ctx: RecipeContext) -> DataFrame:
+        # deterministic variant preferred for replay (SURVEY.md §2.7):
+        # derive from the full record rather than F.uuid()
+        rec = F.to_json(F.struct(*[F.col(c) for c in df.columns]))
+        h = F.sha2(rec, 256)
+        uuid = F.concat_ws(
+            "-",
+            F.substring(h, 1, 8),
+            F.substring(h, 9, 4),
+            F.substring(h, 13, 4),
+            F.substring(h, 17, 4),
+            F.substring(h, 21, 12),
+        )
+        return df.withColumn(col, uuid)
+
+    return tr
+
+
+@directive("quantize")
+def quantize(call: DirectiveCall):
+    """quantize :src :dst lo:hi=label[,lo:hi=label…]
+    (reference transformation/Quantization.java)."""
+    src, dst = call.col(0), call.col(1)
+    spec = call.text(2)
+    ranges = []
+    for part in spec.split(","):
+        part = part.strip()
+        m = re.match(r"^(-?[\d.]+):(-?[\d.]+)=(.+)$", part)
+        if not m:
+            raise UsageError(f"quantize: bad range {part!r}")
+        lo, hi, label = float(m.group(1)), float(m.group(2)), m.group(3)
+        ranges.append((lo, hi, label))
+
+    def tr(df: DataFrame, ctx: RecipeContext) -> DataFrame:
+        c = _require(df, src)
+        v = F.col(c).cast("double")
+        expr = None
+        for lo, hi, label in ranges:
+            cond = (v >= lo) & (v <= hi)
+            expr = F.when(cond, label) if expr is None else expr.when(cond, label)
+        return df.withColumn(dst, expr)
+
+    return tr
+
+
+@directive("text-distance")
+def text_distance(call: DirectiveCall):
+    """text-distance <method> :c1 :c2 :dst (reference
+    transformation/TextDistanceMeasure.java — simmetrics library)."""
+    method = call.ident(0).lower()
+    c1, c2, dst = call.col(1), call.col(2), call.col(3)
+
+    def tr(df: DataFrame, ctx: RecipeContext) -> DataFrame:
+        a = F.col(_require(df, c1)).cast("string")
+        b = F.col(_require(df, c2)).cast("string")
+        if method == "levenshtein":
+            d = F.levenshtein(a, b).cast("float")
+        elif method in ("jaccard", "block-distance"):
+            # token-set jaccard distance over whitespace tokens
+            ta = F.array_distinct(F.split(a, r"\s+"))
+            tb = F.array_distinct(F.split(b, r"\s+"))
+            inter = F.size(F.array_intersect(ta, tb)).cast("double")
+            union = F.size(F.array_union(ta, tb)).cast("double")
+            sim = F.when(union > 0, inter / union).otherwise(F.lit(1.0))
+            d = (F.lit(1.0) - sim).cast("float")
+        elif method in ("cosine",):
+            ta = F.array_distinct(F.split(a, r"\s+"))
+            tb = F.array_distinct(F.split(b, r"\s+"))
+            inter = F.size(F.array_intersect(ta, tb)).cast("double")
+            denom = F.sqrt(F.size(ta).cast("double") * F.size(tb).cast("double"))
+            sim = F.when(denom > 0, inter / denom).otherwise(F.lit(1.0))
+            d = (F.lit(1.0) - sim).cast("float")
+        else:
+            raise UsageError(f"text-distance: unsupported method {method!r}")
+        return df.withColumn(dst, d)
+
+    return tr
+
+
+@directive("text-metric")
+def text_metric(call: DirectiveCall):
+    """text-metric <method> :c1 :c2 :dst — similarity in [0,1]."""
+    method = call.ident(0).lower()
+    c1, c2, dst = call.col(1), call.col(2), call.col(3)
+
+    def tr(df: DataFrame, ctx: RecipeContext) -> DataFrame:
+        a = F.col(_require(df, c1)).cast("string")
+        b = F.col(_require(df, c2)).cast("string")
+        if method == "levenshtein":
+            maxlen = F.greatest(F.length(a), F.length(b))
+            sim = F.when(maxlen > 0, 1.0 - F.levenshtein(a, b) / maxlen).otherwise(F.lit(1.0))
+        elif method == "jaccard":
+            ta = F.array_distinct(F.split(a, r"\s+"))
+            tb = F.array_distinct(F.split(b, r"\s+"))
+            inter = F.size(F.array_intersect(ta, tb)).cast("double")
+            union = F.size(F.array_union(ta, tb)).cast("double")
+            sim = F.when(union > 0, inter / union).otherwise(F.lit(1.0))
+        else:
+            raise UsageError(f"text-metric: unsupported method {method!r}")
+        return df.withColumn(dst, sim.cast("float"))
+
+    return tr
+
+
+@directive("set-charset")
+def set_charset(call: DirectiveCall):
+    col = call.col(0)
+    charset = call.text(1, default="utf-8")
+
+    def tr(df: DataFrame, ctx: RecipeContext) -> DataFrame:
+        c = _require(df, col)
+        return df.withColumn(c, F.decode(F.col(c).cast("binary"), charset))
+
+    return tr

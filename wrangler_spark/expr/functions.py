@@ -1,0 +1,654 @@
+"""Scalar-function namespaces for the expression language.
+
+Mirrors the reference's JEXL namespaces (wrangler-core
+expression/EL.java:167-190): default/Global, string:, math:, date:,
+datetime:, json:, dq:, arithmetic:, logical:, number:, bytes: —
+each function maps to native pyspark.sql.functions so the compiled
+expression stays JVM-side (SURVEY.md §2.8). Function-name lookup is
+case-insensitive.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from wrangler_spark.errors import ExpressionError
+from wrangler_spark.expr.jexl import TypedCol
+
+_REGISTRY: dict[tuple[str, str], Callable[..., TypedCol]] = {}
+
+
+def _reg(ns: str, *names: str):
+    def deco(fn):
+        for n in names:
+            _REGISTRY[(ns, n.lower())] = fn
+        return fn
+
+    return deco
+
+
+def resolve_call(ns: str, name: str, args: list[TypedCol]) -> TypedCol:
+    ns = {"strings": "string", "escape": "string"}.get(ns, ns)
+    fn = _REGISTRY.get((ns, name.lower()))
+    if fn is None and ns == "":
+        # default namespace also exposes math-ish helpers
+        fn = _REGISTRY.get(("math", name.lower())) or _REGISTRY.get(("string", name.lower()))
+    if fn is None:
+        raise ExpressionError(f"unknown function {ns + ':' if ns else ''}{name}()")
+    return fn(*args)
+
+
+def _s(c: TypedCol) -> Column:
+    return c.col.cast("string")
+
+
+def _typed(col: Column, dt: T.DataType | None = None) -> TypedCol:
+    return TypedCol(col, dt)
+
+
+STR = T.StringType()
+DBL = T.DoubleType()
+LNG = T.LongType()
+INT = T.IntegerType()
+BOOL = T.BooleanType()
+
+
+# ------------------------------------------------------------ default ns
+# reference: io/cdap/functions/Global.java:37-273
+
+@_reg("", "toDouble")
+def _todouble(x):
+    return _typed(x.col.cast("double"), DBL)
+
+
+@_reg("", "toFloat")
+def _tofloat(x):
+    return _typed(x.col.cast("float"), T.FloatType())
+
+
+@_reg("", "toLong")
+def _tolong(x):
+    return _typed(x.col.cast("long"), LNG)
+
+
+@_reg("", "toInteger", "toInt")
+def _toint(x):
+    return _typed(x.col.cast("int"), INT)
+
+
+@_reg("", "toShort")
+def _toshort(x):
+    return _typed(x.col.cast("short"), T.ShortType())
+
+
+@_reg("", "toString")
+def _tostring(x):
+    return _typed(_s(x), STR)
+
+
+@_reg("", "toBoolean")
+def _tobool(x):
+    return _typed(x.col.cast("boolean"), BOOL)
+
+
+@_reg("", "toBytes")
+def _tobytes(x):
+    return _typed(x.col.cast("binary"), T.BinaryType())
+
+
+@_reg("", "concat")
+def _concat(*xs):
+    return _typed(F.concat(*[_s(x) for x in xs]), STR)
+
+
+@_reg("", "coalesce")
+def _coalesce(*xs):
+    dt = next((x.dtype for x in xs if x.dtype is not None), None)
+    return _typed(F.coalesce(*[x.col for x in xs]), dt)
+
+
+@_reg("", "rcoalesce")
+def _rcoalesce(*xs):
+    dt = next((x.dtype for x in xs if x.dtype is not None), None)
+    return _typed(F.coalesce(*[x.col for x in reversed(xs)]), dt)
+
+
+@_reg("", "format")
+def _format(fmt, *xs):
+    # java String.format subset: %s %d %f (+ width/precision) pass through
+    return _typed(F.format_string(_lit_value(fmt, "format() pattern"), *[x.col for x in xs]), STR)
+
+
+def _lit_value(x: TypedCol, what: str) -> str:
+    """Extract a compile-time constant (format strings, JSON paths…)."""
+    if x.lit is not None:
+        return str(x.lit)
+    raise ExpressionError(f"{what} must be a literal string")
+
+
+@_reg("", "padAtStart")
+def _pad_start(x, length, pad):
+    return _typed(F.lpad(_s(x), _as_int(length), _as_str(pad)), STR)
+
+
+@_reg("", "padAtEnd")
+def _pad_end(x, length, pad):
+    return _typed(F.rpad(_s(x), _as_int(length), _as_str(pad)), STR)
+
+
+@_reg("", "repeat")
+def _repeat_default(x, n):
+    return _typed(F.repeat(_s(x), _as_int(n)), STR)
+
+
+@_reg("", "unquote")
+def _unquote(x):
+    return _typed(F.regexp_replace(_s(x), r'^["\']|["\']$', ""), STR)
+
+
+@_reg("", "IsNull")
+def _isnull(x):
+    return _typed(x.col.isNull(), BOOL)
+
+
+@_reg("", "IsNotNull")
+def _isnotnull(x):
+    return _typed(x.col.isNotNull(), BOOL)
+
+
+@_reg("", "NullToEmpty")
+def _null_to_empty(x):
+    return _typed(F.coalesce(_s(x), F.lit("")), STR)
+
+
+@_reg("", "NullToZero")
+def _null_to_zero(x):
+    return _typed(F.coalesce(x.col.cast("double"), F.lit(0.0)), DBL)
+
+
+@_reg("", "NullToValue")
+def _null_to_value(x, v):
+    return _typed(F.coalesce(x.col, v.col), x.dtype or v.dtype)
+
+
+def _as_int(x: TypedCol) -> Column:
+    return x.col.cast("int")
+
+
+def _as_str(x: TypedCol) -> Column:
+    return _s(x)
+
+
+# ------------------------------------------------------------ string:
+# reference: commons-lang StringUtils via EL.java:178-180
+
+@_reg("string", "lowerCase", "lower", "toLowerCase")
+def _lower(x):
+    return _typed(F.lower(_s(x)), STR)
+
+
+@_reg("string", "upperCase", "upper", "toUpperCase")
+def _upper(x):
+    return _typed(F.upper(_s(x)), STR)
+
+
+@_reg("string", "capitalize")
+def _capitalize(x):
+    s = _s(x)
+    return _typed(F.concat(F.upper(F.substring(s, 1, 1)), F.substring(s, 2, 2147483647)), STR)
+
+
+@_reg("string", "uncapitalize")
+def _uncapitalize(x):
+    s = _s(x)
+    return _typed(F.concat(F.lower(F.substring(s, 1, 1)), F.substring(s, 2, 2147483647)), STR)
+
+
+@_reg("string", "trim")
+def _trim(x):
+    return _typed(F.trim(_s(x)), STR)
+
+
+@_reg("string", "ltrim", "stripStart")
+def _ltrim(x):
+    return _typed(F.ltrim(_s(x)), STR)
+
+
+@_reg("string", "rtrim", "stripEnd")
+def _rtrim(x):
+    return _typed(F.rtrim(_s(x)), STR)
+
+
+@_reg("string", "reverse")
+def _reverse(x):
+    return _typed(F.reverse(_s(x)), STR)
+
+
+@_reg("string", "length")
+def _length(x):
+    return _typed(F.length(_s(x)), INT)
+
+
+@_reg("string", "isEmpty")
+def _isempty(x):
+    return _typed(F.coalesce(F.length(_s(x)) == 0, F.lit(True)), BOOL)
+
+
+@_reg("string", "isNotEmpty")
+def _isnotempty(x):
+    return _typed(F.coalesce(F.length(_s(x)) > 0, F.lit(False)), BOOL)
+
+
+@_reg("string", "isBlank")
+def _isblank(x):
+    return _typed(F.coalesce(F.length(F.trim(_s(x))) == 0, F.lit(True)), BOOL)
+
+
+@_reg("string", "isNotBlank")
+def _isnotblank(x):
+    return _typed(F.coalesce(F.length(F.trim(_s(x))) > 0, F.lit(False)), BOOL)
+
+
+@_reg("string", "contains")
+def _contains(x, sub):
+    return _typed(F.contains(_s(x), _s(sub)), BOOL)
+
+
+@_reg("string", "startsWith")
+def _startswith(x, pre):
+    return _typed(F.startswith(_s(x), _s(pre)), BOOL)
+
+
+@_reg("string", "endsWith")
+def _endswith(x, suf):
+    return _typed(F.endswith(_s(x), _s(suf)), BOOL)
+
+
+@_reg("string", "indexOf")
+def _indexof(x, sub):
+    return _typed(F.instr(_s(x), _s(sub)).cast("int") - 1, INT)
+
+
+@_reg("string", "replace")
+def _replace(x, find, repl):
+    return _typed(F.replace(_s(x), _s(find), _s(repl)), STR)
+
+
+@_reg("string", "substring", "substr")
+def _substring(x, start, end=None):
+    # commons-lang: 0-based start, end exclusive; negative = from end
+    s = _s(x)
+    ln = F.length(s)
+    st = start.col.cast("int")
+    st = F.when(st < 0, F.greatest(ln + st, F.lit(0))).otherwise(st)
+    if end is None:
+        return _typed(F.substring(s, st + 1, F.lit(2147483647)), STR)
+    en = end.col.cast("int")
+    en = F.when(en < 0, ln + en).otherwise(F.least(en, ln))
+    return _typed(F.substring(s, st + 1, F.greatest(en - st, F.lit(0))), STR)
+
+
+@_reg("string", "left")
+def _left(x, n):
+    return _typed(F.substring(_s(x), 1, _as_int(n)), STR)
+
+
+@_reg("string", "right")
+def _right(x, n):
+    s = _s(x)
+    return _typed(F.substring(s, -_as_int(n).cast("int"), _as_int(n)), STR)
+
+
+@_reg("string", "repeat")
+def _repeat(x, n):
+    return _typed(F.repeat(_s(x), _as_int(n)), STR)
+
+
+@_reg("string", "split")
+def _split(x, sep):
+    import re as _re
+
+    if sep.lit is not None:
+        return _typed(F.split(_s(x), _re.escape(str(sep.lit))), T.ArrayType(STR))
+    return _typed(F.split(_s(x), _s(sep)), T.ArrayType(STR))
+
+
+@_reg("string", "join")
+def _join(sep, *xs):
+    if sep.lit is not None:
+        return _typed(F.concat_ws(str(sep.lit), *[_s(x) for x in xs]), STR)
+    return _typed(F.array_join(F.array(*[_s(x) for x in xs]), _s(sep)), STR)
+
+
+@_reg("string", "deleteWhitespace")
+def _delete_ws(x):
+    return _typed(F.regexp_replace(_s(x), r"\s+", ""), STR)
+
+
+@_reg("string", "swapCase")
+def _swapcase(x):
+    # no builtin; char-level translate is impractical — approximate via
+    # upper/lower xor is not expressible: use pandas fallback at directive
+    # level. Here: raise to signal unsupported.
+    raise ExpressionError("string:swapCase is not supported in expressions")
+
+
+# ------------------------------------------------------------ math:
+
+def _math1(fname, fn, out=DBL):
+    @_reg("math", fname)
+    def _f(x):
+        return _typed(fn(x.col.cast("double")), out)
+    return _f
+
+
+_math1("abs", F.abs)
+_math1("ceil", F.ceil, LNG)
+_math1("floor", F.floor, LNG)
+_math1("sqrt", F.sqrt)
+_math1("cbrt", F.cbrt)
+_math1("exp", F.exp)
+_math1("log", F.log)
+_math1("log10", F.log10)
+_math1("log2", F.log2)
+_math1("sin", F.sin)
+_math1("cos", F.cos)
+_math1("tan", F.tan)
+_math1("asin", F.asin)
+_math1("acos", F.acos)
+_math1("atan", F.atan)
+_math1("signum", F.signum)
+_math1("sinh", F.sinh)
+_math1("cosh", F.cosh)
+_math1("tanh", F.tanh)
+_math1("toDegrees", F.degrees)
+_math1("toRadians", F.radians)
+
+
+@_reg("math", "round")
+def _round(x):
+    # java Math.round: long
+    return _typed(F.round(x.col.cast("double"), 0).cast("long"), LNG)
+
+
+@_reg("math", "pow")
+def _pow(x, y):
+    return _typed(F.pow(x.col.cast("double"), y.col.cast("double")), DBL)
+
+
+@_reg("math", "min")
+def _min(*xs):
+    return _typed(F.least(*[x.col for x in xs]), xs[0].dtype)
+
+
+@_reg("math", "max")
+def _max(*xs):
+    return _typed(F.greatest(*[x.col for x in xs]), xs[0].dtype)
+
+
+@_reg("math", "floorDiv")
+def _floordiv(a, b):
+    return _typed(F.floor(a.col.cast("double") / b.col.cast("double")).cast("long"), LNG)
+
+
+@_reg("math", "floorMod")
+def _floormod(a, b):
+    return _typed(F.pmod(a.col.cast("long"), b.col.cast("long")), LNG)
+
+
+@_reg("math", "hypot")
+def _hypot(a, b):
+    return _typed(F.hypot(a.col.cast("double"), b.col.cast("double")), DBL)
+
+
+# ------------------------------------------------------------ date:
+# reference: io/cdap/functions/Dates.java:47-284
+
+@_reg("date", "UNIXTIMESTAMP_SECONDS")
+def _unix_seconds(x):
+    return _typed(F.unix_timestamp(x.col), LNG)
+
+
+@_reg("date", "UNIXTIMESTAMP_MILLIS")
+def _unix_millis(x):
+    return _typed(F.unix_millis(x.col.cast("timestamp")), LNG)
+
+
+@_reg("date", "MONTH")
+def _month(x):
+    return _typed(F.month(x.col), INT)
+
+
+@_reg("date", "YEAR")
+def _year(x):
+    return _typed(F.year(x.col), INT)
+
+
+@_reg("date", "DAY_OF_YEAR")
+def _doy(x):
+    return _typed(F.dayofyear(x.col), INT)
+
+
+@_reg("date", "DAY_OF_WEEK")
+def _dow(x):
+    return _typed(F.dayofweek(x.col), INT)
+
+
+@_reg("date", "DAY_OF_MONTH", "DAY")
+def _dom(x):
+    return _typed(F.dayofmonth(x.col), INT)
+
+
+@_reg("date", "HOUR")
+def _hour(x):
+    return _typed(F.hour(x.col), INT)
+
+
+@_reg("date", "MINUTE")
+def _minute(x):
+    return _typed(F.minute(x.col), INT)
+
+
+@_reg("date", "SECOND")
+def _second(x):
+    return _typed(F.second(x.col), INT)
+
+
+@_reg("date", "DAYS_BETWEEN")
+def _days_between(a, b):
+    return _typed(F.datediff(a.col.cast("date"), b.col.cast("date")), INT)
+
+
+@_reg("date", "SECONDS_TO_DAYS")
+def _seconds_to_days(x):
+    return _typed((x.col.cast("long") / F.lit(86400)).cast("long"), LNG)
+
+
+@_reg("date", "SECONDS_TO_HOURS")
+def _seconds_to_hours(x):
+    return _typed((x.col.cast("long") / F.lit(3600)).cast("long"), LNG)
+
+
+# ------------------------------------------------------------ json:
+# reference: io/cdap/functions/JsonFunctions.java:47-328
+
+@_reg("json", "select")
+def _json_select(x, path):
+    return _typed(
+        F.get_json_object(_s(x), _lit_value(path, "json:select path")), STR
+    )
+
+
+@_reg("json", "IsValid")
+def _json_valid(x):
+    return _typed(F.try_parse_json(_s(x)).isNotNull(), BOOL)
+
+
+@_reg("json", "ArrayLength")
+def _json_arraylen(x):
+    return _typed(F.json_array_length(_s(x)), INT)
+
+
+@_reg("json", "stringify")
+def _json_stringify(x):
+    return _typed(F.to_json(x.col), STR)
+
+
+# ------------------------------------------------------------ dq:
+# reference: io/cdap/functions/DataQuality.java:43-339
+
+@_reg("dq", "isnull", "isNull")
+def _dq_isnull(x):
+    return _typed(x.col.isNull(), BOOL)
+
+
+@_reg("dq", "isnotnull", "isNotNull")
+def _dq_isnotnull(x):
+    return _typed(x.col.isNotNull(), BOOL)
+
+
+@_reg("dq", "isempty", "isEmpty")
+def _dq_isempty(x):
+    return _typed(F.coalesce(F.length(_s(x)) == 0, F.lit(True)), BOOL)
+
+
+@_reg("dq", "strlen")
+def _dq_strlen(x):
+    return _typed(F.length(_s(x)), INT)
+
+
+@_reg("dq", "inrange")
+def _dq_inrange(x, lo, hi):
+    v = x.col.cast("double")
+    return _typed((v >= lo.col.cast("double")) & (v <= hi.col.cast("double")), BOOL)
+
+
+@_reg("dq", "isNumber", "isnumber")
+def _dq_isnumber(x):
+    return _typed(_s(x).rlike(r"^-?\d+(\.\d+)?([eE][+-]?\d+)?$"), BOOL)
+
+
+@_reg("dq", "isInteger")
+def _dq_isint(x):
+    return _typed(_s(x).rlike(r"^-?\d+$"), BOOL)
+
+
+@_reg("dq", "isDouble")
+def _dq_isdouble(x):
+    return _typed(_s(x).rlike(r"^-?\d+\.\d+([eE][+-]?\d+)?$"), BOOL)
+
+
+@_reg("dq", "isBoolean")
+def _dq_isbool(x):
+    return _typed(F.lower(_s(x)).isin("true", "false"), BOOL)
+
+
+_EMAIL_RE = r"^[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}$"
+_IPV4_RE = r"^((25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)\.){3}(25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)$"
+_URL_RE = r"^(https?|ftp)://[^\s/$.?#].[^\s]*$"
+_DOMAIN_RE = r"^([A-Za-z0-9]([A-Za-z0-9\-]{0,61}[A-Za-z0-9])?\.)+[A-Za-z]{2,}$"
+
+
+@_reg("dq", "isEmail")
+def _dq_isemail(x):
+    return _typed(_s(x).rlike(_EMAIL_RE), BOOL)
+
+
+@_reg("dq", "isIP", "isIPv4")
+def _dq_isip(x):
+    return _typed(_s(x).rlike(_IPV4_RE), BOOL)
+
+
+@_reg("dq", "isUrl", "isURL")
+def _dq_isurl(x):
+    return _typed(_s(x).rlike(_URL_RE), BOOL)
+
+
+@_reg("dq", "isDomainName")
+def _dq_isdomain(x):
+    return _typed(_s(x).rlike(_DOMAIN_RE), BOOL)
+
+
+# ------------------------------------------------------------ arithmetic:
+# reference: utils/ArithmeticOperations.java (null-safe ops)
+
+@_reg("arithmetic", "add")
+def _ar_add(*xs):
+    out = xs[0].col.cast("double")
+    for x in xs[1:]:
+        out = out + x.col.cast("double")
+    return _typed(out, DBL)
+
+
+@_reg("arithmetic", "minus", "subtract")
+def _ar_sub(a, b):
+    return _typed(a.col.cast("double") - b.col.cast("double"), DBL)
+
+
+@_reg("arithmetic", "multiply")
+def _ar_mul(*xs):
+    out = xs[0].col.cast("double")
+    for x in xs[1:]:
+        out = out * x.col.cast("double")
+    return _typed(out, DBL)
+
+
+@_reg("arithmetic", "divideq")
+def _ar_div(a, b):
+    return _typed(a.col.cast("double") / b.col.cast("double"), DBL)
+
+
+@_reg("arithmetic", "divider")
+def _ar_mod(a, b):
+    return _typed(a.col.cast("double") % b.col.cast("double"), DBL)
+
+
+# ------------------------------------------------------------ logical:
+# reference: io/cdap/functions/Logical.java:36-193
+
+@_reg("logical", "BitAnd")
+def _bitand(a, b):
+    return _typed(a.col.cast("long").bitwiseAND(b.col.cast("long")), LNG)
+
+
+@_reg("logical", "BitOr")
+def _bitor(a, b):
+    return _typed(a.col.cast("long").bitwiseOR(b.col.cast("long")), LNG)
+
+
+@_reg("logical", "BitXor")
+def _bitxor(a, b):
+    return _typed(a.col.cast("long").bitwiseXOR(b.col.cast("long")), LNG)
+
+
+@_reg("logical", "Not")
+def _lnot(x):
+    return _typed(F.when(x.col.cast("double") == 0, 1).otherwise(0).cast("long"), LNG)
+
+
+# ------------------------------------------------------------ number:
+# reference: io/cdap/functions/NumberFunctions.java:28-84
+
+@_reg("number", "AsDouble")
+def _asdouble(x):
+    return _typed(x.col.cast("double"), DBL)
+
+
+@_reg("number", "AsFloat")
+def _asfloat(x):
+    return _typed(x.col.cast("float"), T.FloatType())
+
+
+@_reg("number", "AsInteger")
+def _asinteger(x):
+    return _typed(x.col.cast("int"), INT)
+
+
+@_reg("number", "Mantissa")
+def _mantissa(x):
+    v = x.col.cast("double")
+    return _typed(v - F.floor(v), DBL)

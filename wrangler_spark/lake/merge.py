@@ -1,0 +1,154 @@
+"""Last-writer-wins MERGE INTO for LakeTable.
+
+The CDC upsert core (BASELINE.json north_rule): apply a batch of
+insert/update/delete change events keyed by the table's key columns,
+choosing the event with the highest commit sequence per key (monotonic
+LWW ordering), rewriting only the hash-buckets that contain changed
+keys.
+
+Scale design notes (the 100 TB story):
+- LWW dedup is a `max_by(struct, seq)` hash aggregation, NOT a window
+  sort: partial (map-side) aggregation absorbs hot-key skew before the
+  shuffle — a repo with 10^7 updates in an epoch contributes one row
+  per upstream partition to the shuffle, not 10^7. An optional salted
+  two-stage variant is kept for pathological single-key floods.
+- The base-table side reads ONLY affected buckets (bucket pruning via
+  snapshot metadata), and the anti-join of base-vs-changed-keys is
+  AQE-planned: epochs with small change sets become broadcast joins at
+  runtime without us collecting anything.
+- Deletes are LWW winners with op='delete': the key simply doesn't
+  reappear in the rewritten bucket.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from wrangler_spark.lake.table import LakeTable, evolve_schema
+
+
+def lww_dedup(
+    changes: DataFrame,
+    key_cols: list[str],
+    seq_col: str = "seq",
+    salted: bool = True,
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """One row per key: the change with max seq (last writer wins).
+
+    max_by over a struct keeps op + payload together. With salted=True
+    the aggregation runs in two stages — (key, salt) then (key) — so a
+    single pathological key cannot pin one reducer.
+    """
+    payload_cols = [c for c in changes.columns if c != seq_col]
+    packed = F.struct(F.col(seq_col).alias("__seq"), *[F.col(c) for c in payload_cols])
+    if salted:
+        salt = F.pmod(F.xxhash64(F.col(seq_col)), F.lit(salt_buckets))
+        stage1 = (
+            changes.groupBy(*key_cols, salt.alias("__salt"))
+            .agg(F.max_by(packed, F.col(seq_col)).alias("__w"), F.max(seq_col).alias("__s"))
+        )
+        winner = (
+            stage1.groupBy(*key_cols)
+            .agg(F.max_by(F.col("__w"), F.col("__s")).alias("__w"))
+        )
+    else:
+        winner = changes.groupBy(*key_cols).agg(
+            F.max_by(packed, F.col(seq_col)).alias("__w")
+        )
+    out_cols = [F.col("__w").getField("__seq").alias(seq_col)] + [
+        F.col("__w").getField(c).alias(c) for c in payload_cols if c not in key_cols
+    ]
+    return winner.select(*key_cols, *out_cols)
+
+
+def merge_into(
+    table: LakeTable,
+    changes: DataFrame,
+    seq_col: str = "seq",
+    op_col: str = "op",
+    epoch: int | None = None,
+    evolve: bool = True,
+    salted: bool = True,
+) -> dict:
+    """Apply a change batch; returns lineage metrics.
+
+    changes must contain the table key columns, `seq_col`, `op_col`
+    (insert|update|delete) and payload columns. Epoch fencing: if this
+    epoch was already committed the merge is skipped (idempotent replay).
+    """
+    if epoch is not None and int(epoch) in table.committed_epochs:
+        return {"skipped": True, "epoch": epoch, "version": table.version}
+
+    keys = table.key_cols
+
+    # ---- schema evolution (Iceberg ALTER TABLE equivalent)
+    payload_fields = [f for f in changes.schema.fields if f.name not in (seq_col, op_col)]
+    incoming = type(table.schema)(payload_fields)  # StructType
+    schema = evolve_schema(table.schema, incoming) if evolve else table.schema
+
+    # ---- LWW winner per key (salted two-stage hash agg; no window sort)
+    winners = lww_dedup(changes, keys, seq_col=seq_col, salted=salted)
+
+    # ---- metrics on the change batch (one small agg job)
+    mrow = changes.agg(
+        F.count(F.lit(1)).alias("events"),
+        F.sum(F.when(F.col(op_col) == "insert", 1).otherwise(0)).alias("inserts"),
+        F.sum(F.when(F.col(op_col) == "update", 1).otherwise(0)).alias("updates"),
+        F.sum(F.when(F.col(op_col) == "delete", 1).otherwise(0)).alias("deletes"),
+        F.max(seq_col).alias("max_seq"),
+    ).first()
+
+    # ---- bucket pruning: which buckets do the changed keys live in?
+    wb = winners.withColumn("__b", table.bucket_expr(winners))
+    affected = sorted(r["__b"] for r in wb.select("__b").distinct().collect())
+
+    upserts = wb.filter(F.col(op_col) != "delete")
+    # align upserts to the (evolved) table schema
+    up_cols = []
+    have = {c.lower() for c in upserts.columns}
+    for f_ in schema.fields:
+        if f_.name.lower() in have:
+            up_cols.append(F.col(f_.name).cast(f_.dataType).alias(f_.name))
+        else:
+            up_cols.append(F.lit(None).cast(f_.dataType).alias(f_.name))
+    upserts_aligned = upserts.select(*up_cols, F.col("__b"))
+
+    base = table.read(buckets=affected)
+    base_kept = base.join(wb.select(*keys).distinct(), on=keys, how="left_anti")
+    # align base to evolved schema (adds new null columns / widens)
+    bk_cols = []
+    bhave = {c.lower() for c in base_kept.columns}
+    for f_ in schema.fields:
+        if f_.name.lower() in bhave:
+            bk_cols.append(F.col(f_.name).cast(f_.dataType).alias(f_.name))
+        else:
+            bk_cols.append(F.lit(None).cast(f_.dataType).alias(f_.name))
+    base_aligned = base_kept.select(*bk_cols).withColumn("__b", table.bucket_expr(base_kept))
+
+    merged = base_aligned.unionByName(upserts_aligned)
+
+    new_version = table.version + 1
+    bucket_files = table.write_buckets(merged, new_version)
+    # buckets that were affected but ended up empty (all keys deleted)
+    for b in affected:
+        bucket_files.setdefault(str(b), [])
+
+    props = {}
+    if epoch is not None:
+        props["last_epoch"] = int(epoch)
+    if mrow["max_seq"] is not None:
+        props["max_seq"] = int(mrow["max_seq"])
+    table.commit(bucket_files, epoch=epoch, properties=props, schema=schema)
+
+    return {
+        "skipped": False,
+        "epoch": epoch,
+        "version": table.version,
+        "events": mrow["events"],
+        "inserts": mrow["inserts"],
+        "updates": mrow["updates"],
+        "deletes": mrow["deletes"],
+        "affected_buckets": len(affected),
+    }

@@ -1,0 +1,242 @@
+"""Snapshot-versioned lake table (mini-Iceberg) on parquet.
+
+The target architecture calls for Iceberg `MERGE INTO` with snapshot
+properties for epoch fencing. No Iceberg runtime ships in this
+environment, so this module implements the same contract natively:
+
+- data files: hash-bucketed parquet (`data/b=<k>/…`), bucket =
+  pmod(xxhash64(key_cols), num_buckets). A MERGE touches only the
+  buckets containing changed keys — copy-on-write at bucket
+  granularity, which is how the cost stays bounded at 100 TB (a 1%
+  key-touch epoch rewrites ~1% of buckets, not the table).
+- metadata: `_meta/version-N.json` snapshots (schema, per-bucket file
+  lists, properties, committed epoch set) + `_meta/VERSION` pointer,
+  both updated by atomic rename. Single-writer (the replayer), so no
+  CAS is needed; snapshot isolation for readers falls out of readers
+  pinning a version file.
+- schema evolution: add-column / widen-type merges update the snapshot
+  schema (Iceberg `ALTER TABLE` equivalent, SURVEY.md §4 item 5).
+- exactly-once: `committed_epochs` in the snapshot fences replayed
+  epochs — re-merging an already-committed epoch is a no-op, so replay
+  from any checkpoint converges to the same state.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_META = "_meta"
+_DATA = "data"
+
+# numeric widening lattice for schema evolution (set-type widen →
+# ALTER TABLE ... TYPE; reference column/SetType.java:126-176)
+_WIDEN_ORDER = ["tinyint", "smallint", "int", "bigint", "float", "double"]
+
+
+def _atomic_write(path: str, text: str) -> None:
+    tmp = f"{path}.tmp.{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w") as f:
+        f.write(text)
+        f.flush()
+        os.fsync(f.fileno())
+    os.rename(tmp, path)
+
+
+def evolve_schema(old: T.StructType, new: T.StructType) -> T.StructType:
+    """Merge an incoming schema into the table schema: new columns are
+    added, numeric types widen, otherwise the old type wins."""
+    old_map = {f.name.lower(): f for f in old.fields}
+    fields = list(old.fields)
+    for nf in new.fields:
+        of = old_map.get(nf.name.lower())
+        if of is None:
+            fields.append(T.StructField(nf.name, nf.dataType, True))
+            continue
+        o_s, n_s = of.dataType.simpleString(), nf.dataType.simpleString()
+        if o_s != n_s and o_s in _WIDEN_ORDER and n_s in _WIDEN_ORDER:
+            if _WIDEN_ORDER.index(n_s) > _WIDEN_ORDER.index(o_s):
+                i = fields.index(of)
+                fields[i] = T.StructField(of.name, nf.dataType, True)
+    return T.StructType(fields)
+
+
+class LakeTable:
+    def __init__(self, spark: SparkSession, path: str, snapshot: dict):
+        self.spark = spark
+        self.path = path
+        self.snap = snapshot
+
+    # ------------------------------------------------------------ lifecycle
+    @staticmethod
+    def create(
+        spark: SparkSession,
+        path: str,
+        schema: T.StructType,
+        key_cols: list[str],
+        num_buckets: int = 64,
+        properties: dict | None = None,
+    ) -> "LakeTable":
+        os.makedirs(os.path.join(path, _META), exist_ok=True)
+        os.makedirs(os.path.join(path, _DATA), exist_ok=True)
+        snap = {
+            "version": 0,
+            "schema": json.loads(schema.json()),
+            "key_cols": key_cols,
+            "num_buckets": num_buckets,
+            "files": {},  # bucket(str) -> [relpath]
+            "properties": properties or {},
+            "committed_epochs": [],
+            "parent": None,
+        }
+        t = LakeTable(spark, path, snap)
+        t._write_snapshot()
+        return t
+
+    @staticmethod
+    def load(spark: SparkSession, path: str) -> "LakeTable":
+        vfile = os.path.join(path, _META, "VERSION")
+        with open(vfile) as f:
+            v = int(f.read().strip())
+        with open(os.path.join(path, _META, f"version-{v:06d}.json")) as f:
+            snap = json.load(f)
+        return LakeTable(spark, path, snap)
+
+    @staticmethod
+    def exists(path: str) -> bool:
+        return os.path.exists(os.path.join(path, _META, "VERSION"))
+
+    def _write_snapshot(self) -> None:
+        v = self.snap["version"]
+        _atomic_write(
+            os.path.join(self.path, _META, f"version-{v:06d}.json"),
+            json.dumps(self.snap, indent=1),
+        )
+        _atomic_write(os.path.join(self.path, _META, "VERSION"), str(v))
+
+    # ------------------------------------------------------------ accessors
+    @property
+    def schema(self) -> T.StructType:
+        return T.StructType.fromJson(self.snap["schema"])
+
+    @property
+    def key_cols(self) -> list[str]:
+        return list(self.snap["key_cols"])
+
+    @property
+    def num_buckets(self) -> int:
+        return int(self.snap["num_buckets"])
+
+    @property
+    def committed_epochs(self) -> set:
+        return set(self.snap["committed_epochs"])
+
+    @property
+    def version(self) -> int:
+        return int(self.snap["version"])
+
+    def all_files(self) -> list[str]:
+        return [
+            os.path.join(self.path, rel)
+            for rels in self.snap["files"].values()
+            for rel in rels
+        ]
+
+    def bucket_files(self, buckets: list[int]) -> list[str]:
+        out = []
+        for b in buckets:
+            out.extend(
+                os.path.join(self.path, rel) for rel in self.snap["files"].get(str(b), [])
+            )
+        return out
+
+    def bucket_expr(self, df: DataFrame) -> F.Column:
+        return F.pmod(
+            F.xxhash64(*[F.col(k).cast("string") for k in self.key_cols]),
+            F.lit(self.num_buckets),
+        ).cast("int")
+
+    # ------------------------------------------------------------ IO
+    def read(self, buckets: list[int] | None = None) -> DataFrame:
+        """Read the current snapshot (optionally bucket-pruned) with the
+        snapshot schema — missing columns (pre-evolution files) are
+        null-filled, like Iceberg's read-time schema projection."""
+        files = self.all_files() if buckets is None else self.bucket_files(buckets)
+        schema = self.schema
+        if not files:
+            return self.spark.createDataFrame([], schema)
+        df = self.spark.read.parquet(*files)
+        cols = []
+        have = {c.lower() for c in df.columns}
+        for f_ in schema.fields:
+            if f_.name.lower() in have:
+                cols.append(F.col(f_.name).cast(f_.dataType).alias(f_.name))
+            else:
+                cols.append(F.lit(None).cast(f_.dataType).alias(f_.name))
+        return df.select(*cols)
+
+    def write_buckets(self, df: DataFrame, version: int) -> dict[str, list[str]]:
+        """Write df (which must carry an int `__b` bucket column) under
+        data/v<version>/, one directory per bucket; returns bucket→relpaths."""
+        staging_rel = os.path.join(_DATA, f"v{version:06d}")
+        staging = os.path.join(self.path, staging_rel)
+        (
+            df.repartition(F.col("__b"))
+            .write.mode("overwrite")
+            .partitionBy("__b")
+            .parquet(staging)
+        )
+        out: dict[str, list[str]] = {}
+        for entry in os.listdir(staging):
+            if not entry.startswith("__b="):
+                continue
+            b = entry.split("=", 1)[1]
+            bucket_dir = os.path.join(staging, entry)
+            rels = [
+                os.path.join(staging_rel, entry, fn)
+                for fn in os.listdir(bucket_dir)
+                if fn.endswith(".parquet")
+            ]
+            out[b] = rels
+        return out
+
+    # ------------------------------------------------------------ commit
+    def commit(
+        self,
+        new_bucket_files: dict[str, list[str]],
+        epoch: int | None = None,
+        properties: dict | None = None,
+        schema: T.StructType | None = None,
+    ) -> None:
+        snap = dict(self.snap)
+        snap["parent"] = snap["version"]
+        snap["version"] = snap["version"] + 1
+        files = dict(snap["files"])
+        files.update(new_bucket_files)
+        snap["files"] = files
+        if epoch is not None:
+            snap["committed_epochs"] = sorted(set(snap["committed_epochs"]) | {int(epoch)})
+        if properties:
+            snap["properties"] = {**snap["properties"], **properties}
+        if schema is not None:
+            snap["schema"] = json.loads(schema.json())
+        self.snap = snap
+        self._write_snapshot()
+
+    # ------------------------------------------------------------ merge
+    def merge(
+        self,
+        changes: DataFrame,
+        seq_col: str = "seq",
+        op_col: str = "op",
+        epoch: int | None = None,
+        evolve: bool = True,
+    ) -> dict:
+        from wrangler_spark.lake.merge import merge_into
+
+        return merge_into(self, changes, seq_col=seq_col, op_col=op_col, epoch=epoch, evolve=evolve)

@@ -1,0 +1,170 @@
+"""Similarity search over an embedding column (array<float>).
+
+Baseline: brute-force cosine top-k — a cross join bounded by
+broadcasting the (small) query set, with the dot product as a native
+F.zip_with/F.aggregate expression (JVM-side, codegen'd; no UDF).
+
+Scale path: LSH-bucketed ANN — random-hyperplane signatures restrict
+candidates to matching buckets, turning the n×q cross join into an
+equality join on (bucket), the same banding trick as MinHash. An IVF
+variant (k-means coarse quantizer) would slot in the same join shape;
+hyperplane LSH is chosen because it needs no training pass.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a):
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine_similarity_expr(a, b):
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def brute_force_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    q_id_col: str = "q_id",
+    q_vec_col: str = "q_vec",
+) -> DataFrame:
+    """Exact top-k by cosine: broadcast the query set against the corpus,
+    rank within each query. Returns (q_id, vec_id, cos_sim, rank)."""
+    from pyspark.sql.window import Window
+
+    q = F.broadcast(queries.select(F.col(q_id_col), F.col(q_vec_col)))
+    scored = df.crossJoin(q).select(
+        F.col(q_id_col),
+        F.col(id_col),
+        cosine_similarity_expr(
+            F.col(vec_col).cast("array<double>"), F.col(q_vec_col).cast("array<double>")
+        ).alias("cos_sim"),
+    )
+    w = Window.partitionBy(q_id_col).orderBy(F.desc("cos_sim"), F.asc(id_col))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random unit hyperplanes (LCG; no numpy RNG
+    state, reproducible across executors since computed on the driver)."""
+    state = seed * 6364136223846793005 + 1442695040888963407
+    planes = []
+    for _ in range(n_planes):
+        v = []
+        for _ in range(dim):
+            state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+            # Box–Muller-free: uniform in [-1, 1) is fine for LSH planes
+            v.append((state / float(1 << 62)) - 1.0)
+        n = math.sqrt(sum(x * x for x in v)) or 1.0
+        planes.append([x / n for x in v])
+    return planes
+
+
+def lsh_signature_expr(vec_col, planes: list[list[float]]):
+    """Bit-pack sign(vec·plane) into a long — one bucket id per row."""
+    bits = []
+    for i, p in enumerate(planes):
+        plane = F.array(*[F.lit(float(x)) for x in p])
+        d = _dot(vec_col.cast("array<double>"), plane)
+        bits.append(F.when(d >= 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long")))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out
+
+
+def lsh_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    n_planes: int = 12,
+    n_tables: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    q_id_col: str = "q_id",
+    q_vec_col: str = "q_vec",
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: candidates = corpus rows sharing an LSH bucket
+    with the query in ANY of n_tables independent hash tables; exact
+    cosine re-rank on the candidate set only."""
+    from pyspark.sql.window import Window
+
+    cand = None
+    for t in range(n_tables):
+        planes = _hyperplanes(dim, n_planes, seed=seed + 97 * t)
+        sig_c = lsh_signature_expr(F.col(vec_col), planes).alias("__bucket")
+        sig_q = lsh_signature_expr(F.col(q_vec_col), planes).alias("__bucket")
+        corpus_t = df.select(F.col(id_col), F.col(vec_col), sig_c)
+        query_t = queries.select(F.col(q_id_col), F.col(q_vec_col), sig_q)
+        pairs = corpus_t.join(F.broadcast(query_t), on="__bucket").select(
+            q_id_col, id_col, vec_col, q_vec_col
+        )
+        cand = pairs if cand is None else cand.unionByName(pairs)
+    cand = cand.dropDuplicates([q_id_col, id_col])
+    scored = cand.select(
+        q_id_col,
+        id_col,
+        cosine_similarity_expr(
+            F.col(vec_col).cast("array<double>"), F.col(q_vec_col).cast("array<double>")
+        ).alias("cos_sim"),
+    )
+    w = Window.partitionBy(q_id_col).orderBy(F.desc("cos_sim"), F.asc(id_col))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    dim: int,
+    threshold: float = 0.95,
+    n_planes: int = 14,
+    n_tables: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: LSH self-join candidates,
+    exact cosine verify ≥ threshold. Returns (id_a, id_b, cos_sim)."""
+    cand = None
+    for t in range(n_tables):
+        planes = _hyperplanes(dim, n_planes, seed=seed + 31 * t)
+        sig = lsh_signature_expr(F.col(vec_col), planes).alias("__bucket")
+        b_t = df.select(F.col(id_col), F.col(vec_col), sig)
+        a, b = b_t.alias("a"), b_t.alias("b")
+        p = a.join(
+            b,
+            (F.col("a.__bucket") == F.col("b.__bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        ).select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col(f"a.{vec_col}").alias("va"),
+            F.col(f"b.{vec_col}").alias("vb"),
+        )
+        cand = p if cand is None else cand.unionByName(p)
+    cand = cand.dropDuplicates(["id_a", "id_b"])
+    return (
+        cand.withColumn(
+            "cos_sim",
+            cosine_similarity_expr(F.col("va").cast("array<double>"), F.col("vb").cast("array<double>")),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+        .select("id_a", "id_b", "cos_sim")
+    )

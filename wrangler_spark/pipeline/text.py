@@ -1,0 +1,97 @@
+"""Text analysis for training-data curation.
+
+language-ID (stopword-hit heuristic), quality scoring (length / punct /
+stopword ratios), token counting (whitespace + BPE-ish regex pieces),
+and rolling-hash document fingerprinting — all native Column
+expressions (regexp + array math), no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# tiny high-frequency stopword sets per language — enough signal for a
+# coarse n-gram/stopword language heuristic (not a trained model)
+_STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "it", "for", "was"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "mit", "ein", "zu", "den"],
+    "fr": ["le", "la", "les", "et", "est", "pas", "pour", "que", "une", "dans"],
+    "es": ["el", "la", "los", "que", "de", "no", "es", "por", "una", "para"],
+}
+
+
+def _tokens(col: Column) -> Column:
+    return F.split(F.lower(F.trim(F.regexp_replace(col, r"[^\w\s']", " "))), r"\s+")
+
+
+def lang_id_expr(text_col: Column) -> Column:
+    """Best-guess language code by stopword hit-rate; 'unknown' when no
+    language scores."""
+    toks = _tokens(text_col)
+    scores = []
+    for lang, words in _STOPWORDS.items():
+        hits = F.size(F.array_intersect(F.array_distinct(toks), F.array(*[F.lit(w) for w in words])))
+        scores.append(F.struct(hits.alias("hits"), F.lit(lang).alias("lang")))
+    best = F.array_max(F.array(*scores))
+    return F.when(best.getField("hits") > 0, best.getField("lang")).otherwise(F.lit("unknown"))
+
+
+def token_count_expr(text_col: Column, mode: str = "whitespace") -> Column:
+    """Token count: 'whitespace' or 'bpe' (BPE-ish regex pieces: word
+    chunks ≤4 chars count 1, longer words count ceil(len/4); numbers and
+    punctuation count per char — a deterministic proxy for a real BPE)."""
+    if mode == "whitespace":
+        s = F.trim(text_col)
+        return F.when(F.length(s) == 0, 0).otherwise(F.size(F.split(s, r"\s+")))
+    pieces = F.split(F.coalesce(text_col, F.lit("")), r"\s+")
+    per_word = F.transform(
+        pieces,
+        lambda w: F.when(F.length(w) == 0, 0).otherwise(F.ceil(F.length(w) / 4.0).cast("int")),
+    )
+    return F.aggregate(per_word, F.lit(0), lambda acc, v: acc + v)
+
+
+def quality_score_expr(text_col: Column) -> Column:
+    """Heuristic quality in [0,1]: length band + alpha ratio + stopword
+    presence + punctuation sanity (mirrors common pretraining filters)."""
+    s = F.coalesce(text_col, F.lit(""))
+    n = F.length(s)
+    n_alpha = F.length(F.regexp_replace(s, r"[^A-Za-zÀ-ÿ]", ""))
+    n_punct = F.length(F.regexp_replace(s, r"[^.,;:!?]", ""))
+    n_words = F.when(F.length(F.trim(s)) == 0, 0).otherwise(F.size(F.split(F.trim(s), r"\s+")))
+    stop_hits = F.size(
+        F.array_intersect(
+            F.array_distinct(_tokens(s)), F.array(*[F.lit(w) for w in _STOPWORDS["en"]])
+        )
+    )
+    len_score = F.when(n.between(50, 100_000), 1.0).when(n.between(20, 49), 0.5).otherwise(0.0)
+    alpha_score = F.when(n > 0, n_alpha / n).otherwise(0.0)
+    punct_score = F.when(n_words > 0, F.least(F.lit(1.0), 5.0 * n_punct / n_words)).otherwise(0.0)
+    stop_score = F.least(F.lit(1.0), stop_hits / 3.0)
+    return (0.3 * len_score + 0.3 * alpha_score + 0.2 * stop_score + 0.2 * punct_score).cast(
+        "double"
+    )
+
+
+def fingerprint_expr(text_col: Column, window: int = 8) -> Column:
+    """Rolling-hash document fingerprint: min xxhash64 over character
+    windows (winnowing-lite) — stable under small appends, unlike a
+    whole-document hash."""
+    s = F.coalesce(text_col, F.lit(""))
+    n = F.length(s)
+    idx = F.sequence(F.lit(1), F.greatest(n - window + 1, F.lit(1)))
+    hashes = F.transform(idx, lambda i: F.xxhash64(F.substring(s, i, window)))
+    return F.array_min(hashes)
+
+
+def analyze(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach lang_guess / n_tokens / n_tokens_bpe / quality / fingerprint."""
+    c = F.col(text_col)
+    return (
+        df.withColumn("lang_guess", lang_id_expr(c))
+        .withColumn("n_tokens", token_count_expr(c))
+        .withColumn("n_tokens_bpe", token_count_expr(c, "bpe"))
+        .withColumn("quality", quality_score_expr(c))
+        .withColumn("fingerprint", fingerprint_expr(c))
+    )

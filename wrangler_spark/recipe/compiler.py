@@ -1,0 +1,64 @@
+"""Recipe → DataFrame-transform compiler.
+
+The reference interprets directives one row at a time
+(executor/RecipePipelineExecutor.java:105-171). Here the whole recipe
+compiles into a chain of lazy DataFrame transforms — Catalyst collapses
+them into a single whole-stage-codegen'd narrow stage, giving for free
+what the reference hand-rolls (SURVEY.md §4): filter fusion, expression
+compile-once, column pruning, and pushdown into the scan.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+
+from wrangler_spark.recipe import registry
+from wrangler_spark.recipe.parser import DirectiveCall, parse_recipe
+from wrangler_spark.recipe.registry import RecipeContext, Transform
+
+# import populates the registry
+import wrangler_spark.directives  # noqa: F401  (registration side-effect)
+
+
+@dataclass
+class CompiledRecipe:
+    calls: list[DirectiveCall]
+    transforms: list[Transform]
+
+    def apply(
+        self, df: DataFrame, ctx: RecipeContext | None = None
+    ) -> tuple[DataFrame, DataFrame | None]:
+        """Run the compiled recipe over a DataFrame.
+
+        Returns (ok, errors) — errors is None when no directive routed
+        rows to the error channel (mirrors TestingRig.executeWithErrors,
+        reference TestingRig.java:102-118).
+        """
+        ctx = ctx or RecipeContext(spark=df.sparkSession)
+        ctx.spark = ctx.spark or df.sparkSession
+        for i, (call, tr) in enumerate(zip(self.calls, self.transforms)):
+            ctx.step = i
+            ctx.current_name = call.name
+            df = tr(df, ctx)
+        return df, ctx.errors_df()
+
+    @property
+    def names(self) -> list[str]:
+        return [c.name for c in self.calls]
+
+
+def compile_recipe(recipe: str | list[str]) -> CompiledRecipe:
+    calls = parse_recipe(recipe)
+    transforms = [registry.lookup(c.name)(c) for c in calls]
+    return CompiledRecipe(calls=calls, transforms=transforms)
+
+
+def execute(
+    spark, recipe: str | list[str], df: DataFrame,
+    lookups: dict[str, DataFrame] | None = None,
+) -> tuple[DataFrame, DataFrame | None]:
+    """One-shot helper mirroring the reference's TestingRig.execute."""
+    ctx = RecipeContext(spark=spark, lookups=lookups or {})
+    return compile_recipe(recipe).apply(df, ctx)

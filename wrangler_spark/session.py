@@ -1,0 +1,59 @@
+"""SparkSession factory tuned for the engine.
+
+Local mode is only the test harness; every config here is chosen to be
+correct on a multi-executor cluster (AQE, skew-join splitting, Arrow
+for the few pandas-UDF fallbacks).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    parallelism: int | None = None,
+    app_name: str = "wrangler-spark",
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession.
+
+    parallelism: local core count (defaults to $SPARK_GRAFT_CPUS or '*').
+    """
+    cores = parallelism or os.environ.get("SPARK_GRAFT_CPUS") or "*"
+    master = os.environ.get("SPARK_MASTER", f"local[{cores}]")
+    b = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        # AQE: runtime coalescing + skew-join splitting — the hot-repo skew
+        # answer at 100 TB alongside explicit salting in lake/merge.py.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Arrow for pandas UDF fallbacks (never per-row Python).
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or _default_shuffle()))
+        .config("spark.sql.session.timeZone", "UTC")
+        # Lenient casts/element_at (null on failure) match the reference's
+        # RecordConvertor any-to-declared-type coercion (SURVEY.md §1.3);
+        # Spark 4 flips ANSI on by default, so flip it back.
+        .config("spark.sql.ansi.enabled", "false")
+        # Case-insensitive column resolution matches the reference's
+        # Row.find() equalsIgnoreCase semantics (SURVEY.md §1.1).
+        .config("spark.sql.caseSensitive", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    return b.getOrCreate()
+
+
+def _default_shuffle() -> int:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS")
+    try:
+        return max(int(cpus) if cpus else (os.cpu_count() or 8), 8)
+    except ValueError:
+        return 32
