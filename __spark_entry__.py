@@ -1,10 +1,13 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)      — flagship query (CDC LWW + recipe plane) at sf0.001.
+queries()         — one entry per implemented operator (SURVEY.md §2 +
+                    training-data pipeline ops), (spark, sf_dir) -> DataFrame.
+oracle_sql()      — equivalent DuckDB SQL per query (omitted for ops
+                    that aren't SQL-expressible → rows-only check).
+
+Column names/aliases match between Spark and SQL exactly (driver sorts
+columns by name before value-hashing).
 """
 
 from __future__ import annotations
@@ -12,27 +15,547 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+from wrangler_spark import execute
+from wrangler_spark.recipe.compiler import compile_recipe
+from wrangler_spark.recipe.registry import RecipeContext
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _run(spark, df, recipe, lookups=None) -> DataFrame:
+    ok, _ = execute(spark, recipe, df, lookups=lookups)
+    return ok
+
+
+# --------------------------------------------------------------- flagship
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: treat the events table as a CDC stream — recipe the
+    payload (parse the JSON props, mask the numeric value) then LWW
+    last-event-per-user via the engine's salted max_by dedup."""
+    sf_dir = "/root/testdata/sf0.001"
+    events = _t(spark, sf_dir, "events")
+    ok = _run(spark, events, [
+        "parse-as-json :props 1",
+        "set-column :value math:floor(value * 100) / 100.0",
+        "filter-row exp:{event_type == 'error'} true",
+    ])
+    from wrangler_spark.lake.merge import lww_dedup
 
+    state = lww_dedup(ok, ["user_id"], seq_col="event_id")
+    return state.select("user_id", "event_type", "value", "props_k").orderBy("user_id")
+
+
+# --------------------------------------------------------------- queries
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    # ---- projections / column ops (SURVEY §2.3)
+    def q_keep(spark, d):
+        return _run(spark, _t(spark, d, "documents"), ["keep :doc_id,:lang"])
+    q["keep"] = q_keep
 
+    def q_drop(spark, d):
+        return _run(spark, _t(spark, d, "documents"), ["drop :text,:n_chars"])
+    q["drop"] = q_drop
+
+    def q_rename_copy(spark, d):
+        return _run(
+            spark, _t(spark, d, "documents"),
+            ["copy :lang :lang2", "rename :lang2 :language", "keep :doc_id,:language"],
+        )
+    q["rename_copy"] = q_rename_copy
+
+    def q_merge_swap(spark, d):
+        return _run(
+            spark, _t(spark, d, "documents"),
+            ["merge :lang :source :tag '-'", "swap :lang :source", "keep :doc_id,:tag,:lang,:source"],
+        )
+    q["merge_swap"] = q_merge_swap
+
+    def q_set_type(spark, d):
+        return _run(
+            spark, _t(spark, d, "lineitem"),
+            ["set-type :l_quantity int", "keep :l_orderkey,:l_linenumber,:l_quantity"],
+        )
+    q["set_type"] = q_set_type
+
+    def q_set_column_expr(spark, d):
+        return _run(
+            spark, _t(spark, d, "lineitem"),
+            [
+                "set-column :revenue math:floor(l_extendedprice * (1 - l_discount) * 100) / 100.0",
+                "keep :l_orderkey,:l_linenumber,:revenue",
+            ],
+        )
+    q["set_column_expr"] = q_set_column_expr
+
+    def q_split_to_columns(spark, d):
+        return _run(
+            spark, _t(spark, d, "documents"),
+            [
+                "set-column :kv concat(lang, ':', source)",
+                "split-to-columns :kv ':'",
+                "keep :doc_id,:kv_1,:kv_2",
+            ],
+        )
+    q["split_to_columns"] = q_split_to_columns
+
+    # ---- row ops / filters (SURVEY §2.4)
+    def q_filter_row(spark, d):
+        return _run(
+            spark, _t(spark, d, "lineitem"),
+            ["filter-row exp:{l_quantity <= 30} true", "keep :l_orderkey,:l_linenumber,:l_quantity"],
+        )
+    q["filter_row"] = q_filter_row
+
+    def q_filter_regex(spark, d):
+        return _run(
+            spark, _t(spark, d, "documents"),
+            ["filter-by-regex if-not-matched :lang 'en'", "keep :doc_id,:lang"],
+        )
+    q["filter_regex"] = q_filter_regex
+
+    def q_split_to_rows(spark, d):
+        return _run(
+            spark, _t(spark, d, "documents"),
+            ["keep :doc_id,:text", "cut-character :text :text40 '1-40'", "drop :text",
+             "split-to-rows :text40 ' '"],
+        )
+    q["split_to_rows"] = q_split_to_rows
+
+    def q_send_to_error(spark, d):
+        # error channel: rows routed out of the ok stream
+        return _run(
+            spark, _t(spark, d, "lineitem"),
+            ["send-to-error exp:{l_discount > 0.05}", "keep :l_orderkey,:l_linenumber,:l_discount"],
+        )
+    q["send_to_error"] = q_send_to_error
+
+    # ---- parsers (SURVEY §2.2)
+    def q_parse_csv(spark, d):
+        return _run(
+            spark, _t(spark, d, "lineitem"),
+            [
+                "set-column :line concat(toString(l_orderkey), ',', l_returnflag, ',', toString(l_quantity))",
+                "keep :line",
+                "parse-as-csv :line ',' false",
+                "keep :line_1,:line_2,:line_3",
+            ],
+        )
+    q["parse_csv"] = q_parse_csv
+
+    def q_parse_json(spark, d):
+        return _run(
+            spark, _t(spark, d, "events"),
+            ["parse-as-json :props 1", "keep :event_id,:props_k"],
+        )
+    q["parse_json"] = q_parse_json
+
+    def q_json_path(spark, d):
+        return _run(
+            spark, _t(spark, d, "events"),
+            ["json-path :props :k '$.k'", "keep :event_id,:k"],
+        )
+    q["json_path"] = q_json_path
+
+    def q_fixed_length(spark, d):
+        return _run(
+            spark, _t(spark, d, "documents"),
+            ["cut-character :text :head '1-12'", "keep :doc_id,:head",
+             "parse-as-fixed-length :head 4,4,4", "drop :head"],
+        )
+    q["fixed_length"] = q_fixed_length
+
+    def q_extract_regex(spark, d):
+        return _run(
+            spark, _t(spark, d, "documents"),
+            [r"extract-regex-groups :text '^(\w+) (\w+)'", "keep :doc_id,:text_1,:text_2"],
+        )
+    q["extract_regex"] = q_extract_regex
+
+    # ---- transforms (SURVEY §2.7)
+    def q_uppercase_trim(spark, d):
+        return _run(
+            spark, _t(spark, d, "documents"),
+            ["set-column :padded concat('  ', lang, ' ')", "trim :padded",
+             "uppercase :padded", "keep :doc_id,:padded"],
+        )
+    q["uppercase_trim"] = q_uppercase_trim
+
+    def q_mask_number(spark, d):
+        return _run(
+            spark, _t(spark, d, "documents"),
+            ["set-column :ssn padAtStart(toString(doc_id), 9, '0')",
+             "mask-number :ssn xxx-xx-####", "keep :doc_id,:ssn"],
+        )
+    q["mask_number"] = q_mask_number
+
+    def q_find_replace(spark, d):
+        return _run(
+            spark, _t(spark, d, "documents"),
+            ["find-and-replace :text 's/table/TABLE/g'", "keep :doc_id,:text"],
+        )
+    q["find_replace"] = q_find_replace
+
+    def q_split_email(spark, d):
+        return _run(
+            spark, _t(spark, d, "documents"),
+            ["set-column :email concat(source, '@example.com')", "split-email :email",
+             "keep :doc_id,:email_account,:email_domain"],
+        )
+    q["split_email"] = q_split_email
+
+    def q_hash_sha256(spark, d):
+        return _run(
+            spark, _t(spark, d, "documents"),
+            ["hash :text SHA-256", "keep :doc_id,:text"],
+        )
+    q["hash_sha256"] = q_hash_sha256
+
+    def q_encode_base64(spark, d):
+        return _run(
+            spark, _t(spark, d, "documents"),
+            ["encode base64 :lang", "keep :doc_id,:lang_encode_base64"],
+        )
+    q["encode_base64"] = q_encode_base64
+
+    def q_fill_null(spark, d):
+        return _run(
+            spark, _t(spark, d, "documents"),
+            ["fill-null-or-empty :lang 'unknown'", "keep :doc_id,:lang"],
+        )
+    q["fill_null"] = q_fill_null
+
+    def q_quantize(spark, d):
+        return _run(
+            spark, _t(spark, d, "lineitem"),
+            ["quantize :l_quantity :qband '0:10=low,10.5:25=mid,25.5:100=high'",
+             "keep :l_orderkey,:l_linenumber,:qband"],
+        )
+    q["quantize"] = q_quantize
+
+    def q_cut_character(spark, d):
+        return _run(
+            spark, _t(spark, d, "documents"),
+            ["cut-character :text :prefix '1-10'", "keep :doc_id,:prefix"],
+        )
+    q["cut_character"] = q_cut_character
+
+    def q_text_distance(spark, d):
+        return _run(
+            spark, _t(spark, d, "documents"),
+            ["cut-character :text :a '1-10'", "cut-character :text :b '3-12'",
+             "text-distance levenshtein :a :b :lev", "set-type :lev int",
+             "keep :doc_id,:lev"],
+        )
+    q["text_distance"] = q_text_distance
+
+    def q_write_json_object(spark, d):
+        return _run(
+            spark, _t(spark, d, "documents"),
+            ["write-as-json-object :j :doc_id,:lang", "keep :doc_id,:j"],
+        )
+    q["write_json_object"] = q_write_json_object
+
+    # ---- date/datetime (SURVEY §2.9)
+    def q_format_date(spark, d):
+        return _run(
+            spark, _t(spark, d, "orders"),
+            ["format-date :o_orderdate 'yyyy-MM-dd'", "keep :o_orderkey,:o_orderdate"],
+        )
+    q["format_date"] = q_format_date
+
+    def q_parse_timestamp(spark, d):
+        return _run(
+            spark, _t(spark, d, "events"),
+            ["keep :event_id", "set-column :t (event_id + 1600000000) * 1",
+             "parse-timestamp :t seconds", "format-date :t 'yyyy-MM-dd HH:mm:ss'"],
+        )
+    q["parse_timestamp"] = q_parse_timestamp
+
+    def q_diff_date(spark, d):
+        return _run(
+            spark, _t(spark, d, "orders"),
+            ["copy :o_orderdate :od2 true", "diff-date :o_orderdate :od2 :d",
+             "keep :o_orderkey,:d"],
+        )
+    q["diff_date"] = q_diff_date
+
+    # ---- lookups (SURVEY §2.5) — broadcast left join
+    def q_table_lookup(spark, d):
+        cust = _t(spark, d, "customer")
+        nation = _t(spark, d, "nation").select("n_nationkey", "n_name")
+        rec = compile_recipe(["table-lookup :c_nationkey nations", "keep :c_custkey,:c_nationkey_lookup"])
+        ok, _ = rec.apply(cust, RecipeContext(spark=spark, lookups={"nations": nation}))
+        return ok
+    q["table_lookup"] = q_table_lookup
+
+    # ---- CDC core (north rule)
+    def q_cdc_lww(spark, d):
+        from wrangler_spark.lake.merge import lww_dedup
+
+        ev = _t(spark, d, "events")
+        state = lww_dedup(ev, ["user_id"], seq_col="event_id")
+        return state.select("user_id", "event_type", "value")
+    q["cdc_lww"] = q_cdc_lww
+
+    def q_cdc_epoch_stats(spark, d):
+        ev = _t(spark, d, "events")
+        return (
+            ev.groupBy((F.col("event_id") / 100).cast("long").alias("epoch"))
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.max("event_id").alias("hwm"),
+                F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0)).alias("n_errors"),
+            )
+        )
+    q["cdc_epoch_stats"] = q_cdc_epoch_stats
+
+    def q_cdc_replay(spark, d):
+        """End-to-end replay of a deterministic generated stream into a
+        lake table (tmp), returning per-key content sha256 — not SQL-
+        expressible (stateful multi-commit), driver does rows-only."""
+        import tempfile
+
+        from wrangler_spark.cdc import Replayer, generate_events, repo_files_schema
+        from wrangler_spark.cdc.replay import final_state_sha256
+        from wrangler_spark.lake import LakeTable
+
+        base = tempfile.mkdtemp(prefix="wr_replay_")
+        events = generate_events(spark, 2000, n_repos=8, n_paths_per_repo=15, epoch_size=500)
+        table = LakeTable.create(
+            spark, f"{base}/tbl", repo_files_schema(), ["repo", "path"], num_buckets=8
+        )
+        Replayer(table, f"{base}/ckpt").replay(events)
+        return final_state_sha256(table.read())
+    q["cdc_replay"] = q_cdc_replay
+
+    # ---- training-data pipeline ops
+    def q_dedup_exact(spark, d):
+        from wrangler_spark.pipeline.dedup import exact_dup_groups
+
+        docs = _t(spark, d, "documents").withColumn("text", F.substring("text", 1, 30))
+        return exact_dup_groups(docs)
+    q["dedup_exact"] = q_dedup_exact
+
+    def q_dedup_minhash(spark, d):
+        from wrangler_spark.pipeline.dedup import minhash_dedup
+
+        docs = _t(spark, d, "documents")
+        return minhash_dedup(docs, num_hashes=32, bands=8).select("doc_id")
+    q["dedup_minhash"] = q_dedup_minhash
+
+    def q_simhash(spark, d):
+        from wrangler_spark.pipeline.dedup import simhash
+
+        return simhash(_t(spark, d, "documents"))
+    q["simhash"] = q_simhash
+
+    def q_ngram_jaccard(spark, d):
+        from wrangler_spark.pipeline.dedup import ngram_jaccard_pairs
+
+        docs = _t(spark, d, "documents").withColumn("text", F.substring("text", 1, 60))
+        pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.5)
+        return pairs.select("id_a", "id_b")
+    q["ngram_jaccard"] = q_ngram_jaccard
+
+    def q_ann_topk(spark, d):
+        from wrangler_spark.pipeline.similarity import brute_force_topk
+
+        emb = _t(spark, d, "embeddings")
+        queries_df = emb.filter(F.col("vec_id") < 3).select(
+            F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+        )
+        top = brute_force_topk(emb, queries_df, k=5)
+        return top.select("q_id", "vec_id", "rank")
+    q["ann_topk"] = q_ann_topk
+
+    def q_ann_lsh(spark, d):
+        from wrangler_spark.pipeline.similarity import lsh_topk
+
+        emb = _t(spark, d, "embeddings")
+        queries_df = emb.filter(F.col("vec_id") < 3).select(
+            F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+        )
+        return lsh_topk(emb, queries_df, dim=64, k=5).select("q_id", "vec_id", "rank")
+    q["ann_lsh"] = q_ann_lsh
+
+    def q_text_stats(spark, d):
+        from wrangler_spark.pipeline.text import token_count_expr
+
+        docs = _t(spark, d, "documents")
+        return docs.select(
+            "doc_id",
+            token_count_expr(F.col("text")).alias("n_tokens"),
+            F.length("text").alias("len_chars"),
+        )
+    q["text_stats"] = q_text_stats
+
+    def q_lang_id(spark, d):
+        from wrangler_spark.pipeline.text import lang_id_expr
+
+        docs = _t(spark, d, "documents")
+        return docs.select("doc_id", lang_id_expr(F.col("text")).alias("lang_guess"))
+    q["lang_id"] = q_lang_id
+
+    def q_quality(spark, d):
+        from wrangler_spark.pipeline.text import quality_score_expr
+
+        docs = _t(spark, d, "documents")
+        return docs.select(
+            "doc_id", F.round(quality_score_expr(F.col("text")), 4).alias("quality")
+        )
+    q["quality"] = q_quality
+
+    def q_fingerprint(spark, d):
+        from wrangler_spark.pipeline.text import fingerprint_expr
+
+        docs = _t(spark, d, "documents")
+        return docs.select("doc_id", fingerprint_expr(F.col("text")).alias("fingerprint"))
+    q["fingerprint"] = q_fingerprint
+
+    def q_multimodal(spark, d):
+        from wrangler_spark.pipeline.multimodal import extract_features, synthesize_media
+
+        media = synthesize_media(spark, 200)
+        return extract_features(media, fake=True).select(
+            "media_id", "kind", "width", "height", "n_frames"
+        )
+    q["multimodal_features"] = q_multimodal
+
+    return q
+
+
+# --------------------------------------------------------------- oracles
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "keep": "SELECT doc_id, lang FROM documents",
+        "drop": "SELECT doc_id, lang, source FROM documents",
+        "rename_copy": "SELECT doc_id, lang AS language FROM documents",
+        "merge_swap": (
+            "SELECT doc_id, lang || '-' || source AS tag, source AS lang, lang AS source "
+            "FROM documents"
+        ),
+        "set_type": (
+            "SELECT l_orderkey, l_linenumber, CAST(floor(l_quantity) AS INTEGER) AS l_quantity "
+            "FROM lineitem"
+        ),
+        "set_column_expr": (
+            "SELECT l_orderkey, l_linenumber, "
+            "floor(l_extendedprice * (1 - l_discount) * 100) / 100.0 AS revenue FROM lineitem"
+        ),
+        "split_to_columns": (
+            "SELECT doc_id, lang AS kv_1, source AS kv_2 FROM documents"
+        ),
+        "filter_row": (
+            "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem WHERE l_quantity > 30"
+        ),
+        "filter_regex": "SELECT doc_id, lang FROM documents WHERE lang = 'en'",
+        "split_to_rows": (
+            "SELECT doc_id, unnest(string_split(substr(text, 1, 40), ' ')) AS text40 "
+            "FROM documents"
+        ),
+        "send_to_error": (
+            "SELECT l_orderkey, l_linenumber, l_discount FROM lineitem WHERE NOT l_discount > 0.05"
+        ),
+        "parse_csv": (
+            "SELECT CAST(l_orderkey AS VARCHAR) AS line_1, l_returnflag AS line_2, "
+            "CAST(l_quantity AS VARCHAR) AS line_3 FROM lineitem"
+        ),
+        "parse_json": (
+            "SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS props_k FROM events"
+        ),
+        "json_path": "SELECT event_id, json_extract_string(props, '$.k') AS k FROM events",
+        "fixed_length": (
+            "SELECT doc_id, substr(substr(text,1,12), 1, 4) AS head_1, "
+            "substr(substr(text,1,12), 5, 4) AS head_2, substr(substr(text,1,12), 9, 4) AS head_3 "
+            "FROM documents"
+        ),
+        "extract_regex": (
+            r"SELECT doc_id, regexp_extract(text, '^(\w+) (\w+)', 1) AS text_1, "
+            r"regexp_extract(text, '^(\w+) (\w+)', 2) AS text_2 FROM documents"
+        ),
+        "uppercase_trim": "SELECT doc_id, upper(trim('  ' || lang || ' ')) AS padded FROM documents",
+        "mask_number": (
+            "SELECT doc_id, 'xxx-xx-' || substr(lpad(CAST(doc_id AS VARCHAR), 9, '0'), 6, 4) AS ssn "
+            "FROM documents"
+        ),
+        "find_replace": (
+            "SELECT doc_id, regexp_replace(text, 'table', 'TABLE', 'g') AS text FROM documents"
+        ),
+        "split_email": (
+            "SELECT doc_id, source AS email_account, 'example.com' AS email_domain FROM documents"
+        ),
+        "hash_sha256": "SELECT doc_id, sha256(text) AS text FROM documents",
+        "encode_base64": (
+            "SELECT doc_id, to_base64(CAST(lang AS BLOB)) AS lang_encode_base64 FROM documents"
+        ),
+        "fill_null": (
+            "SELECT doc_id, CASE WHEN lang IS NULL OR lang = '' THEN 'unknown' ELSE lang END "
+            "AS lang FROM documents"
+        ),
+        "quantize": (
+            "SELECT l_orderkey, l_linenumber, CASE "
+            "WHEN l_quantity BETWEEN 0 AND 10 THEN 'low' "
+            "WHEN l_quantity BETWEEN 10.5 AND 25 THEN 'mid' "
+            "WHEN l_quantity BETWEEN 25.5 AND 100 THEN 'high' END AS qband FROM lineitem"
+        ),
+        "cut_character": "SELECT doc_id, substr(text, 1, 10) AS prefix FROM documents",
+        "text_distance": (
+            "SELECT doc_id, levenshtein(substr(text,1,10), substr(text,3,10)) AS lev FROM documents"
+        ),
+        "write_json_object": (
+            "SELECT doc_id, '{\"doc_id\":' || doc_id || ',\"lang\":\"' || lang || '\"}' AS j "
+            "FROM documents"
+        ),
+        "format_date": (
+            "SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate FROM orders"
+        ),
+        "parse_timestamp": (
+            "SELECT event_id, strftime(make_timestamp((event_id + 1600000000) * 1000000), "
+            "'%Y-%m-%d %H:%M:%S') AS t FROM events"
+        ),
+        "diff_date": "SELECT o_orderkey, CAST(0 AS BIGINT) AS d FROM orders",
+        "table_lookup": (
+            "SELECT c_custkey, n_name AS c_nationkey_lookup FROM customer "
+            "LEFT JOIN nation ON CAST(c_nationkey AS VARCHAR) = CAST(n_nationkey AS VARCHAR)"
+        ),
+        "cdc_lww": (
+            "SELECT user_id, event_type, value FROM events "
+            "QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) = 1"
+        ),
+        "cdc_epoch_stats": (
+            "SELECT CAST(event_id // 100 AS BIGINT) AS epoch, count(*) AS n_events, "
+            "max(event_id) AS hwm, "
+            "CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_errors "
+            "FROM events GROUP BY 1"
+        ),
+        "dedup_exact": (
+            "SELECT sha256(substr(text, 1, 30)) AS content_hash, count(*) AS n_dups, "
+            "min(doc_id) AS min_id FROM documents GROUP BY 1 HAVING count(*) > 1"
+        ),
+        "ann_topk": (
+            "SELECT q.vec_id AS q_id, e.vec_id, CAST(row_number() OVER ("
+            "PARTITION BY q.vec_id ORDER BY list_cosine_similarity(e.embedding, q.embedding) DESC, "
+            "e.vec_id) AS INTEGER) AS rank "
+            "FROM embeddings e CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 3) q "
+            "QUALIFY rank <= 5"
+        ),
+        "text_stats": (
+            "SELECT doc_id, CAST(CASE WHEN length(trim(text)) = 0 THEN 0 "
+            "ELSE len(string_split_regex(trim(text), '\\s+')) END AS INTEGER) AS n_tokens, "
+            "CAST(length(text) AS INTEGER) AS len_chars FROM documents"
+        ),
+        # lang_id / quality / fingerprint / dedup_minhash / simhash /
+        # ngram_jaccard / ann_lsh / cdc_replay / multimodal_features: not
+        # SQL-expressible (heuristic scoring, LSH banding, xxhash64
+        # rolling fingerprints, stateful replay, pandas UDFs) →
+        # rows-only checks.
+    }

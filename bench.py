@@ -1,0 +1,159 @@
+#!/usr/bin/env python
+"""Benchmark harness.
+
+Runs headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS], plus the north-rule
+CDC scaling measurement: the same replay job at N=8 and 4N=32 cores on
+identical input, reporting throughput at both and the scaling
+efficiency (sandbox proxy for N→4N executors, BASELINE.md).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <sec>, "unit": "sec", "queries": {...},
+   "sf": ..., "cdc": {events_per_sec_n8, events_per_sec_n32,
+   scaling_efficiency, ...}}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+CDC_EVENTS = int(os.environ.get("BENCH_CDC_EVENTS", "2000000"))
+CDC_EPOCHS = int(os.environ.get("BENCH_CDC_EPOCHS", "4"))
+
+# the reference's published perf recipe shape (performance.md:24-38),
+# adapted to the repo-files payload: parse/mask/filter/hash — the
+# transform plane the throughput baseline measures
+BENCH_RECIPE = [
+    r"find-and-replace :content 's/ssn: \d{3}-\d{2}-\d{4}/ssn: MASKED/g'",
+    "set-column :content_sha string:substring(content, 0, 64)",
+    "hash :content_sha SHA-256",
+    "set-column :n_lines string:length(content)",
+    "filter-row exp:{content == null && op != 'delete'} true",
+]
+
+
+def _spark(cpus: int, shuffle: int):
+    from wrangler_spark.session import get_spark
+
+    return get_spark(
+        parallelism=cpus,
+        app_name=f"bench-{cpus}",
+        shuffle_partitions=shuffle,
+    )
+
+
+def run_queries(spark) -> dict[str, float]:
+    """Headline operator queries at SF_DIR; each timed to completion."""
+    import __spark_entry__ as em
+
+    picks = [
+        "set_column_expr",   # expression plane over lineitem
+        "mask_number",       # compile-time column state machine
+        "parse_json",        # from_json over events
+        "hash_sha256",       # sha256 invariant
+        "cdc_lww",           # salted max_by dedup
+        "cdc_epoch_stats",   # aggregation plane
+        "dedup_exact",       # hash groupBy dedup
+        "dedup_minhash",     # minhash+LSH banding
+        "ann_topk",          # brute-force cosine top-k
+        "text_stats",        # token counting
+        "lang_id",           # stopword language heuristic
+        "table_lookup",      # broadcast join
+    ]
+    qs = em.queries()
+    out: dict[str, float] = {}
+    for name in picks:
+        t0 = time.time()
+        df = qs[name](spark, SF_DIR)
+        df.write.format("noop").mode("overwrite").save()
+        out[name] = round(time.time() - t0, 3)
+    return out
+
+
+def run_cdc_replay(spark, cpus: int) -> dict:
+    """Generate + replay CDC_EVENTS change events through the recipe
+    plane into a fresh lake table; returns throughput metrics."""
+    from wrangler_spark.cdc import Replayer, generate_events, repo_files_schema
+    from wrangler_spark.lake import LakeTable
+
+    base = tempfile.mkdtemp(prefix=f"bench_cdc_{cpus}_")
+    try:
+        events = generate_events(
+            spark,
+            CDC_EVENTS,
+            n_repos=200,
+            n_paths_per_repo=500,
+            epoch_size=CDC_EVENTS // CDC_EPOCHS,
+            parallelism=cpus * 4,
+        )
+        table = LakeTable.create(
+            spark,
+            os.path.join(base, "tbl"),
+            repo_files_schema(),
+            ["repo", "path"],
+            num_buckets=max(cpus * 2, 32),
+        )
+        rp = Replayer(table, os.path.join(base, "ckpt"), recipe=BENCH_RECIPE)
+        t0 = time.time()
+        summary = rp.replay(events)
+        wall = time.time() - t0
+        return {
+            "events": summary["events"],
+            "sec": round(wall, 3),
+            "events_per_sec": round(summary["events"] / wall, 1),
+        }
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def main() -> None:
+    t_all = time.time()
+
+    # headline queries + 4N replay on the primary session
+    spark = _spark(CPUS, shuffle=CPUS * 2)
+    queries = run_queries(spark)
+    cdc_4n = run_cdc_replay(spark, CPUS)
+    spark.stop()
+
+    # N-core run (N = CPUS/4) on identical input for scaling efficiency
+    n_small = max(CPUS // 4, 2)
+    spark_small = _spark(n_small, shuffle=n_small * 2)
+    cdc_n = run_cdc_replay(spark_small, n_small)
+    spark_small.stop()
+
+    speedup = cdc_4n["events_per_sec"] / cdc_n["events_per_sec"]
+    efficiency = round(speedup / (CPUS / n_small), 3)
+
+    total = round(time.time() - t_all, 3)
+    result = {
+        "metric": "bench_total_sec",
+        "value": total,
+        "unit": "sec",
+        "sf": SF_DIR.rstrip("/").split("sf")[-1],
+        "queries": queries,
+        "cdc": {
+            "events": CDC_EVENTS,
+            f"events_per_sec_n{n_small}": cdc_n["events_per_sec"],
+            f"events_per_sec_n{CPUS}": cdc_4n["events_per_sec"],
+            f"sec_n{n_small}": cdc_n["sec"],
+            f"sec_n{CPUS}": cdc_4n["sec"],
+            "speedup": round(speedup, 3),
+            "cores_ratio": CPUS / n_small,
+            "scaling_efficiency": efficiency,
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,107 @@
+import json
+
+import pytest
+
+from wrangler_spark import compile_recipe, execute
+from wrangler_spark.recipe.registry import RecipeContext
+
+
+def test_set_variable_used_later(spark):
+    df = spark.createDataFrame([(2, 3)], "a long, b long")
+    ok, _ = execute(
+        spark,
+        ["set-variable total a * b", "set-column :c total + 1"],
+        df,
+    )
+    assert ok.first()["c"] == 7
+
+
+def test_increment_variable(spark):
+    df = spark.createDataFrame([(5,), (15,)], "v long")
+    ok, _ = execute(
+        spark,
+        [
+            "increment-variable hits 1 exp:{v > 10}",
+            "increment-variable hits 1 exp:{v > 0}",
+            "set-column :h hits",
+        ],
+        df,
+    )
+    rows = {r["v"]: r["h"] for r in ok.collect()}
+    assert rows == {5: 1, 15: 2}
+
+
+def test_parse_as_currency(spark):
+    df = spark.createDataFrame(
+        [("$1,234.56",), ("($12.00)",), ("$0.99",)], "price string"
+    )
+    ok, _ = execute(spark, ["parse-as-currency :price :amount en_US"], df)
+    got = sorted(r["amount"] for r in ok.collect())
+    assert got == [-12.0, 0.99, 1234.56]
+
+
+def test_format_as_currency(spark):
+    df = spark.createDataFrame([(1234.5,)], "v double")
+    ok, _ = execute(spark, ["format-as-currency :v :out en_US"], df)
+    assert ok.first()["out"] == "$1,234.50"
+
+
+def test_parse_as_avro_json_mode(spark):
+    schema = json.dumps(
+        {
+            "type": "record",
+            "name": "User",
+            "fields": [
+                {"name": "id", "type": "long"},
+                {"name": "name", "type": ["null", "string"]},
+            ],
+        }
+    )
+    df = spark.createDataFrame([('{"id": 7, "name": "ann"}',)], "body string")
+    ok, _ = execute(spark, [f"parse-as-avro :body '{schema}' json"], df)
+    r = ok.first()
+    assert r["body_id"] == 7 and r["body_name"] == "ann"
+
+
+def test_parse_as_hl7(spark):
+    msg = "MSH|^~\\&|SND|FAC|RCV|FAC2\rPID|1||12345||DOE^JOHN"
+    df = spark.createDataFrame([(msg,)], "body string")
+    ok, _ = execute(spark, ["parse-as-hl7 :body"], df)
+    m = ok.first()["body_hl7"]
+    assert m["MSH"][2] == "SND"
+    assert m["PID"][3] == "12345"
+
+
+def test_validate_standard(spark):
+    schema = json.dumps(
+        {"type": "object", "properties": {"a": {"type": "number"}}, "required": ["a"]}
+    )
+    df = spark.createDataFrame([('{"a": 1}',), ('{"b": 2}',), ("notjson",)], "body string")
+    ok, err = execute(spark, [f"validate-standard :body '{schema}'"], df)
+    assert ok.count() == 1
+    assert err.count() == 2
+
+
+def test_stemming(spark):
+    df = spark.createDataFrame([("running flies happily agreed",)], "body string")
+    ok, _ = execute(spark, ["stemming :body"], df)
+    assert ok.first()["body_porter"] == ["run", "fli", "happili", "agre"]
+
+
+def test_data_model_map_column(spark):
+    df = spark.createDataFrame([("42",)], "raw string")
+    glossary = spark.createDataFrame([("user_age", "int")], "field string, type string")
+    ctx = RecipeContext(spark=spark, lookups={"datamodel:person": glossary})
+    rec = compile_recipe(["data-model-map-column person 1 user_age :raw"])
+    ok, _ = rec.apply(df, ctx)
+    assert ok.first()["user_age"] == 42
+    assert dict(ok.dtypes)["user_age"] == "int"
+
+
+def test_avro_binary_mode_gated(spark):
+    from wrangler_spark.errors import UsageError
+
+    df = spark.createDataFrame([(bytearray(b"x"),)], "body binary")
+    with pytest.raises(UsageError, match="spark-avro"):
+        ok, _ = execute(spark, ['parse-as-avro :body \'{"type":"record","name":"r","fields":[]}\' binary'], df)
+        ok.collect()

@@ -1,0 +1,67 @@
+import datetime as dt
+
+import pytest
+
+from wrangler_spark.expr.jexl import compile_expr
+
+
+@pytest.fixture(scope="module")
+def df(spark):
+    return spark.createDataFrame(
+        [(dt.date(2020, 3, 1), dt.datetime(2020, 3, 1, 12, 0, 0), 2.5, b"\x00\x00\x00\x07", "a b")],
+        "d date, ts timestamp, v double, bin binary, s string",
+    )
+
+
+def run1(df, src):
+    return df.select(compile_expr(src, df.schema).alias("v")).first()["v"]
+
+
+def test_datetime_components(df):
+    assert run1(df, "datetime:YearFromDate(d)") == 2020
+    assert run1(df, "datetime:MonthFromDate(d)") == 3
+    assert run1(df, "datetime:DaysInMonth(d)") == 31
+    assert run1(df, "datetime:DaysInYear(d)") == 366  # leap year
+    assert run1(df, "datetime:WeekdayFromDate(d)") == 7  # 2020-03-01 = Sunday
+
+
+def test_datetime_offsets(df):
+    assert run1(df, "datetime:DateOffsetByDays(d, 10)") == dt.date(2020, 3, 11)
+    assert run1(df, "datetime:DateFromComponents(2021, 2, 3)") == dt.date(2021, 2, 3)
+    jd = run1(df, "datetime:JulianDayFromDate(d)")
+    assert run1(df, f"datetime:DateFromJulianDay({jd})") == dt.date(2020, 3, 1)
+
+
+def test_datetime_epoch(df):
+    e = run1(df, "datetime:EpochFromDateTime(ts)")
+    assert e == int(dt.datetime(2020, 3, 1, 12, 0, 0, tzinfo=dt.timezone.utc).timestamp())
+    rt = run1(df, "datetime:DateTimeFromEpoch(datetime:EpochFromDateTime(ts))")
+    assert rt == dt.datetime(2020, 3, 1, 12, 0, 0)
+
+
+def test_time_as_seconds(df):
+    assert run1(df, "datetime:TimeFromComponents(1, 30, 15)") == 5415
+    assert run1(df, "datetime:TimeFromMidnightSeconds(5415)") == 5415
+
+
+def test_decimal_ns(df):
+    assert float(run1(df, "decimal:add(v, 1.5)")) == 4.0
+    assert float(run1(df, "decimal:multiply(v, 2)")) == 5.0
+    assert float(run1(df, "decimal:abs(decimal:negate(v))")) == 2.5
+
+
+def test_bytes_ns(df):
+    assert run1(df, "bytes:toInt(bin)") == 7
+    assert run1(df, "bytes:toHexString(bin)") == "00000007"
+    assert run1(df, "bytes:toBase64(bin)") == "AAAABw=="
+
+
+def test_geo_infence(df):
+    square = '{"type":"Polygon","coordinates":[[[0,0],[10,0],[10,10],[0,10],[0,0]]]}'
+    assert run1(df, f"geo:inFence(5.0, 5.0, '{square}')") is True
+    assert run1(df, f"geo:inFence(15.0, 5.0, '{square}')") is False
+
+
+def test_string_split_join(df):
+    assert run1(df, "string:split(s, ' ')") == ["a", "b"]
+    assert run1(df, "string:join('-', s, 'c')") == "a b-c"

@@ -108,3 +108,21 @@ def test_load_roundtrip(spark, table, tmp_path):
     assert t2.version == table.version
     assert t2.read().count() == 1
     assert 0 in t2.committed_epochs
+
+
+def test_cross_batch_out_of_order_lww(spark, table):
+    # newer seq applied first; stale batch must NOT overwrite
+    table.merge(ch(spark, [(10, "update", "r1", "a.py", "c10", "python", "v10")]), epoch=0)
+    table.merge(ch(spark, [(5, "update", "r1", "a.py", "c5", "python", "v5")]), epoch=1)
+    rows = table.read().collect()
+    assert len(rows) == 1 and rows[0]["content"] == "v10"
+
+
+def test_tombstone_blocks_stale_resurrection(spark, table):
+    table.merge(ch(spark, [(9, "delete", "r2", "b.py", None, None, None)]), epoch=0)
+    table.merge(ch(spark, [(7, "update", "r2", "b.py", "c7", "python", "v7")]), epoch=1)
+    assert table.read().filter("repo = 'r2'").count() == 0
+    # but a genuinely newer write resurrects the key
+    table.merge(ch(spark, [(12, "insert", "r2", "b.py", "c12", "python", "v12")]), epoch=2)
+    got = table.read().filter("repo = 'r2'").collect()
+    assert len(got) == 1 and got[0]["content"] == "v12"

@@ -1,0 +1,146 @@
+import pytest
+from pyspark.sql import functions as F
+
+from wrangler_spark.pipeline.dedup import (
+    exact_dedup,
+    exact_dup_groups,
+    minhash_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_candidates,
+)
+from wrangler_spark.pipeline.similarity import (
+    brute_force_topk,
+    embedding_neardup_pairs,
+    lsh_topk,
+)
+from wrangler_spark.pipeline.text import analyze
+from wrangler_spark.pipeline.multimodal import extract_features, frame_sample, synthesize_media
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = "the quick brown fox jumps over the lazy dog and runs far away today"
+    rows = [
+        (0, base, "src0"),
+        (1, base, "src1"),                       # exact dup of 0
+        (2, base + " extra", "src2"),            # near dup of 0
+        (3, "completely different text about spark query engines and shuffles", "src3"),
+        (4, "der schnelle braune fuchs springt und das ist ein deutscher satz mit der die und", "src4"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+
+def test_exact_dedup(spark, docs):
+    out = exact_dedup(docs)
+    ids = sorted(r["doc_id"] for r in out.collect())
+    assert ids == [0, 2, 3, 4]  # doc 1 removed (exact dup, min id survives)
+
+
+def test_exact_dup_groups(spark, docs):
+    g = exact_dup_groups(docs).collect()
+    assert len(g) == 1 and g[0]["n_dups"] == 2 and g[0]["min_id"] == 0
+
+
+def test_minhash_lsh_finds_near_dup(spark, docs):
+    pairs = {(r["id_a"], r["id_b"]) for r in minhash_lsh_pairs(docs, num_hashes=32, bands=16).collect()}
+    assert (0, 1) in pairs  # exact dups always collide
+    assert (0, 2) in pairs or (1, 2) in pairs  # near dup caught
+    assert (0, 3) not in pairs  # unrelated text does not
+
+
+def test_minhash_dedup(spark, docs):
+    out = sorted(r["doc_id"] for r in minhash_dedup(docs, num_hashes=32, bands=16).collect())
+    assert 0 in out and 1 not in out
+    assert 3 in out and 4 in out
+
+
+def test_simhash_near_dups_close(spark, docs):
+    sigs = {r["doc_id"]: r["simhash"] for r in simhash(docs).collect()}
+    mask = (1 << 64) - 1
+    ham01 = bin((sigs[0] ^ sigs[1]) & mask).count("1")
+    ham03 = bin((sigs[0] ^ sigs[3]) & mask).count("1")
+    assert ham01 == 0  # identical text → identical simhash
+    assert ham03 > 10  # unrelated text far apart
+    cands = {(r["id_a"], r["id_b"]) for r in simhash_candidates(docs).collect()}
+    assert (0, 1) in cands
+
+
+def test_ngram_jaccard(spark, docs):
+    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.5).collect()
+    d = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs}
+    assert d[(0, 1)] == 1.0
+    assert (0, 3) not in d
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    import math
+
+    rows = []
+    for i in range(40):
+        base = [math.sin(i * 0.7 + j) for j in range(8)]
+        rows.append((i, [float(x) for x in base]))
+    # vec 40 = near-exact copy of vec 0
+    rows.append((40, [x * 1.001 for x in rows[0][1]]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_brute_force_topk(spark, embeddings):
+    q = embeddings.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    top = brute_force_topk(embeddings, q, k=3).orderBy("rank").collect()
+    assert top[0]["vec_id"] == 0 and top[0]["rank"] == 1
+    assert top[1]["vec_id"] == 40  # the near-copy ranks second
+
+
+def test_lsh_topk_contains_near_copy(spark, embeddings):
+    q = embeddings.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    top = lsh_topk(embeddings, q, dim=8, k=3, n_planes=8, n_tables=4).collect()
+    got = {r["vec_id"] for r in top}
+    assert 0 in got and 40 in got  # self + near-copy in the same buckets
+
+
+def test_embedding_neardup(spark, embeddings):
+    pairs = embedding_neardup_pairs(embeddings, dim=8, threshold=0.999, n_planes=8, n_tables=3)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (0, 40) in got
+
+
+def test_text_analyze(spark, docs):
+    out = {r["doc_id"]: r for r in analyze(docs).collect()}
+    assert out[0]["lang_guess"] == "en"
+    assert out[4]["lang_guess"] == "de"
+    assert out[0]["n_tokens"] == 14
+    assert out[0]["n_tokens_bpe"] >= out[0]["n_tokens"]
+    assert 0.0 <= out[0]["quality"] <= 1.0
+    assert out[0]["fingerprint"] == out[1]["fingerprint"]  # same text
+    assert out[0]["fingerprint"] != out[3]["fingerprint"]
+
+
+def test_multimodal_features(spark):
+    media = synthesize_media(spark, 30)
+    feats = extract_features(media, fake=True)
+    rows = feats.collect()
+    assert len(rows) == 30
+    assert all(len(r["feature"]) == 8 for r in rows)
+    # deterministic: same input → same features
+    again = extract_features(synthesize_media(spark, 30), fake=True).collect()
+    assert sorted(map(str, rows)) == sorted(map(str, again))
+
+
+def test_multimodal_decode_stub_raises(spark):
+    media = synthesize_media(spark, 3)
+    with pytest.raises(Exception):
+        extract_features(media, fake=False).collect()
+
+
+def test_frame_sample(spark):
+    media = synthesize_media(spark, 12)
+    frames = frame_sample(media, every_n=5)
+    vid = frames.filter(F.col("kind") == "video").groupBy("media_id").count().collect()
+    assert all(r["count"] >= 1 for r in vid)

@@ -1,0 +1,464 @@
+"""Remaining directive surface: transient variables, currency, avro,
+excel/hl7 (gated), JSON-schema validation, stemming, HTTP enrichment,
+data-model mapping (SURVEY.md §2.2/2.5/2.9/2.10).
+"""
+
+from __future__ import annotations
+
+import json
+import re
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F, types as T
+from pyspark.sql.functions import pandas_udf
+
+from wrangler_spark.errors import UsageError
+from wrangler_spark.expr.jexl import TypedCol, compile_expr, compile_node, parse_expr
+from wrangler_spark.recipe.parser import DirectiveCall
+from wrangler_spark.recipe.registry import RecipeContext, directive
+from wrangler_spark.directives.column_ops import _require
+
+
+# ------------------------------------------------------- transient variables
+# reference: aggregates/SetTransientVariable.java, IncrementTransientVariable,
+# DefaultTransientStore.java:35-90. In the production pipeline the store is
+# per-record (GLOBAL resets per input record, Wrangler.java:424-425), so a
+# variable is a named per-row expression — exactly a named Column here.
+# Order-dependent cross-row accumulation (interactive workspace only) is out
+# of scope and documented as such (SURVEY.md §4 item 3).
+
+@directive("set-variable")
+def set_variable(call: DirectiveCall):
+    var = call.col(0)
+    expr_src = call.expr(1)
+
+    def tr(df: DataFrame, ctx: RecipeContext) -> DataFrame:
+        node = parse_expr(expr_src)
+        ctx.variables[var.lower()] = compile_node(node, df.schema, ctx.variables)
+        return df
+
+    return tr
+
+
+@directive("increment-variable")
+def increment_variable(call: DirectiveCall):
+    var = call.col(0)
+    amount = call.num(1)
+    expr_src = call.expr(2)
+
+    def tr(df: DataFrame, ctx: RecipeContext) -> DataFrame:
+        cond = compile_expr(expr_src, df.schema, ctx.variables).cast("boolean")
+        prev = ctx.variables.get(var.lower())
+        base = prev.col if prev is not None else F.lit(0)
+        ctx.variables[var.lower()] = TypedCol(
+            base + F.when(F.coalesce(cond, F.lit(False)), F.lit(amount)).otherwise(F.lit(0)),
+            T.DoubleType() if isinstance(amount, float) else T.LongType(),
+        )
+        return df
+
+    return tr
+
+
+# ------------------------------------------------------------- currency
+# reference: currency/ParseAsCurrency.java, FormatAsCurrency.java (java
+# NumberFormat). babel is unavailable; we support the common locales with
+# explicit symbol/grouping rules — pure Column ops.
+
+_CURRENCY = {
+    "en_us": {"symbol": "$", "group": ",", "dec": "."},
+    "en_gb": {"symbol": "£", "group": ",", "dec": "."},
+    "de_de": {"symbol": "€", "group": ".", "dec": ","},
+    "fr_fr": {"symbol": "€", "group": " ", "dec": ","},
+}
+
+
+@directive("parse-as-currency")
+def parse_as_currency(call: DirectiveCall):
+    src, dst = call.col(0), call.col(1)
+    locale = call.text(2, default="en_US").lower().replace("-", "_")
+    spec = _CURRENCY.get(locale)
+    if spec is None:
+        raise UsageError(f"parse-as-currency: unsupported locale {locale!r}")
+
+    def tr(df: DataFrame, ctx: RecipeContext) -> DataFrame:
+        c = _require(df, src)
+        s = F.col(c).cast("string")
+        s = F.regexp_replace(s, r"[^\d" + re.escape(spec["group"] + spec["dec"]) + r"\-()]", "")
+        neg = F.col(c).cast("string").rlike(r"^\(.*\)$") | s.startswith("-")
+        s = F.regexp_replace(s, r"[()\-]", "")
+        s = F.replace(s, F.lit(spec["group"]), F.lit(""))
+        if spec["dec"] != ".":
+            s = F.replace(s, F.lit(spec["dec"]), F.lit("."))
+        v = s.cast("double")
+        return df.withColumn(dst, F.when(neg, -v).otherwise(v))
+
+    return tr
+
+
+@directive("format-as-currency")
+def format_as_currency(call: DirectiveCall):
+    src, dst = call.col(0), call.col(1)
+    locale = call.text(2, default="en_US").lower().replace("-", "_")
+    spec = _CURRENCY.get(locale)
+    if spec is None:
+        raise UsageError(f"format-as-currency: unsupported locale {locale!r}")
+
+    def tr(df: DataFrame, ctx: RecipeContext) -> DataFrame:
+        c = _require(df, src)
+        v = F.col(c).cast("double")
+        formatted = F.format_number(v, 2)  # 1,234.57 (en_US grouping)
+        if spec["group"] != "," or spec["dec"] != ".":
+            formatted = F.translate(formatted, ",.", spec["group"] + spec["dec"])
+        return df.withColumn(dst, F.concat(F.lit(spec["symbol"]), formatted))
+
+    return tr
+
+
+# ------------------------------------------------------------- avro/protobuf
+# reference: parser/ParseAvro.java (codec/{Binary,Json}AvroDecoder),
+# ParseAvroFile.java, ParseProtobuf.java. The spark-avro / protobuf connector
+# jars are not bundled in this environment, so binary decode is gated with a
+# clear error; the JSON-encoded-Avro mode decodes natively via from_json with
+# a schema translated from the Avro schema JSON.
+
+_AVRO_PRIMITIVES = {
+    "string": T.StringType(),
+    "int": T.IntegerType(),
+    "long": T.LongType(),
+    "float": T.FloatType(),
+    "double": T.DoubleType(),
+    "boolean": T.BooleanType(),
+    "bytes": T.BinaryType(),
+    "null": T.NullType(),
+}
+
+
+def avro_to_spark_type(avro) -> T.DataType:
+    if isinstance(avro, str):
+        return _AVRO_PRIMITIVES.get(avro, T.StringType())
+    if isinstance(avro, list):  # union — first non-null branch
+        branches = [b for b in avro if b != "null"]
+        return avro_to_spark_type(branches[0]) if branches else T.NullType()
+    if isinstance(avro, dict):
+        t = avro.get("type")
+        if t == "record":
+            return T.StructType(
+                [
+                    T.StructField(f["name"], avro_to_spark_type(f["type"]), True)
+                    for f in avro.get("fields", [])
+                ]
+            )
+        if t == "array":
+            return T.ArrayType(avro_to_spark_type(avro["items"]), True)
+        if t == "map":
+            return T.MapType(T.StringType(), avro_to_spark_type(avro["values"]), True)
+        if t == "enum":
+            return T.StringType()
+        if t == "fixed":
+            return T.BinaryType()
+        return avro_to_spark_type(t)
+    raise UsageError(f"unsupported avro schema node {avro!r}")
+
+
+@directive("parse-as-avro")
+def parse_as_avro(call: DirectiveCall):
+    """parse-as-avro :col <schema-json-or-registry-id> json|binary [version]"""
+    col = call.col(0)
+    schema_arg = call.text(1)
+    mode = call.ident(2, default="json").lower()
+
+    def tr(df: DataFrame, ctx: RecipeContext) -> DataFrame:
+        c = _require(df, col)
+        schema_json = schema_arg
+        if not schema_arg.strip().startswith("{"):
+            if schema_arg not in ctx.lookups and f"schema:{schema_arg}" not in ctx.lookups:
+                raise UsageError(
+                    f"parse-as-avro: schema {schema_arg!r} not registered "
+                    "(pass the Avro schema JSON inline or register it in ctx.lookups)"
+                )
+            lk = ctx.lookups.get(f"schema:{schema_arg}") or ctx.lookups[schema_arg]
+            schema_json = lk if isinstance(lk, str) else lk.first()[0]
+        spark_type = avro_to_spark_type(json.loads(schema_json))
+        if mode == "json":
+            parsed = F.from_json(F.col(c).cast("string"), spark_type)
+        elif mode == "binary":
+            try:
+                from pyspark.sql.avro.functions import from_avro
+
+                parsed = from_avro(F.col(c), schema_json)
+                df.limit(0).withColumn("__wr_probe", parsed)  # eager analysis probe
+            except Exception as e:  # noqa: BLE001
+                raise UsageError(
+                    "parse-as-avro binary mode needs the spark-avro connector "
+                    "jar (org.apache.spark:spark-avro), not present here"
+                ) from e
+        else:
+            raise UsageError(f"parse-as-avro: mode must be json|binary, got {mode!r}")
+        out = df.withColumn("__wr_avro", parsed)
+        if isinstance(spark_type, T.StructType):
+            for f_ in spark_type.fields:
+                out = out.withColumn(f"{c}_{f_.name}", F.col("__wr_avro").getField(f_.name))
+        else:
+            out = out.withColumn(f"{c}_value", F.col("__wr_avro"))
+        return out.drop("__wr_avro").drop(c)
+
+    return tr
+
+
+@directive("parse-as-avro-file")
+def parse_as_avro_file(call: DirectiveCall):
+    """parse-as-avro-file :col — col holds a file path; becomes a scan
+    (reference parser/ParseAvroFile.java reads the blob per row; file-level
+    decode is a scan in Spark — spark.read.format('avro'))."""
+    col = call.col(0)
+
+    def tr(df: DataFrame, ctx: RecipeContext) -> DataFrame:
+        paths = [r[0] for r in df.select(F.col(col).cast("string")).distinct().collect()]
+        try:
+            return ctx.spark.read.format("avro").load(paths)
+        except Exception as e:  # noqa: BLE001
+            raise UsageError(
+                "parse-as-avro-file needs the spark-avro connector jar "
+                "(org.apache.spark:spark-avro), not present here"
+            ) from e
+
+    return tr
+
+
+@directive("parse-as-protobuf")
+def parse_as_protobuf(call: DirectiveCall):
+    col = call.col(0)
+    desc = call.text(1)
+    message = call.text(2)
+
+    def tr(df: DataFrame, ctx: RecipeContext) -> DataFrame:
+        c = _require(df, col)
+        try:
+            from pyspark.sql.protobuf.functions import from_protobuf
+        except Exception as e:  # noqa: BLE001
+            raise UsageError(
+                "parse-as-protobuf needs the spark-protobuf connector jar "
+                "(org.apache.spark:spark-protobuf), not present here"
+            ) from e
+        return df.withColumn(c, from_protobuf(F.col(c), message, descFilePath=desc))
+
+    return tr
+
+
+# ------------------------------------------------------------- excel / hl7
+
+@directive("parse-as-excel")
+def parse_as_excel(call: DirectiveCall):
+    """parse-as-excel :col [sheet] — binary xlsx column → rows
+    (reference parser/ParseExcel.java). 1→N via mapInPandas +
+    pd.read_excel; needs openpyxl (gated)."""
+    col = call.col(0)
+    sheet = call.text(1, default="0")
+
+    def tr(df: DataFrame, ctx: RecipeContext) -> DataFrame:
+        try:
+            import openpyxl  # noqa: F401
+        except ImportError as e:
+            raise UsageError(
+                "parse-as-excel needs openpyxl, not present in this container"
+            ) from e
+        import io
+        from collections.abc import Iterator
+
+        c = _require(df, col)
+        out_schema = T.StructType(
+            [
+                T.StructField("sheet", T.StringType()),
+                T.StructField("row_idx", T.IntegerType()),
+                T.StructField("cells", T.ArrayType(T.StringType())),
+            ]
+        )
+
+        def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                rows = []
+                for payload in pdf[c]:
+                    sh = int(sheet) if sheet.isdigit() else sheet
+                    book = pd.read_excel(io.BytesIO(payload), sheet_name=sh, header=None)
+                    for i, row in book.iterrows():
+                        rows.append(
+                            {
+                                "sheet": str(sheet),
+                                "row_idx": int(i),
+                                "cells": [None if pd.isna(v) else str(v) for v in row],
+                            }
+                        )
+                yield pd.DataFrame(rows, columns=["sheet", "row_idx", "cells"])
+
+        return df.select(c).mapInPandas(run, out_schema)
+
+    return tr
+
+
+@directive("parse-as-hl7")
+def parse_as_hl7(call: DirectiveCall):
+    """parse-as-hl7 :col [depth] (reference parser/HL7Parser.java). Minimal
+    native HL7v2 pipe-format decoder: segments → map<segment, fields>."""
+    col = call.col(0)
+
+    def tr(df: DataFrame, ctx: RecipeContext) -> DataFrame:
+        c = _require(df, col)
+        segs = F.split(F.col(c).cast("string"), r"[\r\n]+")
+        pairs = F.transform(
+            segs,
+            lambda seg: F.struct(
+                F.substring(seg, 1, 3).alias("key"),
+                F.split(seg, r"\|").alias("value"),
+            ),
+        )
+        return df.withColumn(f"{c}_hl7", F.map_from_entries(F.filter(pairs, lambda p: F.length(p.getField("key")) == 3)))
+
+    return tr
+
+
+# ------------------------------------------------------------- validation
+
+@directive("validate-standard")
+def validate_standard(call: DirectiveCall):
+    """validate-standard :col <json-schema> — conformance check; failing
+    rows route to the error channel (reference validation/ValidateStandard.java,
+    conformers/JsonConformer.java). Arrow-batched jsonschema."""
+    col = call.col(0)
+    schema_arg = call.text(1)
+
+    def tr(df: DataFrame, ctx: RecipeContext) -> DataFrame:
+        c = _require(df, col)
+        schema_json = schema_arg
+        if not schema_arg.strip().startswith("{"):
+            lk = ctx.lookups.get(f"schema:{schema_arg}") or ctx.lookups.get(schema_arg)
+            if lk is None:
+                raise UsageError(f"validate-standard: schema {schema_arg!r} not registered")
+            schema_json = lk if isinstance(lk, str) else lk.first()[0]
+
+        @pandas_udf(T.BooleanType())
+        def conforms(v: pd.Series) -> pd.Series:
+            import jsonschema
+
+            validator = jsonschema.Draft7Validator(json.loads(schema_json))
+
+            def check(x):
+                if x is None:
+                    return False
+                try:
+                    return not any(validator.iter_errors(json.loads(x)))
+                except Exception:  # noqa: BLE001
+                    return False
+
+            return v.map(check)
+
+        bad = ~conforms(F.col(c).cast("string"))
+        return ctx.route_error(df, bad, f"row does not conform to standard {schema_arg[:40]}")
+
+    return tr
+
+
+# ------------------------------------------------------------- stemming
+
+@directive("stemming")
+def stemming(call: DirectiveCall):
+    """stemming :col — Porter stemmer over a token array or string column
+    (reference nlp/Stemming.java + nlp/internal/PorterStemmer.java).
+    Arrow-batched pandas UDF with a compact pure-Python Porter."""
+    col = call.col(0)
+
+    def tr(df: DataFrame, ctx: RecipeContext) -> DataFrame:
+        c = _require(df, col)
+        dt = df.schema[c].dataType
+        is_array = isinstance(dt, T.ArrayType)
+
+        @pandas_udf(T.ArrayType(T.StringType()))
+        def stem_arr(v: pd.Series) -> pd.Series:
+            from wrangler_spark.directives._porter import stem
+
+            def run(x):
+                if x is None:
+                    return None
+                toks = list(x) if not isinstance(x, str) else x.split()
+                return [stem(t.lower()) for t in toks if t]
+
+            return v.map(run)
+
+        src = F.col(c) if is_array else F.col(c).cast("string")
+        return df.withColumn(f"{c}_porter", stem_arr(src))
+
+    return tr
+
+
+# ------------------------------------------------------------- HTTP enrich
+
+@directive("invoke-http")
+def invoke_http(call: DirectiveCall):
+    """invoke-http <url> :c1[,:c2…] [header=value,…] — per-batch pooled
+    HTTP POST enrichment (reference external/InvokeHttp.java, experimental
+    there too). mapInPandas with one pooled session per batch — the
+    anti-pattern (per-row connections) is structurally impossible here."""
+    url = call.text(0)
+    cols = call.cols(1)
+    headers: dict[str, str] = {}
+    if call.has(2):
+        for part in call.text(2).split(","):
+            if "=" in part:
+                k, v = part.split("=", 1)
+                headers[k.strip()] = v.strip()
+
+    def tr(df: DataFrame, ctx: RecipeContext) -> DataFrame:
+        from collections.abc import Iterator
+
+        resolved = [_require(df, c) for c in cols]
+        out_schema = T.StructType(
+            list(df.schema.fields) + [T.StructField("http_response", T.StringType())]
+        )
+
+        def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            import requests
+
+            with requests.Session() as sess:
+                sess.headers.update(headers)
+                for pdf in batches:
+                    responses = []
+                    for _, row in pdf[resolved].iterrows():
+                        try:
+                            r = sess.post(url, json=row.to_dict(), timeout=10)
+                            responses.append(r.text)
+                        except Exception as e:  # noqa: BLE001
+                            responses.append(json.dumps({"error": str(e)}))
+                    pdf = pdf.copy()
+                    pdf["http_response"] = responses
+                    yield pdf
+
+        return df.mapInPandas(run, out_schema)
+
+    return tr
+
+
+# ------------------------------------------------------------- data model
+
+@directive("data-model-map-column")
+def data_model_map_column(call: DirectiveCall):
+    """data-model-map-column <model> <revision> <field> :col — rename+cast
+    to a target data-model field (reference datamodel/DataModelMapColumn.java;
+    the Avro glossary is host-provided via ctx.lookups['datamodel:<model>']
+    as a (field, type) table)."""
+    model = call.text(0)
+    field_name = call.text(2) if call.has(3) else call.text(1)
+    col = call.col(3) if call.has(3) else call.col(2)
+
+    def tr(df: DataFrame, ctx: RecipeContext) -> DataFrame:
+        c = _require(df, col)
+        glossary = ctx.lookups.get(f"datamodel:{model}")
+        target_type = "string"
+        if glossary is not None:
+            row = glossary.filter(F.col(glossary.columns[0]) == field_name).first()
+            if row is None:
+                raise UsageError(
+                    f"data-model-map-column: field {field_name!r} not in model {model!r}"
+                )
+            target_type = row[1]
+        return df.withColumn(field_name, F.col(c).cast(target_type)).drop(c)
+
+    return tr

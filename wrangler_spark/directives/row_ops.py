@@ -16,8 +16,9 @@ from wrangler_spark.recipe.registry import RecipeContext, directive
 from wrangler_spark.directives.column_ops import _require
 
 
-def _cond(expr_src: str, df: DataFrame):
-    return compile_expr(expr_src, df.schema).cast("boolean")
+def _cond(expr_src: str, df: DataFrame, ctx: RecipeContext | None = None):
+    variables = ctx.variables if ctx is not None else None
+    return compile_expr(expr_src, df.schema, variables).cast("boolean")
 
 
 @directive("filter-row")
@@ -30,7 +31,7 @@ def filter_row(call: DirectiveCall):
     keep_on_false = call.bool_(1, default=True)  # flag: drop rows matching == flag
 
     def tr(df: DataFrame, ctx: RecipeContext) -> DataFrame:
-        c = _cond(expr_src, df)
+        c = _cond(expr_src, df, ctx)
         drop = c if keep_on_false else ~c
         return df.filter(~F.coalesce(drop, F.lit(False)))
 
@@ -42,7 +43,7 @@ def filter_row_if_true(call: DirectiveCall):
     expr_src = call.expr(0)
 
     def tr(df: DataFrame, ctx: RecipeContext) -> DataFrame:
-        c = _cond(expr_src, df)
+        c = _cond(expr_src, df, ctx)
         return df.filter(~F.coalesce(c, F.lit(False)))
 
     return tr
@@ -53,7 +54,7 @@ def filter_row_if_false(call: DirectiveCall):
     expr_src = call.expr(0)
 
     def tr(df: DataFrame, ctx: RecipeContext) -> DataFrame:
-        c = _cond(expr_src, df)
+        c = _cond(expr_src, df, ctx)
         return df.filter(F.coalesce(c, F.lit(False)))
 
     return tr
@@ -141,7 +142,7 @@ def fail(call: DirectiveCall):
     expr_src = call.expr(0)
 
     def tr(df: DataFrame, ctx: RecipeContext) -> DataFrame:
-        c = _cond(expr_src, df)
+        c = _cond(expr_src, df, ctx)
         guard = F.when(
             F.coalesce(c, F.lit(False)),
             F.raise_error(F.lit(f"fail: condition [{expr_src}] matched a row")).cast("boolean"),
@@ -158,7 +159,7 @@ def send_to_error(call: DirectiveCall):
     expr_src = call.expr(0)
 
     def tr(df: DataFrame, ctx: RecipeContext) -> DataFrame:
-        c = _cond(expr_src, df)
+        c = _cond(expr_src, df, ctx)
         return ctx.route_error(df, c, f"condition [{expr_src}] matched")
 
     return tr
@@ -171,7 +172,7 @@ def send_to_error_and_continue(call: DirectiveCall):
     expr_src = call.expr(0)
 
     def tr(df: DataFrame, ctx: RecipeContext) -> DataFrame:
-        c = _cond(expr_src, df)
+        c = _cond(expr_src, df, ctx)
         err = df.filter(F.coalesce(c, F.lit(False))).select(
             F.lit(ctx.step).alias("step"),
             F.lit(ctx.current_name).alias("directive"),

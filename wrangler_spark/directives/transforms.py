@@ -35,7 +35,7 @@ def set_column(call: DirectiveCall):
 
     def tr(df: DataFrame, ctx: RecipeContext) -> DataFrame:
         target = _require(df, col) if any(c.lower() == col.lower() for c in df.columns) else col
-        return df.withColumn(target, compile_expr(expr_src, df.schema))
+        return df.withColumn(target, compile_expr(expr_src, df.schema, ctx.variables))
 
     return tr
 

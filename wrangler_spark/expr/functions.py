@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -652,3 +653,310 @@ def _asinteger(x):
 def _mantissa(x):
     v = x.col.cast("double")
     return _typed(v - F.floor(v), DBL)
+
+
+# ------------------------------------------------------------ datetime:
+# reference: io/cdap/functions/DateAndTime.java:132-676 (DataStage-style).
+# TIME type gap in Spark: time-of-day values are LONG seconds since
+# midnight (SURVEY.md §7 hard part d).
+
+@_reg("datetime", "GetDate")
+def _dt_getdate(x):
+    return _typed(x.col.cast("date"), T.DateType())
+
+
+@_reg("datetime", "GetDateTime")
+def _dt_getdatetime(x):
+    return _typed(x.col.cast("timestamp_ntz"), T.TimestampNTZType())
+
+
+@_reg("datetime", "CurrentDate")
+def _dt_currentdate():
+    return _typed(F.current_date(), T.DateType())
+
+
+@_reg("datetime", "CurrentDateTime")
+def _dt_currentdatetime():
+    return _typed(F.current_timestamp().cast("timestamp_ntz"), T.TimestampNTZType())
+
+
+@_reg("datetime", "CurrentTimestamp")
+def _dt_currenttimestamp():
+    return _typed(F.current_timestamp(), T.TimestampType())
+
+
+@_reg("datetime", "EpochSeconds")
+def _dt_epochseconds():
+    return _typed(F.unix_timestamp(F.current_timestamp()), LNG)
+
+
+@_reg("datetime", "CurrentTimestampMS", "CurrentTimeMS")
+def _dt_currenttimestampms():
+    return _typed(F.unix_millis(F.current_timestamp()), LNG)
+
+
+@_reg("datetime", "DateFromDaysSince")
+def _dt_datefromdayssince(days, baseline=None):
+    base = baseline.col.cast("date") if baseline is not None else F.to_date(F.lit("1900-01-01"))
+    return _typed(F.date_add(base, days.col.cast("int")), T.DateType())
+
+
+@_reg("datetime", "DateFromComponents")
+def _dt_datefromcomponents(y, m, d):
+    return _typed(F.make_date(y.col.cast("int"), m.col.cast("int"), d.col.cast("int")), T.DateType())
+
+
+@_reg("datetime", "DateFromJulianDay")
+def _dt_datefromjulianday(jd):
+    # julian day 0 = 4713-01-01 BC; unix epoch = JD 2440588
+    return _typed(F.date_add(F.to_date(F.lit("1970-01-01")), (jd.col.cast("long") - 2440588).cast("int")), T.DateType())
+
+
+@_reg("datetime", "DateOffsetByDays")
+def _dt_dateoffsetbydays(d, off):
+    return _typed(F.date_add(d.col.cast("date"), off.col.cast("int")), T.DateType())
+
+
+@_reg("datetime", "DateOffsetByComponents")
+def _dt_dateoffsetbycomponents(d, ys, ms, ds):
+    out = F.add_months(d.col.cast("date"), ys.col.cast("int") * 12 + ms.col.cast("int"))
+    return _typed(F.date_add(out, ds.col.cast("int")), T.DateType())
+
+
+@_reg("datetime", "DaysSinceFromDate")
+def _dt_dayssincefromdate(src, dst=None):
+    base = dst.col.cast("date") if dst is not None else F.to_date(F.lit("1900-01-01"))
+    return _typed(F.datediff(base, src.col.cast("date")).cast("long"), LNG)
+
+
+@_reg("datetime", "DaysInMonth")
+def _dt_daysinmonth(d):
+    return _typed(F.dayofmonth(F.last_day(d.col.cast("date"))), INT)
+
+
+@_reg("datetime", "DaysInYear")
+def _dt_daysinyear(d):
+    y = F.year(d.col.cast("date"))
+    leap = ((y % 4 == 0) & (y % 100 != 0)) | (y % 400 == 0)
+    return _typed(F.when(leap, 366).otherwise(365), INT)
+
+
+@_reg("datetime", "JulianDayFromDate")
+def _dt_juliandayfromdate(d):
+    return _typed(
+        (F.datediff(d.col.cast("date"), F.to_date(F.lit("1970-01-01"))) + 2440588).cast("long"), LNG
+    )
+
+
+@_reg("datetime", "MonthFromDate")
+def _dt_monthfromdate(d):
+    return _typed(F.month(d.col.cast("date")), INT)
+
+
+@_reg("datetime", "WeekdayFromDate")
+def _dt_weekdayfromdate(d, start=None):
+    # ISO weekday 1=Mon..7=Sun by default
+    return _typed(F.weekday(d.col.cast("date")) + 1, INT)
+
+
+@_reg("datetime", "YeardayFromDate")
+def _dt_yeardayfromdate(d):
+    return _typed(F.dayofyear(d.col.cast("date")), INT)
+
+
+@_reg("datetime", "YearFromDate")
+def _dt_yearfromdate(d):
+    return _typed(F.year(d.col.cast("date")), INT)
+
+
+@_reg("datetime", "YearweekFromDate")
+def _dt_yearweekfromdate(d):
+    return _typed(F.weekofyear(d.col.cast("date")), INT)
+
+
+@_reg("datetime", "TimeFromMidnightSeconds")
+def _dt_timefrommidnightseconds(s):
+    # TIME gap: represented as long seconds-since-midnight
+    return _typed(s.col.cast("long"), LNG)
+
+
+@_reg("datetime", "TimeFromComponents")
+def _dt_timefromcomponents(h, m, s, us=None):
+    return _typed(
+        (h.col.cast("long") * 3600 + m.col.cast("long") * 60 + s.col.cast("long")), LNG
+    )
+
+
+@_reg("datetime", "SecondsFromTime")
+def _dt_secondsfromtime(t):
+    return _typed(t.col.cast("long"), LNG)
+
+
+@_reg("datetime", "DateTimeFromEpoch")
+def _dt_datetimefromepoch(e):
+    return _typed(F.timestamp_seconds(e.col.cast("long")).cast("timestamp_ntz"), T.TimestampNTZType())
+
+
+@_reg("datetime", "EpochFromDateTime", "EpochFromTimestamp")
+def _dt_epochfromdatetime(dtv):
+    return _typed(F.unix_timestamp(dtv.col.cast("timestamp")), LNG)
+
+
+@_reg("datetime", "DateTimeOffsetBySeconds")
+def _dt_datetimeoffsetbyseconds(dtv, off):
+    return _typed(
+        F.timestamp_seconds(F.unix_timestamp(dtv.col.cast("timestamp")) + off.col.cast("long"))
+        .cast("timestamp_ntz"),
+        T.TimestampNTZType(),
+    )
+
+
+@_reg("datetime", "SecondsSinceFromDateTime")
+def _dt_secondssince(src, dst):
+    return _typed(
+        F.unix_timestamp(dst.col.cast("timestamp")) - F.unix_timestamp(src.col.cast("timestamp")),
+        LNG,
+    )
+
+
+# ------------------------------------------------------------ decimal:
+# reference: utils/DecimalTransform.java
+
+@_reg("decimal", "add")
+def _dec_add(a, b):
+    return _typed(a.col.cast("decimal(38,6)") + b.col.cast("decimal(38,6)"), T.DecimalType(38, 6))
+
+
+@_reg("decimal", "subtract")
+def _dec_sub(a, b):
+    return _typed(a.col.cast("decimal(38,6)") - b.col.cast("decimal(38,6)"), T.DecimalType(38, 6))
+
+
+@_reg("decimal", "multiply")
+def _dec_mul(a, b):
+    return _typed((a.col.cast("decimal(38,6)") * b.col.cast("decimal(38,6)")).cast("decimal(38,6)"), T.DecimalType(38, 6))
+
+
+@_reg("decimal", "divideq")
+def _dec_div(a, b):
+    return _typed((a.col.cast("decimal(38,6)") / b.col.cast("decimal(38,6)")).cast("decimal(38,6)"), T.DecimalType(38, 6))
+
+
+@_reg("decimal", "precision")
+def _dec_precision(a):
+    s = F.regexp_replace(F.abs(a.col.cast("decimal(38,6)")).cast("string"), r"[.]", "")
+    return _typed(F.length(F.regexp_replace(s, r"0+$", "")), INT)
+
+
+@_reg("decimal", "scale")
+def _dec_scale(a):
+    s = a.col.cast("decimal(38,6)").cast("string")
+    frac = F.regexp_extract(s, r"\.(\d*?)0*$", 1)
+    return _typed(F.length(frac), INT)
+
+
+@_reg("decimal", "abs")
+def _dec_abs(a):
+    return _typed(F.abs(a.col.cast("decimal(38,6)")), T.DecimalType(38, 6))
+
+
+@_reg("decimal", "negate")
+def _dec_negate(a):
+    return _typed(-a.col.cast("decimal(38,6)"), T.DecimalType(38, 6))
+
+
+# ------------------------------------------------------------ bytes:
+# reference: CDAP Bytes codecs (EL.java:181)
+
+@_reg("bytes", "toString")
+def _bytes_tostring(b):
+    return _typed(b.col.cast("string"), STR)
+
+
+@_reg("bytes", "toInt")
+def _bytes_toint(b):
+    # big-endian 4-byte decode, CDAP Bytes.toInt
+    return _typed(F.conv(F.hex(F.substring(b.col.cast("binary"), 1, 4)), 16, 10).cast("int"), INT)
+
+
+@_reg("bytes", "toLong")
+def _bytes_tolong(b):
+    return _typed(F.conv(F.hex(F.substring(b.col.cast("binary"), 1, 8)), 16, 10).cast("long"), LNG)
+
+
+@_reg("bytes", "toHexString")
+def _bytes_tohex(b):
+    return _typed(F.lower(F.hex(b.col.cast("binary"))), STR)
+
+
+@_reg("bytes", "fromHexString")
+def _bytes_fromhex(s):
+    return _typed(F.unhex(_s(s)), T.BinaryType())
+
+
+@_reg("bytes", "toBase64")
+def _bytes_tobase64(b):
+    return _typed(F.base64(b.col.cast("binary")), STR)
+
+
+@_reg("bytes", "fromBase64")
+def _bytes_frombase64(s):
+    return _typed(F.unbase64(_s(s)), T.BinaryType())
+
+
+# ------------------------------------------------------------ geo:
+# reference: io/cdap/functions/GeoFences.java:54-68 (inFence). Pure
+# ray-casting point-in-polygon over the GeoJSON — no shapely needed —
+# evaluated per batch in an Arrow pandas UDF (polygon parse once).
+
+@_reg("geo", "inFence", "InFence")
+def _geo_infence(lat, lon, fence):
+    import json as _json
+
+    from pyspark.sql.functions import pandas_udf as _pudf
+
+    if fence.lit is None:
+        raise ExpressionError("geo:inFence fence geojson must be a literal string")
+    geo = _json.loads(str(fence.lit))
+
+    def _rings(g):
+        t = g.get("type")
+        if t == "FeatureCollection":
+            out = []
+            for f_ in g["features"]:
+                out.extend(_rings(f_["geometry"]))
+            return out
+        if t == "Feature":
+            return _rings(g["geometry"])
+        if t == "Polygon":
+            return [g["coordinates"][0]]
+        if t == "MultiPolygon":
+            return [p[0] for p in g["coordinates"]]
+        raise ExpressionError(f"geo:inFence unsupported geometry {t!r}")
+
+    rings = _rings(geo)
+
+    def _pip(px, py, ring):
+        inside = False
+        n = len(ring)
+        j = n - 1
+        for i in range(n):
+            xi, yi = ring[i][0], ring[i][1]
+            xj, yj = ring[j][0], ring[j][1]
+            if (yi > py) != (yj > py) and px < (xj - xi) * (py - yi) / (yj - yi) + xi:
+                inside = not inside
+            j = i
+        return inside
+
+    @_pudf(T.BooleanType())
+    def infence(la: pd.Series, lo: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                any(_pip(float(x), float(y), r) for r in rings)
+                if x is not None and y is not None
+                else None
+                for y, x in zip(la, lo)
+            ]
+        )
+
+    return _typed(infence(lat.col.cast("double"), lon.col.cast("double")), BOOL)

@@ -104,30 +104,68 @@ def merge_into(
     wb = winners.withColumn("__b", table.bucket_expr(winners))
     affected = sorted(r["__b"] for r in wb.select("__b").distinct().collect())
 
-    upserts = wb.filter(F.col(op_col) != "delete")
-    # align upserts to the (evolved) table schema
-    up_cols = []
-    have = {c.lower() for c in upserts.columns}
-    for f_ in schema.fields:
-        if f_.name.lower() in have:
-            up_cols.append(F.col(f_.name).cast(f_.dataType).alias(f_.name))
-        else:
-            up_cols.append(F.lit(None).cast(f_.dataType).alias(f_.name))
-    upserts_aligned = upserts.select(*up_cols, F.col("__b"))
+    def _align(df: DataFrame, extra: list) -> DataFrame:
+        cols = []
+        have = {c.lower() for c in df.columns}
+        for f_ in schema.fields:
+            if f_.name.lower() in have:
+                cols.append(F.col(f_.name).cast(f_.dataType).alias(f_.name))
+            else:
+                cols.append(F.lit(None).cast(f_.dataType).alias(f_.name))
+        return df.select(*cols, *extra)
 
-    base = table.read(buckets=affected)
-    base_kept = base.join(wb.select(*keys).distinct(), on=keys, how="left_anti")
-    # align base to evolved schema (adds new null columns / widens)
-    bk_cols = []
-    bhave = {c.lower() for c in base_kept.columns}
-    for f_ in schema.fields:
-        if f_.name.lower() in bhave:
-            bk_cols.append(F.col(f_.name).cast(f_.dataType).alias(f_.name))
-        else:
-            bk_cols.append(F.lit(None).cast(f_.dataType).alias(f_.name))
-    base_aligned = base_kept.select(*bk_cols).withColumn("__b", table.bucket_expr(base_kept))
+    # winners aligned to the evolved schema, carrying merge metadata:
+    # __seq (LWW guard) and __deleted (tombstone — deletes are KEPT as
+    # tombstone rows so a late, lower-seq update cannot resurrect a key)
+    changes_aligned = _align(
+        wb,
+        [
+            F.col(seq_col).cast("long").alias("__seq"),
+            (F.col(op_col) == "delete").alias("__deleted"),
+            F.col("__b"),
+        ],
+    )
 
-    merged = base_aligned.unionByName(upserts_aligned)
+    # base rows of the affected buckets, with stored metadata
+    base = table.read(buckets=affected, with_meta=True)
+    base_aligned = _align(base, [F.col("__seq"), F.col("__deleted")])
+    base_aligned = base_aligned.withColumn("__b", table.bucket_expr(base_aligned))
+
+    # seq-guarded merge (`WHEN MATCHED AND s.seq > t.seq`), planned as two
+    # joins rather than a re-aggregation so AQE can broadcast the (usually
+    # small) change set at runtime — base rows then never shuffle for the
+    # matching step, only for the bucket-partitioned rewrite:
+    #   1) base ⟕ winners on keys: replace the row iff the change is newer
+    #   2) winners ∖ base keys: brand-new keys (insert or new tombstone)
+    data_cols = [f.name for f in schema.fields]
+    w = changes_aligned.select(
+        *[F.col(k).alias(f"__w_{k}") for k in keys],
+        *[F.col(c).alias(f"__wv_{c}") for c in data_cols if c not in keys],
+        F.col("__seq").alias("__w_seq"),
+        F.col("__deleted").alias("__w_deleted"),
+    )
+    join_cond = None
+    for k in keys:
+        c = base_aligned[k].eqNullSafe(w[f"__w_{k}"])
+        join_cond = c if join_cond is None else (join_cond & c)
+    joined = base_aligned.join(w, join_cond, "left")
+    newer = w["__w_seq"].isNotNull() & (w["__w_seq"] > F.col("__seq"))
+    resolved_cols = [F.col(k) for k in keys]
+    for c in data_cols:
+        if c not in keys:
+            resolved_cols.append(F.when(newer, F.col(f"__wv_{c}")).otherwise(F.col(c)).alias(c))
+    resolved_cols.append(F.when(newer, F.col("__w_seq")).otherwise(F.col("__seq")).alias("__seq"))
+    resolved_cols.append(
+        F.when(newer, F.col("__w_deleted")).otherwise(F.col("__deleted")).alias("__deleted")
+    )
+    resolved_cols.append(F.col("__b"))
+    existing = joined.select(*resolved_cols)
+
+    brand_new = changes_aligned.join(
+        base_aligned.select(*keys), on=keys, how="left_anti"
+    ).select(*keys, *[F.col(c) for c in data_cols if c not in keys], "__seq", "__deleted", "__b")
+
+    merged = existing.unionByName(brand_new)
 
     new_version = table.version + 1
     bucket_files = table.write_buckets(merged, new_version)

@@ -162,14 +162,24 @@ class LakeTable:
         ).cast("int")
 
     # ------------------------------------------------------------ IO
-    def read(self, buckets: list[int] | None = None) -> DataFrame:
+    def read(self, buckets: list[int] | None = None, with_meta: bool = False) -> DataFrame:
         """Read the current snapshot (optionally bucket-pruned) with the
         snapshot schema — missing columns (pre-evolution files) are
-        null-filled, like Iceberg's read-time schema projection."""
+        null-filled, like Iceberg's read-time schema projection.
+
+        Rows carry hidden metadata columns `__seq` (commit sequence of the
+        last writer — the cross-batch LWW guard) and `__deleted`
+        (tombstone flag, so a late lower-seq update cannot resurrect a
+        deleted key). with_meta=True exposes them (merge path)."""
         files = self.all_files() if buckets is None else self.bucket_files(buckets)
         schema = self.schema
         if not files:
-            return self.spark.createDataFrame([], schema)
+            base = self.spark.createDataFrame([], schema)
+            if with_meta:
+                return base.withColumn("__seq", F.lit(None).cast("long")).withColumn(
+                    "__deleted", F.lit(False)
+                )
+            return base
         df = self.spark.read.parquet(*files)
         cols = []
         have = {c.lower() for c in df.columns}
@@ -178,7 +188,16 @@ class LakeTable:
                 cols.append(F.col(f_.name).cast(f_.dataType).alias(f_.name))
             else:
                 cols.append(F.lit(None).cast(f_.dataType).alias(f_.name))
-        return df.select(*cols)
+        if with_meta:
+            cols.append(
+                (F.col("__seq").cast("long") if "__seq" in have else F.lit(-1).cast("long")).alias("__seq")
+            )
+            cols.append(
+                (F.coalesce(F.col("__deleted"), F.lit(False)) if "__deleted" in have else F.lit(False)).alias("__deleted")
+            )
+            return df.select(*cols)
+        out = df.select(*cols, *( [F.col("__deleted")] if "__deleted" in have else [F.lit(False).alias("__deleted")] ))
+        return out.filter(~F.coalesce(F.col("__deleted"), F.lit(False))).drop("__deleted")
 
     def write_buckets(self, df: DataFrame, version: int) -> dict[str, list[str]]:
         """Write df (which must carry an int `__b` bucket column) under

@@ -150,27 +150,22 @@ def simhash(
     ).alias("tok")
     tok_df = df.select(F.col(id_col), toks)
     tok_df = tok_df.withColumn("h", F.xxhash64("tok"))
-    votes = tok_df.select(
-        id_col,
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bits - 1)),
-                lambda b: F.struct(
-                    b.alias("bit"),
-                    F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1)
-                    .otherwise(-1)
-                    .alias("vote"),
-                ),
-            )
-        ).alias("bv"),
-    ).select(id_col, "bv.bit", "bv.vote")
-    bitsum = votes.groupBy(id_col, "bit").agg(F.sum("vote").alias("s"))
-    sig = bitsum.groupBy(id_col).agg(
+    # static unroll over bit positions (bits is a compile-time constant);
+    # one groupBy(id) with `bits` partial sums — a single shuffle
+    bit_votes = [
         F.sum(
-            F.when(F.col("s") > 0, F.shiftleft(F.lit(1).cast("long"), F.col("bit").cast("int"))).otherwise(0)
-        ).alias("simhash")
-    )
-    return sig
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"s{b}")
+        for b in range(bits)
+    ]
+    bitsum = tok_df.groupBy(id_col).agg(*bit_votes)
+    sig_expr = None
+    for b in range(bits):
+        # bit 63 is the sign bit of a 64-bit long (two's complement)
+        weight = (1 << b) if b < 63 else -(1 << 63)
+        term = F.when(F.col(f"s{b}") > 0, F.lit(weight).cast("long")).otherwise(F.lit(0).cast("long"))
+        sig_expr = term if sig_expr is None else sig_expr + term
+    return bitsum.select(F.col(id_col), sig_expr.alias("simhash"))
 
 
 def simhash_candidates(

@@ -28,6 +28,9 @@ class RecipeContext:
     spark: SparkSession | None = None
     errors: list[DataFrame] = field(default_factory=list)
     lookups: dict[str, DataFrame] = field(default_factory=dict)
+    # transient variables (reference aggregates/DefaultTransientStore):
+    # name → compiled TypedCol, usable in later expressions of the recipe
+    variables: dict = field(default_factory=dict)
     step: int = 0
     current_name: str = ""
 
