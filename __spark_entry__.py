@@ -22,7 +22,16 @@ from wrangler_spark.recipe.compiler import compile_recipe
 from wrangler_spark.recipe.registry import RecipeContext
 
 
+def _prep(spark: SparkSession) -> None:
+    """The engine's semantics contract: lenient casts (reference
+    RecordConvertor behavior) and UTC rendering, independent of the
+    host session's defaults. Both are runtime-settable confs."""
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    _prep(spark)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
@@ -327,6 +336,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from wrangler_spark.cdc.replay import final_state_sha256
         from wrangler_spark.lake import LakeTable
 
+        _prep(spark)
         base = tempfile.mkdtemp(prefix="wr_replay_")
         events = generate_events(spark, 2000, n_repos=8, n_paths_per_repo=15, epoch_size=500)
         table = LakeTable.create(
@@ -423,6 +433,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_multimodal(spark, d):
         from wrangler_spark.pipeline.multimodal import extract_features, synthesize_media
 
+        _prep(spark)
         media = synthesize_media(spark, 200)
         return extract_features(media, fake=True).select(
             "media_id", "kind", "width", "height", "n_frames"

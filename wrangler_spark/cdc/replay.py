@@ -42,6 +42,7 @@ class Replayer:
         op_col: str = "op",
         epoch_col: str = "epoch",
         partition_col: str = "source_partition",
+        cache_batches: bool = True,
     ):
         self.table = table
         self.checkpoint_dir = checkpoint_dir
@@ -56,6 +57,12 @@ class Replayer:
         self.op_col = op_col
         self.epoch_col = epoch_col
         self.partition_col = partition_col
+        # one epoch's transformed batch is consumed by several jobs
+        # (watermarks, metrics, dedup, join, write): cache it for the
+        # duration of the epoch. Sized by epoch, not by stream — turn off
+        # for epochs larger than cluster memory (it's only a recompute
+        # saving, never a correctness requirement).
+        self.cache_batches = cache_batches
 
     # ------------------------------------------------------------ checkpoint
     @property
@@ -101,7 +108,7 @@ class Replayer:
         events: DataFrame,
         from_epoch: int | None = None,
         to_epoch: int | None = None,
-        salted: bool = True,
+        salted: bool = False,
         evolve: bool = True,
     ) -> dict:
         """Replay events epoch by epoch. Returns summary metrics.
@@ -141,7 +148,7 @@ class Replayer:
         return total
 
     def replay_epoch(
-        self, events: DataFrame, epoch: int, salted: bool = True, evolve: bool = True
+        self, events: DataFrame, epoch: int, salted: bool = False, evolve: bool = True
     ) -> dict:
         t0 = time.time()
         if epoch in self.table.committed_epochs:
@@ -152,9 +159,13 @@ class Replayer:
             return res
 
         batch = events.filter(F.col(self.epoch_col) == epoch)
+        if self.cache_batches:
+            batch = batch.cache()
         transformed = self._apply_recipe(batch)
 
-        # per-source-partition high-watermark for this epoch
+        # per-source-partition high-watermark for this epoch — over the RAW
+        # batch (consumed source progress), not the recipe output, so a
+        # recipe that filters rows still advances the watermark correctly
         wm_rows = (
             batch.groupBy(self.partition_col).agg(F.max(self.seq_col).alias("hwm")).collect()
             if self.partition_col in batch.columns
@@ -167,7 +178,10 @@ class Replayer:
             op_col=self.op_col,
             epoch=epoch,
             evolve=evolve,
+            salted=salted,
         )
+        if self.cache_batches:
+            batch.unpersist()
 
         ckpt = self.load_checkpoint()
         wms = ckpt["watermarks"]

@@ -109,12 +109,58 @@ def parse_as_json(call: DirectiveCall):
 
 
 def _merged_json_schema(spark, sample: list[str]) -> T.DataType:
-    """Infer one schema covering all sampled JSON docs: single JSON-reader
-    pass over the (tiny, driver-held) sample."""
-    src = spark.createDataFrame([(x,) for x in sample], "j string")
-    inferred = spark.read.json(src.rdd.map(lambda r: r[0] or "{}")).schema
-    drop_corrupt = [f for f in inferred.fields if f.name != "_corrupt_record"]
-    return T.StructType(drop_corrupt)
+    """Infer one schema covering all sampled JSON docs — pure driver-side
+    Python over the (tiny) sample: zero Spark jobs, unlike the JSON
+    reader's RDD round-trip."""
+    import json as _json
+
+    merged: T.DataType | None = None
+    for doc in sample:
+        try:
+            obj = _json.loads(doc)
+        except Exception:  # noqa: BLE001
+            continue
+        t = _py_to_spark_type(obj)
+        merged = t if merged is None else _merge_types(merged, t)
+    if merged is None or not isinstance(merged, T.StructType):
+        return T.StructType()
+    return _denull(merged)
+
+
+def _denull(t: T.DataType) -> T.DataType:
+    """from_json can't take NullType leaves (all-null sample) → string."""
+    if isinstance(t, T.NullType):
+        return T.StringType()
+    if isinstance(t, T.StructType):
+        return T.StructType([T.StructField(f.name, _denull(f.dataType), True) for f in t.fields])
+    if isinstance(t, T.ArrayType):
+        return T.ArrayType(_denull(t.elementType), True)
+    if isinstance(t, T.MapType):
+        return T.MapType(_denull(t.keyType), _denull(t.valueType), True)
+    return t
+
+
+def _py_to_spark_type(v) -> T.DataType:
+    if v is None:
+        return T.NullType()
+    if isinstance(v, bool):
+        return T.BooleanType()
+    if isinstance(v, int):
+        return T.LongType()
+    if isinstance(v, float):
+        return T.DoubleType()
+    if isinstance(v, str):
+        return T.StringType()
+    if isinstance(v, list):
+        et: T.DataType = T.NullType()
+        for x in v:
+            et = _merge_types(et, _py_to_spark_type(x))
+        return T.ArrayType(et if not isinstance(et, T.NullType) else T.StringType(), True)
+    if isinstance(v, dict):
+        return T.StructType(
+            [T.StructField(str(k), _py_to_spark_type(x), True) for k, x in v.items()]
+        )
+    return T.StringType()
 
 
 def _merge_types(a: T.DataType, b: T.DataType) -> T.DataType:

@@ -255,7 +255,11 @@ class LakeTable:
         op_col: str = "op",
         epoch: int | None = None,
         evolve: bool = True,
+        salted: bool = False,
     ) -> dict:
         from wrangler_spark.lake.merge import merge_into
 
-        return merge_into(self, changes, seq_col=seq_col, op_col=op_col, epoch=epoch, evolve=evolve)
+        return merge_into(
+            self, changes, seq_col=seq_col, op_col=op_col, epoch=epoch,
+            evolve=evolve, salted=salted,
+        )

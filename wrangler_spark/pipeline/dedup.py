@@ -67,12 +67,20 @@ def minhash_signatures(
     F.transform + F.array_min over the shingle array per row (narrow,
     no shuffle at all).
     """
+    max_long = (1 << 63) - 1
     sh = _shingles(text_col, shingle_k)
-    sig = F.array(
-        *[
-            F.array_min(F.transform(sh, lambda s, i=i: F.xxhash64(s, F.lit(i))))
-            for i in range(num_hashes)
-        ]
+    # one pass over the shingle array: fold elementwise minimum of the
+    # per-shingle seeded-hash vector. The shingle expression appears ONCE
+    # in the plan (vs once per hash function), which matters: shingling is
+    # O(words·k) string work per row.
+    sig = F.aggregate(
+        sh,
+        F.array(*[F.lit(max_long).cast("long") for _ in range(num_hashes)]),
+        lambda acc, s: F.zip_with(
+            acc,
+            F.array(*[F.xxhash64(s, F.lit(i)) for i in range(num_hashes)]),
+            lambda a, b: F.least(a, b),
+        ),
     )
     return df.select(F.col(id_col), sig.alias("sig"))
 
@@ -87,24 +95,8 @@ def minhash_lsh_pairs(
 ) -> DataFrame:
     """Candidate near-dup pairs via LSH banding: docs sharing any band
     bucket. Returns (id_a, id_b, band-agnostic distinct pairs), id_a < id_b."""
-    rows = num_hashes // bands
     sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k)
-    banded = sigs.select(
-        id_col,
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            F.concat_ws(",", *[F.col("sig").getItem(b * rows + r).cast("string") for r in range(rows)])
-                        ).alias("bucket"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select(id_col, "bb.band", "bb.bucket")
+    banded = _banded(sigs, id_col, num_hashes, bands)
     a = banded.alias("a")
     b = banded.alias("b")
     pairs = (
@@ -120,6 +112,29 @@ def minhash_lsh_pairs(
     return pairs
 
 
+def _banded(sigs: DataFrame, id_col: str, num_hashes: int, bands: int) -> DataFrame:
+    rows = num_hashes // bands
+    return sigs.select(
+        id_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(
+                                ",",
+                                *[F.col("sig").getItem(b * rows + r).cast("string") for r in range(rows)],
+                            )
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "bb.band", "bb.bucket")
+
+
 def minhash_dedup(
     df: DataFrame,
     text_col: str = "text",
@@ -128,12 +143,22 @@ def minhash_dedup(
     bands: int = 16,
     shingle_k: int = 5,
 ) -> DataFrame:
-    """Drop near-duplicates: for every LSH candidate pair keep the lower
-    id (single connected-component approximation via min-id union of
-    direct neighbors — the standard one-pass variant; full transitive
-    closure would iterate)."""
-    pairs = minhash_lsh_pairs(df, text_col, id_col, num_hashes, bands, shingle_k)
-    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    """Drop near-duplicates: within each LSH band bucket keep only the
+    min-id document (single-pass connected-component approximation).
+
+    Deliberately NOT pair-based: a bucket of n near-identical docs would
+    produce n² candidate pairs; the per-bucket min-id aggregation keeps
+    it O(n) — the shape that survives a corpus where 30% of documents are
+    boilerplate clones. Full transitive closure would iterate this."""
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k)
+    banded = _banded(sigs, id_col, num_hashes, bands)
+    mins = banded.groupBy("band", "bucket").agg(F.min(id_col).alias("__keep"))
+    losers = (
+        banded.join(mins, on=["band", "bucket"])
+        .filter(F.col(id_col) > F.col("__keep"))
+        .select(id_col)
+        .distinct()
+    )
     return df.join(losers, on=id_col, how="left_anti")
 
 

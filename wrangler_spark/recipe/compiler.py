@@ -51,8 +51,28 @@ class CompiledRecipe:
 
 def compile_recipe(recipe: str | list[str]) -> CompiledRecipe:
     calls = parse_recipe(recipe)
+    if calls:
+        _load_udds(calls[0].pragmas.get("load_directives", []))
     transforms = [registry.lookup(c.name)(c) for c in calls]
     return CompiledRecipe(calls=calls, transforms=transforms)
+
+
+def _load_udds(names: list[str]) -> None:
+    """User-defined directives (SURVEY.md §2.10): `#pragma load-directives
+    my-module;` imports the Python module `my_module` (shipped via
+    --py-files), whose import registers directives through the same
+    @directive decorator as system ones — the UDD equivalent of the
+    reference's artifact classloading (registry/UserDirectiveRegistry.java)."""
+    import importlib
+
+    for name in names:
+        mod = name.replace("-", "_")
+        try:
+            importlib.import_module(mod)
+        except ImportError:
+            # the pragma may name individual directives provided by an
+            # already-imported module — resolution happens at lookup()
+            continue
 
 
 def execute(

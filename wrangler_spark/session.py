@@ -43,7 +43,10 @@ def get_spark(
         # Case-insensitive column resolution matches the reference's
         # Row.find() equalsIgnoreCase semantics (SURVEY.md §1.1).
         .config("spark.sql.caseSensitive", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        # local mode runs executors as threads in the driver JVM: size the
+        # heap for (threads × parquet write buffers) or concurrent writers
+        # GC-thrash — observed inverting 8→32-core scaling at 8g
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():
