@@ -1,0 +1,114 @@
+"""End-to-end test of the spark-submit deployment shape.
+
+Builds the --py-files zip, then drives gen-events → init-table →
+replay (half the epochs) via `python -m wrangler_spark`, finishes the
+replay with a REAL `spark-submit --py-files dist.zip scripts/replay_job.py`
+invocation run from a foreign cwd (so the engine import must come from
+the zip), and checks the final table digest against the all-at-once
+in-process oracle.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+N_EVENTS = 10_000
+EPOCH_SIZE = 2_500  # -> 4 epochs
+
+
+def _run(cmd, cwd=REPO, env_extra=None):
+    env = dict(os.environ)
+    env["SPARK_GRAFT_CPUS"] = "4"
+    env["SPARK_DRIVER_MEM"] = "2g"
+    env.setdefault("PYTHONPATH", REPO)
+    if env_extra:
+        env.update(env_extra)
+    out = subprocess.run(
+        cmd, cwd=cwd, env=env, capture_output=True, text=True, timeout=420
+    )
+    assert out.returncode == 0, f"{cmd}\nSTDOUT:{out.stdout[-2000:]}\nSTDERR:{out.stderr[-4000:]}"
+    # last JSON line of stdout is the command's result
+    for line in reversed(out.stdout.strip().splitlines()):
+        line = line.strip()
+        if line.startswith("{"):
+            return json.loads(line)
+    return {}
+
+
+def _spark_submit() -> str | None:
+    for cand in (shutil.which("spark-submit"), "/opt/spark/bin/spark-submit"):
+        if cand and os.path.exists(cand):
+            return cand
+    import pyspark
+
+    p = os.path.join(os.path.dirname(pyspark.__file__), "bin", "spark-submit")
+    return p if os.path.exists(p) else None
+
+
+@pytest.mark.slow
+def test_spark_submit_deployment(tmp_path, spark):
+    events_dir = str(tmp_path / "events")
+    table_dir = str(tmp_path / "table")
+    ckpt_dir = str(tmp_path / "ckpt")
+
+    # package for --py-files
+    zres = _run([sys.executable, "-m", "wrangler_spark", "package",
+                 "--out", str(tmp_path / "wrangler_spark.zip")])
+    zip_path = zres["zip"]
+    assert os.path.exists(zip_path)
+
+    _run([sys.executable, "-m", "wrangler_spark", "gen-events",
+          "--out", events_dir, "--n", str(N_EVENTS),
+          "--epoch-size", str(EPOCH_SIZE), "--repos", "10", "--paths", "40"])
+    assert os.path.isdir(os.path.join(events_dir, "epoch=0"))
+
+    _run([sys.executable, "-m", "wrangler_spark", "init-table",
+          "--table", table_dir, "--buckets", "8"])
+
+    # first half of the epochs in-process
+    r1 = _run([sys.executable, "-m", "wrangler_spark", "replay",
+               "--events", events_dir, "--table", table_dir,
+               "--checkpoint", ckpt_dir, "--to-epoch", "1"])
+    assert r1["epochs"] == 2 and r1["skipped_epochs"] == 0
+
+    # remaining epochs via genuine spark-submit --py-files, from a cwd
+    # that does NOT contain the package — imports must resolve from zip
+    ss = _spark_submit()
+    if ss is None:
+        pytest.skip("spark-submit not available")
+    sres = _run(
+        [ss, "--master", "local[4]", "--py-files", zip_path,
+         os.path.join(REPO, "scripts", "replay_job.py"),
+         "replay", "--events", events_dir, "--table", table_dir,
+         "--checkpoint", ckpt_dir],
+        cwd=str(tmp_path),
+        env_extra={"PYTHONPATH": ""},
+    )
+    assert sres["epochs"] == 2 and sres["skipped_epochs"] == 0
+
+    v = _run([sys.executable, "-m", "wrangler_spark", "verify", "--table", table_dir])
+
+    # oracle: all-at-once expected state in-process
+    from wrangler_spark.cdc.events import expected_final_state, generate_events
+    from wrangler_spark.cdc.replay import final_state_sha256
+    from pyspark.sql import functions as F
+
+    ev = generate_events(spark, N_EVENTS, n_repos=10, n_paths_per_repo=40,
+                         epoch_size=EPOCH_SIZE)
+    exp = final_state_sha256(expected_final_state(ev))
+    digest = exp.agg(
+        F.sha2(F.concat_ws("", F.sort_array(F.collect_list(
+            F.concat_ws("|", "repo", "path", "content_sha256")))), 256
+        ).alias("table_sha256"),
+        F.count(F.lit(1)).alias("rows"),
+    ).first()
+    assert v["rows"] == digest["rows"]
+    assert v["table_sha256"] == digest["table_sha256"]

@@ -1,0 +1,241 @@
+"""spark-submit entry point for the CDC replay engine.
+
+The north-rule deployment shape (BASELINE.json): the engine runs via
+
+    spark-submit --py-files dist/wrangler_spark.zip scripts/replay_job.py \
+        replay --events /data/events --table /lake/repo_files \
+        --checkpoint /ckpt/run1 --recipe recipes/clean.wgl
+
+on a multi-executor cluster. Subcommands:
+
+- gen-events   deterministic change-event generator → parquet
+               (epoch-partitioned so per-epoch reads partition-prune)
+- init-table   create the LakeTable (hash-bucketed on the key)
+- replay       epoch-fenced batch replay (resumable from checkpoint)
+- stream       Structured-Streaming replay (readStream → foreachBatch)
+- verify       per-row sha256 projection of the final table state
+- package      zip wrangler_spark/ for --py-files
+
+Everything the job needs ships in the zip; no cluster-side installs.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def _spark(args):
+    from wrangler_spark.session import get_spark
+
+    extra = {}
+    if getattr(args, "conf", None):
+        for kv in args.conf:
+            k, _, v = kv.partition("=")
+            extra[k] = v
+    return get_spark(app_name="wrangler-spark-cli", extra_conf=extra)
+
+
+def _read_recipe(path: str | None) -> list[str] | None:
+    if not path:
+        return None
+    with open(path) as f:
+        return [
+            ln.strip()
+            for ln in f
+            if ln.strip() and not ln.strip().startswith("//")
+        ]
+
+
+def cmd_gen_events(args) -> int:
+    from wrangler_spark.cdc.events import generate_events
+
+    spark = _spark(args)
+    df = generate_events(
+        spark,
+        n=args.n,
+        n_repos=args.repos,
+        n_paths_per_repo=args.paths,
+        epoch_size=args.epoch_size,
+        n_source_partitions=args.source_partitions,
+        seed=args.seed,
+    )
+    # epoch-partitioned layout: replay_epoch's `epoch == e` filter becomes
+    # a partition-directory prune instead of a full scan
+    df.write.mode("overwrite").partitionBy("epoch").parquet(args.out)
+    print(json.dumps({"written": args.out, "events": args.n}))
+    return 0
+
+
+def cmd_init_table(args) -> int:
+    from wrangler_spark.cdc.events import repo_files_schema
+    from wrangler_spark.lake.table import LakeTable
+
+    spark = _spark(args)
+    if LakeTable.exists(args.table):
+        print(json.dumps({"table": args.table, "existed": True}))
+        return 0
+    t = LakeTable.create(
+        spark,
+        args.table,
+        repo_files_schema(),
+        key_cols=args.keys.split(","),
+        num_buckets=args.buckets,
+    )
+    print(json.dumps({"table": args.table, "version": t.version, "buckets": args.buckets}))
+    return 0
+
+
+def cmd_replay(args) -> int:
+    from wrangler_spark.cdc.replay import Replayer
+    from wrangler_spark.lake.table import LakeTable
+
+    spark = _spark(args)
+    table = LakeTable.load(spark, args.table)
+    events = spark.read.parquet(args.events)
+    rp = Replayer(table, args.checkpoint, recipe=_read_recipe(args.recipe))
+    res = rp.replay(
+        events,
+        from_epoch=args.from_epoch,
+        to_epoch=args.to_epoch,
+        salted=args.salted,
+    )
+    print(json.dumps(res))
+    return 0
+
+
+def cmd_stream(args) -> int:
+    from wrangler_spark.lake.table import LakeTable
+    from wrangler_spark.streaming.replay import stream_replay
+
+    spark = _spark(args)
+    table = LakeTable.load(spark, args.table)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(args.events).schema)
+        .option("maxFilesPerTrigger", args.max_files_per_trigger)
+        .parquet(args.events)
+    )
+    q = stream_replay(
+        stream,
+        table,
+        args.checkpoint,
+        recipe=_read_recipe(args.recipe),
+        trigger_available_now=True,
+    )
+    q.awaitTermination()
+    print(json.dumps({"table": args.table, "version": LakeTable.load(spark, args.table).version}))
+    return 0
+
+
+def cmd_verify(args) -> int:
+    from pyspark.sql import functions as F
+
+    from wrangler_spark.cdc.replay import final_state_sha256
+    from wrangler_spark.lake.table import LakeTable
+
+    spark = _spark(args)
+    table = LakeTable.load(spark, args.table)
+    sha = final_state_sha256(table.read())
+    if args.out:
+        sha.repartition(1).sortWithinPartitions("repo", "path").write.mode(
+            "overwrite"
+        ).parquet(args.out)
+    digest = sha.agg(
+        F.sha2(
+            F.concat_ws(
+                "", F.sort_array(F.collect_list(F.concat_ws("|", "repo", "path", "content_sha256")))
+            ),
+            256,
+        ).alias("table_sha256"),
+        F.count(F.lit(1)).alias("rows"),
+    ).first()
+    print(json.dumps({"rows": digest["rows"], "table_sha256": digest["table_sha256"]}))
+    return 0
+
+
+def cmd_package(args) -> int:
+    print(json.dumps({"zip": package_pyfiles(args.out)}))
+    return 0
+
+
+def package_pyfiles(out: str | None = None) -> str:
+    """Zip the wrangler_spark package for spark-submit --py-files."""
+    import zipfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    repo = os.path.dirname(pkg_dir)
+    out = out or os.path.join(repo, "dist", "wrangler_spark.zip")
+    os.makedirs(os.path.dirname(out), exist_ok=True)
+    with zipfile.ZipFile(out, "w", zipfile.ZIP_DEFLATED) as z:
+        for root, _dirs, files in os.walk(pkg_dir):
+            if "__pycache__" in root:
+                continue
+            for fn in files:
+                if not fn.endswith(".py"):
+                    continue
+                full = os.path.join(root, fn)
+                rel = os.path.relpath(full, repo)
+                z.write(full, rel)
+    return out
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="wrangler-spark")
+    p.add_argument("--conf", action="append", help="extra spark conf k=v", default=None)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    g = sub.add_parser("gen-events", help="deterministic change-event generator")
+    g.add_argument("--out", required=True)
+    g.add_argument("--n", type=int, required=True)
+    g.add_argument("--repos", type=int, default=50)
+    g.add_argument("--paths", type=int, default=200)
+    g.add_argument("--epoch-size", type=int, default=100_000)
+    g.add_argument("--source-partitions", type=int, default=16)
+    g.add_argument("--seed", type=int, default=42)
+    g.set_defaults(fn=cmd_gen_events)
+
+    i = sub.add_parser("init-table", help="create the lake table")
+    i.add_argument("--table", required=True)
+    i.add_argument("--keys", default="repo,path")
+    i.add_argument("--buckets", type=int, default=64)
+    i.set_defaults(fn=cmd_init_table)
+
+    r = sub.add_parser("replay", help="epoch-fenced batch replay")
+    r.add_argument("--events", required=True)
+    r.add_argument("--table", required=True)
+    r.add_argument("--checkpoint", required=True)
+    r.add_argument("--recipe", default=None, help="recipe file (one directive per line)")
+    r.add_argument("--from-epoch", type=int, default=None)
+    r.add_argument("--to-epoch", type=int, default=None)
+    r.add_argument("--salted", action="store_true")
+    r.set_defaults(fn=cmd_replay)
+
+    s = sub.add_parser("stream", help="structured-streaming replay")
+    s.add_argument("--events", required=True)
+    s.add_argument("--table", required=True)
+    s.add_argument("--checkpoint", required=True)
+    s.add_argument("--recipe", default=None)
+    s.add_argument("--max-files-per-trigger", type=int, default=8)
+    s.set_defaults(fn=cmd_stream)
+
+    v = sub.add_parser("verify", help="sha256 projection / whole-table digest")
+    v.add_argument("--table", required=True)
+    v.add_argument("--out", default=None)
+    v.set_defaults(fn=cmd_verify)
+
+    z = sub.add_parser("package", help="zip package for --py-files")
+    z.add_argument("--out", default=None)
+    z.set_defaults(fn=cmd_package)
+
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())
