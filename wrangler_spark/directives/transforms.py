@@ -310,9 +310,12 @@ def mask_number(call: DirectiveCall):
     index-sync semantics of the reference (MaskNumber.java:121-147):
     '#' copies the input char and advances; 'x'/'X' emits lowercase 'x'
     and advances; any other pattern char is emitted and consumes the
-    input char only when it matches. Unrolled into a compile-time
-    Column state machine — pattern length is static, so this stays
-    fully inside whole-stage codegen."""
+    input char only when it matches. Executed as an `aggregate` fold
+    over the (static) mask chars with a (index, output) struct
+    accumulator: codegen emits one small loop body, so the generated
+    method stays linear in size regardless of mask length (a naive
+    per-char `when`-unroll nests the index expression exponentially and
+    blows the JVM 64 KB method limit → interpreted fallback)."""
     col = call.col(0)
     mask = call.text(1)
 
@@ -320,20 +323,27 @@ def mask_number(call: DirectiveCall):
         c = _require(df, col)
         s = F.col(c).cast("string")
         ln = F.length(s)
-        idx = F.lit(0)
-        parts = []
-        for ch in mask:
-            if ch == "#":
-                parts.append(F.when(idx <= ln - 1, F.substring(s, idx + 1, 1)).otherwise(F.lit("")))
-                idx = F.when(idx <= ln - 1, idx + 1).otherwise(idx)
-            elif ch in ("x", "X"):
-                parts.append(F.lit("x"))
-                idx = idx + 1
-            else:
-                adv = (idx < ln) & (F.substring(s, idx + 1, 1) == ch)
-                parts.append(F.lit(ch))
-                idx = F.when(adv, idx + 1).otherwise(idx)
-        masked = F.concat(*parts) if parts else F.lit("")
+        chars = F.array(*[F.lit(ch) for ch in mask])
+        init = F.struct(F.lit(0).cast("int").alias("i"), F.lit("").alias("o"))
+
+        def step(acc, ch):
+            i, o = acc["i"], acc["o"]
+            at = F.substring(s, i + F.lit(1), F.lit(1))
+            is_hash = ch == "#"
+            is_x = (ch == "x") | (ch == "X")
+            within = i < ln
+            emit = (
+                F.when(is_hash, F.when(within, at).otherwise(F.lit("")))
+                .when(is_x, F.lit("x"))
+                .otherwise(ch)
+            )
+            adv = (
+                F.when(is_hash | is_x, F.when(within | is_x, i + 1).otherwise(i))
+                .otherwise(F.when(within & (at == ch), i + 1).otherwise(i))
+            )
+            return F.struct(adv.cast("int").alias("i"), F.concat(o, emit).alias("o"))
+
+        masked = F.aggregate(chars, init, step)["o"] if mask else F.lit("")
         return df.withColumn(c, F.when(s.isNull(), None).otherwise(masked))
 
     return tr
