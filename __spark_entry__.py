@@ -440,6 +440,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["multimodal_features"] = q_multimodal
 
+    # ---- transient variables (SURVEY §2.6), URL/writer/name surfaces
+    def q_set_variable(spark, d):
+        return _run(
+            spark, _t(spark, d, "documents"),
+            [
+                "set-variable v exp:{n_chars * 2}",
+                "set-column :dbl exp:{v + 1}",
+                "keep :doc_id,:dbl",
+            ],
+        )
+    q["set_variable"] = q_set_variable
+
+    def q_split_url(spark, d):
+        return _run(
+            spark, _t(spark, d, "documents"),
+            [
+                "set-column :url concat('https://', source, '/docs/', lang, '?q=', doc_id)",
+                "split-url :url",
+                "keep :doc_id,:url_protocol,:url_host,:url_path,:url_query",
+            ],
+        )
+    q["split_url"] = q_split_url
+
+    def q_flatten(spark, d):
+        df = _t(spark, d, "documents").withColumn(
+            "a1", F.split(F.col("lang"), "")
+        ).withColumn("a2", F.split(F.col("source"), ""))
+        return _run(spark, df, ["flatten :a1,:a2", "keep :doc_id,:a1,:a2"])
+    q["flatten"] = q_flatten
+
+    def q_write_as_csv(spark, d):
+        return _run(
+            spark, _t(spark, d, "nation"),
+            ["keep :n_nationkey,:n_name", "write-as-csv :rec", "keep :n_nationkey,:rec"],
+        )
+    q["write_as_csv"] = q_write_as_csv
+
+    def q_columns_replace(spark, d):
+        return _run(
+            spark, _t(spark, d, "lineitem"),
+            ["columns-replace 's/^l_/x_/'", "keep :x_orderkey,:x_linenumber,:x_quantity"],
+        )
+    q["columns_replace"] = q_columns_replace
+
+    def q_encode_hex(spark, d):
+        return _run(
+            spark, _t(spark, d, "documents"),
+            ["encode hex :lang", "keep :doc_id,:lang_encode_hex"],
+        )
+    q["encode_hex"] = q_encode_hex
+
     return q
 
 
@@ -564,9 +615,68 @@ def oracle_sql() -> dict[str, str]:
             "ELSE len(string_split_regex(trim(text), '\\s+')) END AS INTEGER) AS n_tokens, "
             "CAST(length(text) AS INTEGER) AS len_chars FROM documents"
         ),
-        # lang_id / quality / fingerprint / dedup_minhash / simhash /
-        # ngram_jaccard / ann_lsh / cdc_replay / multimodal_features: not
-        # SQL-expressible (heuristic scoring, LSH banding, xxhash64
-        # rolling fingerprints, stateful replay, pandas UDFs) →
+        "set_variable": "SELECT doc_id, n_chars * 2 + 1 AS dbl FROM documents",
+        "split_url": (
+            "SELECT doc_id, 'https' AS url_protocol, source AS url_host, "
+            "'/docs/' || lang AS url_path, 'q=' || CAST(doc_id AS VARCHAR) AS url_query "
+            "FROM documents"
+        ),
+        "flatten": (
+            "WITH b AS (SELECT doc_id, string_split(lang, '') AS a1, "
+            "string_split(source, '') AS a2 FROM documents) "
+            "SELECT doc_id, a1[i] AS a1, a2[i] AS a2 "
+            "FROM b, generate_series(1, greatest(len(a1), len(a2))) AS g(i)"
+        ),
+        "write_as_csv": (
+            "SELECT n_nationkey, CAST(n_nationkey AS VARCHAR) || ',' || n_name AS rec "
+            "FROM nation"
+        ),
+        "columns_replace": (
+            "SELECT l_orderkey AS x_orderkey, l_linenumber AS x_linenumber, "
+            "l_quantity AS x_quantity FROM lineitem"
+        ),
+        "encode_hex": "SELECT doc_id, lower(hex(lang)) AS lang_encode_hex FROM documents",
+        # lang_id: stopword-hit language heuristic; Spark's
+        # array_max(struct(hits, lang)) tie-breaks to the
+        # lexicographically-greatest lang, mirrored by the CASE ladder
+        # evaluated in fr > es > en > de order with >= comparisons.
+        "lang_id": (
+            "WITH toks AS (SELECT doc_id, list_distinct(string_split_regex("
+            "lower(trim(regexp_replace(text, '[^\\w\\s'']', ' ', 'g'))), '\\s+')) AS tk "
+            "FROM documents), hits AS (SELECT doc_id, "
+            "len(list_intersect(tk, ['the','and','of','to','in','is','that','it','for','was'])) AS h_en, "
+            "len(list_intersect(tk, ['der','die','und','das','ist','nicht','mit','ein','zu','den'])) AS h_de, "
+            "len(list_intersect(tk, ['le','la','les','et','est','pas','pour','que','une','dans'])) AS h_fr, "
+            "len(list_intersect(tk, ['el','la','los','que','de','no','es','por','una','para'])) AS h_es "
+            "FROM toks) SELECT doc_id, CASE "
+            "WHEN greatest(h_en, h_de, h_fr, h_es) = 0 THEN 'unknown' "
+            "WHEN h_fr >= h_es AND h_fr >= h_en AND h_fr >= h_de THEN 'fr' "
+            "WHEN h_es >= h_en AND h_es >= h_de THEN 'es' "
+            "WHEN h_en >= h_de THEN 'en' ELSE 'de' END AS lang_guess FROM hits"
+        ),
+        # quality: length band + alpha ratio + stopword presence +
+        # punctuation sanity, rounded to 4 decimals on both sides
+        "quality": (
+            "WITH b AS (SELECT doc_id, coalesce(text, '') AS s FROM documents), "
+            "m AS (SELECT doc_id, length(s) AS n, "
+            "length(regexp_replace(s, '[^A-Za-zÀ-ÿ]', '', 'g')) AS n_alpha, "
+            "length(regexp_replace(s, '[^.,;:!?]', '', 'g')) AS n_punct, "
+            "CASE WHEN length(trim(s)) = 0 THEN 0 "
+            "ELSE len(string_split_regex(trim(s), '\\s+')) END AS n_words, "
+            "len(list_intersect(list_distinct(string_split_regex("
+            "lower(trim(regexp_replace(s, '[^\\w\\s'']', ' ', 'g'))), '\\s+')), "
+            "['the','and','of','to','in','is','that','it','for','was'])) AS stop_hits "
+            "FROM b) SELECT doc_id, round("
+            "0.3 * (CASE WHEN n BETWEEN 50 AND 100000 THEN 1.0 "
+            "WHEN n BETWEEN 20 AND 49 THEN 0.5 ELSE 0.0 END) + "
+            "0.3 * (CASE WHEN n > 0 THEN n_alpha / n ELSE 0.0 END) + "
+            "0.2 * least(1.0, stop_hits / 3.0) + "
+            "0.2 * (CASE WHEN n_words > 0 THEN least(1.0, 5.0 * n_punct / n_words) "
+            "ELSE 0.0 END), 4) AS quality FROM m"
+        ),
+        # fingerprint / dedup_minhash / simhash / ngram_jaccard / ann_lsh
+        # / cdc_replay / multimodal_features: not SQL-expressible
+        # (xxhash64 rolling fingerprints and LSH banding have no DuckDB
+        # hash-compatible equivalent; stateful replay; pandas UDFs) →
         # rows-only checks.
     }

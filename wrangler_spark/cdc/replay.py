@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import json
 import os
+import threading
 import time
 
 from pyspark.sql import DataFrame, SparkSession
@@ -42,7 +43,7 @@ class Replayer:
         op_col: str = "op",
         epoch_col: str = "epoch",
         partition_col: str = "source_partition",
-        cache_batches: bool = True,
+        cache_batches: bool = False,
     ):
         self.table = table
         self.checkpoint_dir = checkpoint_dir
@@ -57,12 +58,16 @@ class Replayer:
         self.op_col = op_col
         self.epoch_col = epoch_col
         self.partition_col = partition_col
-        # one epoch's transformed batch is consumed by several jobs
-        # (watermarks, metrics, dedup, join, write): cache it for the
-        # duration of the epoch. Sized by epoch, not by stream — turn off
-        # for epochs larger than cluster memory (it's only a recompute
-        # saving, never a correctness requirement).
+        # optionally cache one epoch's raw batch across its consumers
+        # (watermark/metrics agg, dedup, join, write). Default OFF:
+        # measured on local[32] the deserialized cache's block/memory-
+        # manager contention cost MORE than recomputing the narrow
+        # read+transform (63K ev/s cached vs 91K uncached at 4M events);
+        # columnar parquet re-reads are cheap and pruned. Turn on for
+        # expensive recipes over slow sources.
         self.cache_batches = cache_batches
+        # previous epoch's LWW winner count — broadcast-decision hint
+        self._last_keys: int | None = None
 
     # ------------------------------------------------------------ checkpoint
     @property
@@ -163,14 +168,50 @@ class Replayer:
             batch = batch.cache()
         transformed = self._apply_recipe(batch)
 
-        # per-source-partition high-watermark for this epoch — over the RAW
-        # batch (consumed source progress), not the recipe output, so a
-        # recipe that filters rows still advances the watermark correctly
-        wm_rows = (
-            batch.groupBy(self.partition_col).agg(F.max(self.seq_col).alias("hwm")).collect()
+        # per-source-partition high-watermark AND lineage for this epoch —
+        # over the RAW batch (consumed source progress), not the recipe
+        # output, so a recipe that filters rows still advances the
+        # watermark correctly. One agg job yields the watermarks, the
+        # per-partition lineage, AND the batch-level metrics (summed from
+        # the partitions), so the merge skips its own full-batch scan.
+        # The job runs on a BACKGROUND thread, concurrent with the merge
+        # (SparkContext job submission is thread-safe); the merge resolves
+        # it only at commit time.
+        group = (
+            [self.partition_col]
             if self.partition_col in batch.columns
-            else []
+            else [F.lit(0).alias("__p")]
         )
+        wm_agg = batch.groupBy(*group).agg(
+            F.max(self.seq_col).alias("hwm"),
+            F.count(F.lit(1)).alias("events"),
+            F.sum(F.when(F.col(self.op_col) == "insert", 1).otherwise(0)).alias("inserts"),
+            F.sum(F.when(F.col(self.op_col) == "update", 1).otherwise(0)).alias("updates"),
+            F.sum(F.when(F.col(self.op_col) == "delete", 1).otherwise(0)).alias("deletes"),
+        )
+        wm_box: dict = {}
+
+        def _wm_job():
+            try:
+                wm_box["rows"] = wm_agg.collect()
+            except BaseException as e:  # noqa: BLE001 — re-raised on join
+                wm_box["error"] = e
+
+        wm_thread = threading.Thread(target=_wm_job, daemon=True)
+        wm_thread.start()
+
+        def _resolve_metrics() -> dict:
+            wm_thread.join()
+            if "error" in wm_box:
+                raise wm_box["error"]
+            rows = wm_box["rows"]
+            return {
+                "events": sum(r["events"] for r in rows),
+                "inserts": sum(r["inserts"] for r in rows),
+                "updates": sum(r["updates"] for r in rows),
+                "deletes": sum(r["deletes"] for r in rows),
+                "max_seq": max((r["hwm"] for r in rows), default=None),
+            }
 
         res = self.table.merge(
             transformed.drop(self.epoch_col),
@@ -179,19 +220,41 @@ class Replayer:
             epoch=epoch,
             evolve=evolve,
             salted=salted,
+            metrics=_resolve_metrics,
+            # previous epoch's winner count (×4 safety) lets the LWW
+            # broadcast decision skip its sizing job in steady state
+            broadcast_hint_keys=(self._last_keys * 4 if self._last_keys else None),
         )
+        self._last_keys = res.get("keys") or self._last_keys
+        wm_rows = wm_box.get("rows", [])
         if self.cache_batches:
             batch.unpersist()
 
+        has_parts = self.partition_col in batch.columns
+
         ckpt = self.load_checkpoint()
         wms = ckpt["watermarks"]
-        for r in wm_rows:
-            pid = str(r[self.partition_col])
-            wms[pid] = max(int(wms.get(pid, -1)), int(r["hwm"]))
+        if has_parts:
+            for r in wm_rows:
+                pid = str(r[self.partition_col])
+                wms[pid] = max(int(wms.get(pid, -1)), int(r["hwm"]))
         self.save_checkpoint(epoch, wms)
 
         res["elapsed_sec"] = time.time() - t0
         res["recipe_steps"] = len(self.recipe.calls) if self.recipe else 0
+        # per-source-partition lineage (north rule): events consumed, op
+        # breakdown, and the high-watermark each partition reached
+        if has_parts:
+            res["partitions"] = {
+                str(r[self.partition_col]): {
+                    "events": int(r["events"]),
+                    "inserts": int(r["inserts"]),
+                    "updates": int(r["updates"]),
+                    "deletes": int(r["deletes"]),
+                    "hwm": int(r["hwm"]),
+                }
+                for r in wm_rows
+            }
         self._append_metrics(res)
         return res
 

@@ -35,6 +35,9 @@ def lww_dedup(
     salted: bool = False,
     salt_buckets: int = 16,
     unique_seq: bool = True,
+    broadcast_keys_max: int = 0,
+    assume_keys: int | None = None,
+    _handles: list | None = None,
 ) -> DataFrame:
     """One row per key: the change with max seq (last writer wins).
 
@@ -53,6 +56,16 @@ def lww_dedup(
     single-key floods. `unique_seq=False` switches to a window row_number
     for sources whose (key, seq) pairs can tie (a real binlog's commit
     sequence is unique, so the default assumes uniqueness).
+
+    `broadcast_keys_max` > 0 enables a manual runtime-stats broadcast:
+    the (keys, max-seq) agg is cached and counted — a job over key+seq
+    bytes only — and when the distinct-key count is at most the bound
+    the join-back build side is broadcast EXPLICITLY. AQE's own
+    SMJ→BHJ conversion decides too late to save the payload stream's
+    shuffle WRITE (both query stages materialize concurrently); the
+    static hint keeps the full payload entirely shuffle-free, which
+    measured ~2× on the whole replay. Caller must unpersist the handle
+    appended to `_handles` after the merge materializes.
     """
     if not unique_seq:
         from pyspark.sql.window import Window
@@ -72,6 +85,19 @@ def lww_dedup(
         mx = stage1.groupBy(*key_cols).agg(F.max(seq_col).alias(seq_col))
     else:
         mx = proj.groupBy(*key_cols).agg(F.max(seq_col).alias(seq_col))
+    if broadcast_keys_max:
+        if assume_keys is not None:
+            # caller-supplied key-count bound (e.g. the replayer's
+            # previous-epoch winner count with a safety factor): skips
+            # the sizing job entirely in steady state
+            if assume_keys <= broadcast_keys_max:
+                mx = F.broadcast(mx)
+        else:
+            mx = mx.cache()
+            if _handles is not None:
+                _handles.append(mx)
+            if mx.count() <= broadcast_keys_max:
+                mx = F.broadcast(mx)
     return changes.join(mx, on=[*key_cols, seq_col], how="inner")
 
 
@@ -83,12 +109,26 @@ def merge_into(
     epoch: int | None = None,
     evolve: bool = True,
     salted: bool = False,
+    metrics: dict | None = None,
+    broadcast_hint_keys: int | None = None,
 ) -> dict:
     """Apply a change batch; returns lineage metrics.
 
     changes must contain the table key columns, `seq_col`, `op_col`
     (insert|update|delete) and payload columns. Epoch fencing: if this
     epoch was already committed the merge is skipped (idempotent replay).
+
+    `metrics`: optional precomputed batch metrics (events/inserts/
+    updates/deletes/max_seq) — the replayer derives them from its
+    watermark agg, saving this function's own full-batch scan. May be a
+    zero-arg callable resolved just before commit, letting the caller
+    run its metrics job CONCURRENTLY with the merge (they're needed
+    only for commit properties and the result dict).
+
+    `broadcast_hint_keys`: caller's upper-bound estimate of this
+    batch's distinct-key count (e.g. previous epoch's winner count × a
+    safety factor). When present, the LWW join-back's broadcast
+    decision skips its sizing job.
     """
     if epoch is not None and int(epoch) in table.committed_epochs:
         return {"skipped": True, "epoch": epoch, "version": table.version}
@@ -105,20 +145,35 @@ def merge_into(
     # relative to the raw events — and is consumed by three downstream
     # jobs (bucket probe, matched-join, new-key anti-join), so cache it
     # rather than re-aggregating the full change stream each time.
-    winners = lww_dedup(changes, keys, seq_col=seq_col, salted=salted).cache()
+    # broadcast_keys_max: typical epochs touch far fewer keys than the
+    # broadcast bound, so the join-back (and thus the entire payload
+    # stream) stays shuffle-free; giant epochs degrade to shuffle join.
+    handles: list = []
+    winners = lww_dedup(
+        changes, keys, seq_col=seq_col, salted=salted,
+        broadcast_keys_max=500_000, assume_keys=broadcast_hint_keys,
+        _handles=handles,
+    ).cache()
 
-    # ---- metrics on the change batch (one small agg job)
-    mrow = changes.agg(
-        F.count(F.lit(1)).alias("events"),
-        F.sum(F.when(F.col(op_col) == "insert", 1).otherwise(0)).alias("inserts"),
-        F.sum(F.when(F.col(op_col) == "update", 1).otherwise(0)).alias("updates"),
-        F.sum(F.when(F.col(op_col) == "delete", 1).otherwise(0)).alias("deletes"),
-        F.max(seq_col).alias("max_seq"),
-    ).first()
+    # ---- metrics on the change batch (precomputed by the replayer's
+    # watermark agg when available; one small agg job otherwise)
+    if metrics is None:
+        mrow = changes.agg(
+            F.count(F.lit(1)).alias("events"),
+            F.sum(F.when(F.col(op_col) == "insert", 1).otherwise(0)).alias("inserts"),
+            F.sum(F.when(F.col(op_col) == "update", 1).otherwise(0)).alias("updates"),
+            F.sum(F.when(F.col(op_col) == "delete", 1).otherwise(0)).alias("deletes"),
+            F.max(seq_col).alias("max_seq"),
+        ).first()
+        metrics = {k: mrow[k] for k in ("events", "inserts", "updates", "deletes", "max_seq")}
 
     # ---- bucket pruning: which buckets do the changed keys live in?
+    # (the same job also yields the winner count — the next epoch's
+    # broadcast-decision hint — for free: ≤ num_buckets rows collected)
     wb = winners.withColumn("__b", table.bucket_expr(winners))
-    affected = sorted(r["__b"] for r in wb.select("__b").distinct().collect())
+    bucket_counts = wb.groupBy("__b").count().collect()
+    affected = sorted(r["__b"] for r in bucket_counts)
+    n_winners = sum(r["count"] for r in bucket_counts)
 
     def _align(df: DataFrame, extra: list) -> DataFrame:
         cols = []
@@ -189,21 +244,29 @@ def merge_into(
     for b in affected:
         bucket_files.setdefault(str(b), [])
 
+    # metrics may be a callable (caller's concurrent metrics job) —
+    # resolve now that the merge's own jobs are done
+    if callable(metrics):
+        metrics = metrics()
+
     props = {}
     if epoch is not None:
         props["last_epoch"] = int(epoch)
-    if mrow["max_seq"] is not None:
-        props["max_seq"] = int(mrow["max_seq"])
+    if metrics["max_seq"] is not None:
+        props["max_seq"] = int(metrics["max_seq"])
     table.commit(bucket_files, epoch=epoch, properties=props, schema=schema)
     winners.unpersist()
+    for h in handles:
+        h.unpersist()
 
     return {
         "skipped": False,
         "epoch": epoch,
         "version": table.version,
-        "events": mrow["events"],
-        "inserts": mrow["inserts"],
-        "updates": mrow["updates"],
-        "deletes": mrow["deletes"],
+        "events": metrics["events"],
+        "inserts": metrics["inserts"],
+        "updates": metrics["updates"],
+        "deletes": metrics["deletes"],
+        "keys": n_winners,
         "affected_buckets": len(affected),
     }

@@ -256,10 +256,13 @@ class LakeTable:
         epoch: int | None = None,
         evolve: bool = True,
         salted: bool = False,
+        metrics: dict | None = None,
+        broadcast_hint_keys: int | None = None,
     ) -> dict:
         from wrangler_spark.lake.merge import merge_into
 
         return merge_into(
             self, changes, seq_col=seq_col, op_col=op_col, epoch=epoch,
-            evolve=evolve, salted=salted,
+            evolve=evolve, salted=salted, metrics=metrics,
+            broadcast_hint_keys=broadcast_hint_keys,
         )

@@ -32,6 +32,14 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # the LWW join-back's build side is (keys, max seq) — tiny vs the
+        # payload stream. Default 10 MB thresholds push borderline epochs
+        # into full-payload shuffle joins (measured 2.5x slowdown of the
+        # whole replay); 64 MB keeps the payload stream shuffle-free up
+        # to ~10^6 changed keys per epoch, degrading gracefully to
+        # shuffle join beyond (AQE decides from runtime sizes).
+        .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+        .config("spark.sql.adaptive.autoBroadcastJoinThreshold", "64m")
         # Arrow for pandas UDF fallbacks (never per-row Python).
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or _default_shuffle()))
@@ -43,10 +51,11 @@ def get_spark(
         # Case-insensitive column resolution matches the reference's
         # Row.find() equalsIgnoreCase semantics (SURVEY.md §1.1).
         .config("spark.sql.caseSensitive", "false")
-        # local mode runs executors as threads in the driver JVM: size the
-        # heap for (threads × parquet write buffers) or concurrent writers
-        # GC-thrash — observed inverting 8→32-core scaling at 8g
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
+        # local mode runs executors as threads in the driver JVM. Measured
+        # on this box (4M-event replay, local[32]): 48g heap ran 2-3×
+        # slower than 16g (huge young gen + 32 allocating threads trash
+        # caches), 8g was fine too; 16g is the stable middle.
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():
