@@ -624,8 +624,8 @@ def oracle_sql() -> dict[str, str]:
         "flatten": (
             "WITH b AS (SELECT doc_id, string_split(lang, '') AS a1, "
             "string_split(source, '') AS a2 FROM documents) "
-            "SELECT doc_id, a1[i] AS a1, a2[i] AS a2 "
-            "FROM b, generate_series(1, greatest(len(a1), len(a2))) AS g(i)"
+            "SELECT doc_id, a1[i] AS a1, a2[i] AS a2 FROM (SELECT doc_id, a1, a2, "
+            "unnest(range(1, greatest(len(a1), len(a2)) + 1)) AS i FROM b)"
         ),
         "write_as_csv": (
             "SELECT n_nationkey, CAST(n_nationkey AS VARCHAR) || ',' || n_name AS rec "

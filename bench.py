@@ -1,16 +1,18 @@
 #!/usr/bin/env python
 """Benchmark harness.
 
-Runs headline queries at $SPARK_GRAFT_SF_DIR (default
-/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS], plus the north-rule
-CDC scaling measurement: the same replay job at N=8 and 4N=32 cores on
-identical input, reporting throughput at both and the scaling
-efficiency (sandbox proxy for N→4N executors, BASELINE.md).
+Runs the north-rule CDC scaling measurement — the same replay job over
+identical pre-materialized input at N=2 and 4N=8 cores (levels via
+$BENCH_N_SMALL/$BENCH_N_BIG; this VM's memory bandwidth saturates near
+8 cores, see BASELINE.md), interleaved in fresh JVMs with burstable-CPU
+calibration gating — then the headline operator queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS].
 
 Prints ONE JSON line:
   {"metric": ..., "value": <sec>, "unit": "sec", "queries": {...},
-   "sf": ..., "cdc": {events_per_sec_n8, events_per_sec_n32,
-   scaling_efficiency, ...}}
+   "sf": ..., "cdc": {events_per_sec_n2, events_per_sec_n8,
+   scaling_efficiency, efficiency_vs_hw_bandwidth_ceiling, ...}}
 """
 
 from __future__ import annotations
@@ -80,29 +82,34 @@ def run_queries(spark) -> dict[str, float]:
     return out
 
 
-def run_cdc_replay(spark, cpus: int) -> dict:
-    """Generate + replay CDC_EVENTS change events through the recipe
-    plane into a fresh lake table; returns throughput metrics."""
-    from wrangler_spark.cdc import Replayer, generate_events, repo_files_schema
+def write_bench_events(spark, ev_path: str) -> None:
+    """Materialize the IDENTICAL input every parallelism level replays
+    (north rule: same job, same input, only the core count changes):
+    fixed generator partitioning, epoch-partitioned parquet (production
+    shape — the replayer tails files and per-epoch reads partition-
+    prune). Written ONCE and shared by all measurement subprocesses so
+    generation cost neither sits in the timed region nor drains this
+    VM's burstable-CPU credits before each measurement."""
+    from wrangler_spark.cdc import generate_events
+
+    generate_events(
+        spark,
+        CDC_EVENTS,
+        n_repos=200,
+        n_paths_per_repo=500,
+        epoch_size=CDC_EVENTS // CDC_EPOCHS,
+        parallelism=64,
+    ).write.mode("overwrite").partitionBy("epoch").parquet(ev_path)
+
+
+def run_cdc_replay(spark, cpus: int, ev_path: str) -> dict:
+    """Replay the shared pre-generated events into a fresh lake table;
+    returns throughput metrics."""
+    from wrangler_spark.cdc import Replayer, repo_files_schema
     from wrangler_spark.lake import LakeTable
 
     base = tempfile.mkdtemp(prefix=f"bench_cdc_{cpus}_")
     try:
-        # IDENTICAL input at every parallelism level (north rule: same
-        # job, same input, only the core count changes): fixed generator
-        # partitioning, fixed bucket count, and the events MATERIALIZED
-        # to epoch-partitioned parquet first (production shape: the
-        # replayer tails files, and per-epoch reads partition-prune) —
-        # generation cost stays outside the timed region.
-        ev_path = os.path.join(base, "events")
-        generate_events(
-            spark,
-            CDC_EVENTS,
-            n_repos=200,
-            n_paths_per_repo=500,
-            epoch_size=CDC_EVENTS // CDC_EPOCHS,
-            parallelism=64,
-        ).write.mode("overwrite").partitionBy("epoch").parquet(ev_path)
         events = spark.read.parquet(ev_path)
         table = LakeTable.create(
             spark,
@@ -124,7 +131,34 @@ def run_cdc_replay(spark, cpus: int) -> dict:
         shutil.rmtree(base, ignore_errors=True)
 
 
-def _replay_subprocess(cpus: int) -> dict:
+def _calibrate(procs: int, dur: float = 2.0) -> float:
+    """Known-work probe: aggregate sha256 blocks/s over `procs`
+    processes. The VM's burstable CPU throttles at the hypervisor (no
+    cgroup signal); a degraded calibration identifies a drained-credit
+    window so the measurement can wait/retry instead of recording a
+    throttled run as engine performance."""
+    from multiprocessing import Pool
+
+    with Pool(procs) as p:
+        t0 = time.time()
+        res = p.map(_cal_burn, [dur] * procs)
+        wall = time.time() - t0
+    return sum(res) / wall
+
+
+def _cal_burn(dur: float) -> int:
+    import hashlib
+
+    t0 = time.time()
+    h = hashlib.sha256()
+    k = 0
+    while time.time() - t0 < dur:
+        h.update(b"x" * 65536)
+        k += 1
+    return k
+
+
+def _replay_subprocess(cpus: int, ev_path: str) -> dict:
     """One replay measurement in a fresh process/JVM. Isolation matters:
     this sandbox VM has burstable CPU (identical jobs measured 2s and
     311s depending on credit state), so measurements are short and the
@@ -133,7 +167,7 @@ def _replay_subprocess(cpus: int) -> dict:
     import subprocess
 
     out = subprocess.run(
-        [sys.executable, os.path.abspath(__file__), "--replay-only", str(cpus)],
+        [sys.executable, os.path.abspath(__file__), "--replay-only", str(cpus), ev_path],
         capture_output=True, text=True, timeout=1200,
     )
     for line in reversed(out.stdout.strip().splitlines()):
@@ -174,18 +208,13 @@ def _bw_burn(dur):
 def main() -> None:
     t_all = time.time()
 
-    if len(sys.argv) >= 3 and sys.argv[1] == "--replay-only":
+    if len(sys.argv) >= 4 and sys.argv[1] == "--replay-only":
         cpus = int(sys.argv[2])
         spark = _spark(cpus, shuffle=64)
-        res = run_cdc_replay(spark, cpus)
+        res = run_cdc_replay(spark, cpus, sys.argv[3])
         spark.stop()
         print(json.dumps(res))
         return
-
-    # headline queries on the primary session
-    spark = _spark(CPUS, shuffle=CPUS * 2)
-    queries = run_queries(spark)
-    spark.stop()
 
     # interleaved N / 4N replay measurements (fresh JVM each). Levels
     # default to N=2 / 4N=8: a numpy stream test (below) shows this VM's
@@ -197,16 +226,50 @@ def main() -> None:
     # bandwidth ceiling at the same core ratio.
     n_small = int(os.environ.get("BENCH_N_SMALL", "2"))
     n_big = int(os.environ.get("BENCH_N_BIG", str(4 * n_small)))
+
+    # shared input, generated once (see write_bench_events)
+    shared = tempfile.mkdtemp(prefix="bench_events_")
+    ev_path = os.path.join(shared, "events")
+    gen_spark = _spark(8, shuffle=16)
+    write_bench_events(gen_spark, ev_path)
+    gen_spark.stop()
+    os.sync()  # flush generation writeback before any timed region
+
+    # replay measurements FIRST (before the sf0.1 queries drain CPU
+    # credits), interleaved across levels, each gated on a calibration
+    # probe: if the probe shows a drained-credit window (<70% of the
+    # best calibration seen this run), wait and retry before measuring.
     runs: dict[int, list[dict]] = {n_small: [], n_big: []}
-    for _ in range(2):
-        for level in (n_small, n_big):
-            runs[level].append(_replay_subprocess(level))
+    best_cal: dict[int, float] = {n_small: 0.0, n_big: 0.0}
+    budget_retries = 6
+    try:
+        for _ in range(2):
+            for level in (n_small, n_big):
+                while True:
+                    cal = _calibrate(level)
+                    best_cal[level] = max(best_cal[level], cal)
+                    if cal >= 0.7 * best_cal[level] or budget_retries <= 0:
+                        break
+                    budget_retries -= 1
+                    time.sleep(45)
+                os.sync()
+                r = _replay_subprocess(level, ev_path)
+                r["calibration_blocks_per_sec"] = round(cal)
+                runs[level].append(r)
+    finally:
+        shutil.rmtree(shared, ignore_errors=True)
     cdc_n = max(runs[n_small], key=lambda r: r["events_per_sec"])
     cdc_4n = max(runs[n_big], key=lambda r: r["events_per_sec"])
 
     speedup = cdc_4n["events_per_sec"] / cdc_n["events_per_sec"]
     efficiency = round(speedup / (n_big / n_small), 3)
     bw = _stream_bandwidth(n_small, n_big)
+
+    # headline queries on the primary session (after the replay
+    # measurements — the 32-thread query sweep drains burst credits)
+    spark = _spark(CPUS, shuffle=CPUS * 2)
+    queries = run_queries(spark)
+    spark.stop()
 
     total = round(time.time() - t_all, 3)
     result = {
