@@ -491,6 +491,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["encode_hex"] = q_encode_hex
 
+    def q_dedup_embedding(spark, d):
+        from wrangler_spark.pipeline.similarity import cosine_similarity_expr
+
+        e = _t(spark, d, "embeddings").select("vec_id", "embedding")
+        a, b = e.alias("a"), e.alias("b")
+        pairs = a.join(b, F.col("a.vec_id") < F.col("b.vec_id")).select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            F.round(
+                cosine_similarity_expr(
+                    F.col("a.embedding").cast("array<double>"),
+                    F.col("b.embedding").cast("array<double>"),
+                ),
+                4,
+            ).alias("cos_sim"),
+        )
+        return pairs.filter(F.col("cos_sim") >= 0.35)
+    q["dedup_embedding"] = q_dedup_embedding
+
     return q
 
 
@@ -636,6 +655,17 @@ def oracle_sql() -> dict[str, str]:
             "l_quantity AS x_quantity FROM lineitem"
         ),
         "encode_hex": "SELECT doc_id, lower(hex(lang)) AS lang_encode_hex FROM documents",
+        # exact embedding-cosine near-dup pairs (double-precision on both
+        # sides; score rounded to 4 decimals before the threshold so the
+        # inclusion set is engine-stable; the synthetic embeddings are
+        # near-orthogonal — max pairwise cosine ~0.48 — so the 0.35
+        # threshold exercises a non-empty result set)
+        "dedup_embedding": (
+            "SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
+            "round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cos_sim "
+            "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
+            "WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) >= 0.35"
+        ),
         # lang_id: stopword-hit language heuristic; Spark's
         # array_max(struct(hits, lang)) tie-breaks to the
         # lexicographically-greatest lang, mirrored by the CASE ladder

@@ -58,6 +58,11 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
     )
+    if master.startswith("local"):
+        # one executor ⇒ locality tiers are meaningless; the default 3s
+        # wait just idles task slots (measured +25% replay throughput at
+        # local[2] with 0). On a real cluster the default stays.
+        b = b.config("spark.locality.wait", "0")
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     return b.getOrCreate()
