@@ -92,3 +92,29 @@ def test_lineage_metrics_written(spark, events, tmp_path):
     assert len(recs) == 2
     assert {"events", "inserts", "updates", "deletes", "epoch"} <= set(recs[0])
     assert recs[0]["events"] == EPOCH_SIZE
+
+
+def test_per_partition_lineage(spark, events, tmp_path):
+    """North rule: per-source-partition lineage (events applied, op
+    breakdown, high-watermark) is emitted for every epoch."""
+    import json, os
+
+    table, rp = _mk(spark, tmp_path, "t7")
+    rp.replay(events, to_epoch=0)
+    path = os.path.join(rp.checkpoint_dir, "lineage.jsonl")
+    rec = json.loads(open(path).readline())
+    parts = rec["partitions"]
+    assert parts, "expected per-partition lineage"
+    # partition counts must sum to the epoch totals
+    assert sum(p["events"] for p in parts.values()) == rec["events"]
+    assert sum(p["inserts"] for p in parts.values()) == rec["inserts"]
+    assert sum(p["deletes"] for p in parts.values()) == rec["deletes"]
+    # watermarks: each partition's hwm is a real seq within the epoch,
+    # and the checkpoint carries the same values
+    for p in parts.values():
+        assert 0 <= p["hwm"] < EPOCH_SIZE
+        assert {"events", "inserts", "updates", "deletes", "hwm"} <= set(p)
+    ckpt = rp.load_checkpoint()
+    assert {k: v["hwm"] for k, v in parts.items()} == {
+        k: v for k, v in ckpt["watermarks"].items() if k in parts
+    }

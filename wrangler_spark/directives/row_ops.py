@@ -21,6 +21,23 @@ def _cond(expr_src: str, df: DataFrame, ctx: RecipeContext | None = None):
     return compile_expr(expr_src, df.schema, variables).cast("boolean")
 
 
+def _keep_unless(c):
+    """Keep rows where `c` is false or null (drop only definite-true).
+
+    Written as isnull(c) | ~c instead of ~coalesce(c, false): Catalyst's
+    NullPropagation reduces isnull over null-intolerant predicates to
+    isnull on the underlying column, so simple conditions remain
+    translatable into parquet PushedFilters — coalesce() blocks source
+    pushdown entirely.
+    """
+    return F.isnull(c) | ~c
+
+
+def _keep_when(c):
+    """Keep rows where `c` is definitely true (pushdown-friendly dual)."""
+    return c.isNotNull() & c
+
+
 @directive("filter-row")
 def filter_row(call: DirectiveCall):
     """filter-row exp:{cond} [true|false] — DROPS rows where cond == flag.
@@ -33,7 +50,7 @@ def filter_row(call: DirectiveCall):
     def tr(df: DataFrame, ctx: RecipeContext) -> DataFrame:
         c = _cond(expr_src, df, ctx)
         drop = c if keep_on_false else ~c
-        return df.filter(~F.coalesce(drop, F.lit(False)))
+        return df.filter(_keep_unless(drop))
 
     return tr
 
@@ -44,7 +61,7 @@ def filter_row_if_true(call: DirectiveCall):
 
     def tr(df: DataFrame, ctx: RecipeContext) -> DataFrame:
         c = _cond(expr_src, df, ctx)
-        return df.filter(~F.coalesce(c, F.lit(False)))
+        return df.filter(_keep_unless(c))
 
     return tr
 
@@ -55,7 +72,7 @@ def filter_row_if_false(call: DirectiveCall):
 
     def tr(df: DataFrame, ctx: RecipeContext) -> DataFrame:
         c = _cond(expr_src, df, ctx)
-        return df.filter(F.coalesce(c, F.lit(False)))
+        return df.filter(_keep_when(c))
 
     return tr
 
@@ -75,8 +92,8 @@ def filter_by_regex(call: DirectiveCall):
         m = F.col(c).cast("string").rlike(regex)
         if regex == "null" or regex == "^null$":
             m = m | F.col(c).isNull()
-        cond = m if mode == "if-matched" else ~F.coalesce(m, F.lit(False))
-        return df.filter(~F.coalesce(cond, F.lit(False)))
+        cond = m if mode == "if-matched" else _keep_unless(m)
+        return df.filter(_keep_unless(cond))
 
     return tr
 
@@ -90,7 +107,7 @@ def filter_row_if_matched(call: DirectiveCall):
         c = _require(df, col)
         pat = regex.strip().strip("\"'")
         m = F.col(c).cast("string").rlike(pat)
-        return df.filter(~F.coalesce(m, F.lit(False)))
+        return df.filter(_keep_unless(m))
 
     return tr
 
@@ -104,7 +121,7 @@ def filter_row_if_not_matched(call: DirectiveCall):
         c = _require(df, col)
         pat = regex.strip().strip("\"'")
         m = F.col(c).cast("string").rlike(pat)
-        return df.filter(F.coalesce(m, F.lit(False)))
+        return df.filter(_keep_when(m))
 
     return tr
 
@@ -129,7 +146,7 @@ def filter_empty_or_null(call: DirectiveCall):
             c = _require(df, col)
             e = F.col(c).isNull() | (F.col(c).cast("string") == "")
             conds = e if conds is None else (conds & e)
-        return df.filter(~F.coalesce(conds, F.lit(False)))
+        return df.filter(_keep_unless(conds))
 
     return tr
 
@@ -173,7 +190,7 @@ def send_to_error_and_continue(call: DirectiveCall):
 
     def tr(df: DataFrame, ctx: RecipeContext) -> DataFrame:
         c = _cond(expr_src, df, ctx)
-        err = df.filter(F.coalesce(c, F.lit(False))).select(
+        err = df.filter(_keep_when(c)).select(
             F.lit(ctx.step).alias("step"),
             F.lit(ctx.current_name).alias("directive"),
             F.lit(f"condition [{expr_src}] matched").alias("message"),
