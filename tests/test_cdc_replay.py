@@ -118,3 +118,40 @@ def test_per_partition_lineage(spark, events, tmp_path):
     assert {k: v["hwm"] for k, v in parts.items()} == {
         k: v for k, v in ckpt["watermarks"].items() if k in parts
     }
+
+
+def test_rename_schema_evolution(spark, tmp_path):
+    """A recipe `rename` maps to a lake schema rename (Iceberg RENAME
+    COLUMN equivalent): data written before the rename stays readable
+    under the new name via the snapshot's alias mapping."""
+    ev = generate_events(spark, 2000, n_repos=10, n_paths_per_repo=20, epoch_size=1000)
+    table = LakeTable.create(
+        spark, str(tmp_path / "rn"), repo_files_schema(), ["repo", "path"], num_buckets=8
+    )
+    # epoch 0: plain replay (files carry `lang`)
+    rp0 = Replayer(table, str(tmp_path / "rn_c0"))
+    rp0.replay(ev, to_epoch=0)
+    assert "lang" in [f.name for f in table.schema.fields]
+
+    # epoch 1: recipe renames lang -> language
+    rp1 = Replayer(table, str(tmp_path / "rn_c1"), recipe=["rename :lang :language"])
+    rp1.replay(ev, from_epoch=1, to_epoch=1)
+    names = [f.name for f in table.schema.fields]
+    assert "language" in names and "lang" not in names
+    assert table.aliases.get("language") == ["lang"]
+
+    state = table.read()
+    assert "language" in state.columns and "lang" not in state.columns
+    # keys untouched in epoch 1 must still show their epoch-0 lang value
+    # under the new name (read-through the alias, not null-filled)
+    oracle = expected_final_state(ev.filter(F.col("epoch") <= 1))
+    got = {(r["repo"], r["path"]): r["language"] for r in state.collect()}
+    exp = {(r["repo"], r["path"]): r["lang"] for r in oracle.collect()}
+    assert got == exp
+    assert any(v is not None for v in got.values())
+
+    # a key-column rename must be rejected
+    rp_bad = Replayer(table, str(tmp_path / "rn_c2"), recipe=["rename :path :filepath"])
+    import pytest as _pytest
+    with _pytest.raises(Exception, match="key column"):
+        rp_bad.replay(ev.withColumn("epoch", F.col("epoch") + 2), from_epoch=2, to_epoch=3)

@@ -97,9 +97,9 @@ def test_schema_evolution_add_column(spark, table):
 def test_widen_type():
     old = T.StructType([T.StructField("a", T.IntegerType())])
     new = T.StructType([T.StructField("a", T.LongType())])
-    assert evolve_schema(old, new)["a"].dataType == T.LongType()
+    assert evolve_schema(old, new)[0]["a"].dataType == T.LongType()
     # narrower incoming does not shrink
-    assert evolve_schema(new, old)["a"].dataType == T.LongType()
+    assert evolve_schema(new, old)[0]["a"].dataType == T.LongType()
 
 
 def test_load_roundtrip(spark, table, tmp_path):

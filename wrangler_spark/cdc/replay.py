@@ -224,6 +224,9 @@ class Replayer:
             # previous epoch's winner count (×4 safety) lets the LWW
             # broadcast decision skip its sizing job in steady state
             broadcast_hint_keys=(self._last_keys * 4 if self._last_keys else None),
+            # recipe-declared renames → lake schema renames (Iceberg
+            # RENAME COLUMN equivalent; pre-rename files read via alias)
+            renames=self.recipe.renames() if self.recipe else None,
         )
         self._last_keys = res.get("keys") or self._last_keys
         wm_rows = wm_box.get("rows", [])

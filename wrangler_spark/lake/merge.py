@@ -111,6 +111,7 @@ def merge_into(
     salted: bool = False,
     metrics: dict | None = None,
     broadcast_hint_keys: int | None = None,
+    renames: dict | None = None,
 ) -> dict:
     """Apply a change batch; returns lineage metrics.
 
@@ -135,10 +136,21 @@ def merge_into(
 
     keys = table.key_cols
 
-    # ---- schema evolution (Iceberg ALTER TABLE equivalent)
+    # ---- schema evolution (Iceberg ALTER TABLE equivalent): declared
+    # renames become in-place field renames with read aliases; new
+    # payload columns are added; numeric types widen
     payload_fields = [f for f in changes.schema.fields if f.name not in (seq_col, op_col)]
     incoming = type(table.schema)(payload_fields)  # StructType
-    schema = evolve_schema(table.schema, incoming) if evolve else table.schema
+    if renames:
+        bad = [o for o in renames if o.lower() in {k.lower() for k in keys}]
+        if bad:
+            raise ValueError(f"cannot rename table key column(s): {bad}")
+    if evolve:
+        schema, aliases = evolve_schema(
+            table.schema, incoming, renames=renames, aliases=table.aliases
+        )
+    else:
+        schema, aliases = table.schema, table.aliases
 
     # ---- LWW winner per key (salted two-stage hash agg; no window sort).
     # winners is bounded by the distinct-key count of the batch — small
@@ -198,7 +210,7 @@ def merge_into(
     )
 
     # base rows of the affected buckets, with stored metadata
-    base = table.read(buckets=affected, with_meta=True)
+    base = table.read(buckets=affected, with_meta=True, schema=schema, aliases=aliases)
     base_aligned = _align(base, [F.col("__seq"), F.col("__deleted")])
     base_aligned = base_aligned.withColumn("__b", table.bucket_expr(base_aligned))
 
@@ -254,7 +266,7 @@ def merge_into(
         props["last_epoch"] = int(epoch)
     if metrics["max_seq"] is not None:
         props["max_seq"] = int(metrics["max_seq"])
-    table.commit(bucket_files, epoch=epoch, properties=props, schema=schema)
+    table.commit(bucket_files, epoch=epoch, properties=props, schema=schema, aliases=aliases)
     winners.unpersist()
     for h in handles:
         h.unpersist()

@@ -48,11 +48,30 @@ def _atomic_write(path: str, text: str) -> None:
     os.rename(tmp, path)
 
 
-def evolve_schema(old: T.StructType, new: T.StructType) -> T.StructType:
-    """Merge an incoming schema into the table schema: new columns are
-    added, numeric types widen, otherwise the old type wins."""
-    old_map = {f.name.lower(): f for f in old.fields}
+def evolve_schema(
+    old: T.StructType,
+    new: T.StructType,
+    renames: dict[str, str] | None = None,
+    aliases: dict[str, list[str]] | None = None,
+) -> tuple[T.StructType, dict[str, list[str]]]:
+    """Merge an incoming schema into the table schema: declared renames
+    apply in place (Iceberg RENAME COLUMN — the old name becomes a read
+    alias so pre-rename data files stay readable), new columns are
+    added, numeric types widen, otherwise the old type wins.
+
+    Returns (schema, aliases) where aliases maps current field name
+    (lower) → prior names (lower) still present in old data files.
+    """
+    aliases = {k: list(v) for k, v in (aliases or {}).items()}
     fields = list(old.fields)
+    for o, n in (renames or {}).items():
+        o_l, n_l = o.lower(), n.lower()
+        idx = next((i for i, f in enumerate(fields) if f.name.lower() == o_l), None)
+        if idx is None or any(f.name.lower() == n_l for f in fields):
+            continue  # nothing to rename / target collision: skip
+        fields[idx] = T.StructField(n, fields[idx].dataType, True)
+        aliases[n_l] = aliases.pop(o_l, []) + [o_l]
+    old_map = {f.name.lower(): f for f in fields}
     for nf in new.fields:
         of = old_map.get(nf.name.lower())
         if of is None:
@@ -63,7 +82,7 @@ def evolve_schema(old: T.StructType, new: T.StructType) -> T.StructType:
             if _WIDEN_ORDER.index(n_s) > _WIDEN_ORDER.index(o_s):
                 i = fields.index(of)
                 fields[i] = T.StructField(of.name, nf.dataType, True)
-    return T.StructType(fields)
+    return T.StructType(fields), aliases
 
 
 class LakeTable:
@@ -92,6 +111,7 @@ class LakeTable:
             "files": {},  # bucket(str) -> [relpath]
             "properties": properties or {},
             "committed_epochs": [],
+            "aliases": {},  # field(lower) -> prior names in old files
             "parent": None,
         }
         t = LakeTable(spark, path, snap)
@@ -137,6 +157,10 @@ class LakeTable:
         return set(self.snap["committed_epochs"])
 
     @property
+    def aliases(self) -> dict:
+        return dict(self.snap.get("aliases", {}))
+
+    @property
     def version(self) -> int:
         return int(self.snap["version"])
 
@@ -162,7 +186,13 @@ class LakeTable:
         ).cast("int")
 
     # ------------------------------------------------------------ IO
-    def read(self, buckets: list[int] | None = None, with_meta: bool = False) -> DataFrame:
+    def read(
+        self,
+        buckets: list[int] | None = None,
+        with_meta: bool = False,
+        schema: T.StructType | None = None,
+        aliases: dict | None = None,
+    ) -> DataFrame:
         """Read the current snapshot (optionally bucket-pruned) with the
         snapshot schema — missing columns (pre-evolution files) are
         null-filled, like Iceberg's read-time schema projection.
@@ -172,7 +202,7 @@ class LakeTable:
         (tombstone flag, so a late lower-seq update cannot resurrect a
         deleted key). with_meta=True exposes them (merge path)."""
         files = self.all_files() if buckets is None else self.bucket_files(buckets)
-        schema = self.schema
+        schema = schema if schema is not None else self.schema
         if not files:
             base = self.spark.createDataFrame([], schema)
             if with_meta:
@@ -183,9 +213,21 @@ class LakeTable:
         df = self.spark.read.parquet(*files)
         cols = []
         have = {c.lower() for c in df.columns}
+        aliases = aliases if aliases is not None else self.aliases
         for f_ in schema.fields:
-            if f_.name.lower() in have:
-                cols.append(F.col(f_.name).cast(f_.dataType).alias(f_.name))
+            # a renamed column may exist under its current name in new
+            # files AND an older name in pre-rename files (parquet union
+            # null-fills the one each file lacks) → per-row coalesce
+            # over current-name-then-aliases, like Iceberg's field-id
+            # mapping resolves renames at read time
+            cands = [
+                n for n in [f_.name.lower(), *aliases.get(f_.name.lower(), [])]
+                if n in have
+            ]
+            if cands:
+                cols.append(
+                    F.coalesce(*[F.col(n) for n in cands]).cast(f_.dataType).alias(f_.name)
+                )
             else:
                 cols.append(F.lit(None).cast(f_.dataType).alias(f_.name))
         if with_meta:
@@ -231,6 +273,7 @@ class LakeTable:
         epoch: int | None = None,
         properties: dict | None = None,
         schema: T.StructType | None = None,
+        aliases: dict | None = None,
     ) -> None:
         snap = dict(self.snap)
         snap["parent"] = snap["version"]
@@ -244,6 +287,8 @@ class LakeTable:
             snap["properties"] = {**snap["properties"], **properties}
         if schema is not None:
             snap["schema"] = json.loads(schema.json())
+        if aliases is not None:
+            snap["aliases"] = aliases
         self.snap = snap
         self._write_snapshot()
 
@@ -258,11 +303,12 @@ class LakeTable:
         salted: bool = False,
         metrics: dict | None = None,
         broadcast_hint_keys: int | None = None,
+        renames: dict | None = None,
     ) -> dict:
         from wrangler_spark.lake.merge import merge_into
 
         return merge_into(
             self, changes, seq_col=seq_col, op_col=op_col, epoch=epoch,
             evolve=evolve, salted=salted, metrics=metrics,
-            broadcast_hint_keys=broadcast_hint_keys,
+            broadcast_hint_keys=broadcast_hint_keys, renames=renames,
         )

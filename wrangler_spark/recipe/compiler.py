@@ -48,6 +48,25 @@ class CompiledRecipe:
     def names(self) -> list[str]:
         return [c.name for c in self.calls]
 
+    def renames(self) -> dict[str, str]:
+        """old→new column renames declared by the recipe (top-level
+        `rename` directives, composed in order). The CDC layer maps
+        these to lake-table schema renames — the Iceberg `ALTER TABLE
+        RENAME COLUMN` equivalent — so data in pre-rename files stays
+        readable under the new name (SURVEY.md §4 item 5)."""
+        out: dict[str, str] = {}
+        for c in self.calls:
+            if c.name != "rename":
+                continue
+            old, new = c.col(0).lower(), c.col(1)
+            # compose: if an earlier rename produced `old`, collapse
+            src = next((k for k, v in out.items() if v.lower() == old), None)
+            if src is not None:
+                out[src] = new
+            else:
+                out[old] = new
+        return out
+
 
 def compile_recipe(recipe: str | list[str]) -> CompiledRecipe:
     calls = parse_recipe(recipe)
