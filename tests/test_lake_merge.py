@@ -126,3 +126,23 @@ def test_tombstone_blocks_stale_resurrection(spark, table):
     table.merge(ch(spark, [(12, "insert", "r2", "b.py", "c12", "python", "v12")]), epoch=2)
     got = table.read().filter("repo = 'r2'").collect()
     assert len(got) == 1 and got[0]["content"] == "v12"
+
+
+def test_time_travel_and_expire(spark, tmp_path):
+    t = LakeTable.create(
+        spark, str(tmp_path / "tt"), repo_files_schema(), ["repo", "path"], num_buckets=4
+    )
+    t.merge(ch(spark, [(1, "insert", "r1", "a.py", "c1", "python", "v1")]), epoch=0)
+    t.merge(ch(spark, [(2, "update", "r1", "a.py", "c2", "python", "v2")]), epoch=1)
+    t.merge(ch(spark, [(3, "update", "r1", "a.py", "c3", "python", "v3")]), epoch=2)
+
+    # time travel: VERSION AS OF 1 sees the epoch-0 state
+    t1 = LakeTable.load(spark, t.path, version=1)
+    assert [r["content"] for r in t1.read().collect()] == ["v1"]
+    assert [r["content"] for r in LakeTable.load(spark, t.path).read().collect()] == ["v3"]
+
+    # expire: keep last 2 → version 1's files gone, 2 and 3 readable
+    res = t.expire_snapshots(keep_last=2)
+    assert res["removed_data_files"] >= 1
+    assert [r["content"] for r in LakeTable.load(spark, t.path, version=2).read().collect()] == ["v2"]
+    assert [r["content"] for r in LakeTable.load(spark, t.path).read().collect()] == ["v3"]

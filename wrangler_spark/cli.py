@@ -155,6 +155,15 @@ def cmd_verify(args) -> int:
     return 0
 
 
+def cmd_vacuum(args) -> int:
+    from wrangler_spark.lake.table import LakeTable
+
+    spark = _spark(args)
+    table = LakeTable.load(spark, args.table)
+    print(json.dumps(table.expire_snapshots(keep_last=args.keep_last)))
+    return 0
+
+
 def cmd_package(args) -> int:
     print(json.dumps({"zip": package_pyfiles(args.out)}))
     return 0
@@ -224,6 +233,11 @@ def build_parser() -> argparse.ArgumentParser:
     v.add_argument("--table", required=True)
     v.add_argument("--out", default=None)
     v.set_defaults(fn=cmd_verify)
+
+    vac = sub.add_parser("vacuum", help="expire old snapshots + orphaned data files")
+    vac.add_argument("--table", required=True)
+    vac.add_argument("--keep-last", type=int, default=2)
+    vac.set_defaults(fn=cmd_vacuum)
 
     z = sub.add_parser("package", help="zip package for --py-files")
     z.add_argument("--out", default=None)

@@ -14,11 +14,17 @@ environment, so this module implements the same contract natively:
   both updated by atomic rename. Single-writer (the replayer), so no
   CAS is needed; snapshot isolation for readers falls out of readers
   pinning a version file.
-- schema evolution: add-column / widen-type merges update the snapshot
-  schema (Iceberg `ALTER TABLE` equivalent, SURVEY.md §4 item 5).
+- schema evolution: add-column / rename-with-read-alias / widen-type
+  merges update the snapshot schema (Iceberg `ALTER TABLE` equivalent,
+  SURVEY.md §4 item 5); renamed columns read old files through a
+  per-row alias coalesce (field-id-mapping equivalent).
 - exactly-once: `committed_epochs` in the snapshot fences replayed
   epochs — re-merging an already-committed epoch is a no-op, so replay
   from any checkpoint converges to the same state.
+- time travel: `load(path, version=N)` pins any retained snapshot;
+  `expire_snapshots(keep_last)` deletes superseded data files
+  (Iceberg expire_snapshots), bounding storage growth under
+  copy-on-write merges.
 """
 
 from __future__ import annotations
@@ -119,11 +125,15 @@ class LakeTable:
         return t
 
     @staticmethod
-    def load(spark: SparkSession, path: str) -> "LakeTable":
-        vfile = os.path.join(path, _META, "VERSION")
-        with open(vfile) as f:
-            v = int(f.read().strip())
-        with open(os.path.join(path, _META, f"version-{v:06d}.json")) as f:
+    def load(spark: SparkSession, path: str, version: int | None = None) -> "LakeTable":
+        """Load the current snapshot, or a historical one (time travel —
+        Iceberg `VERSION AS OF`). Readers pin the snapshot they loaded:
+        concurrent commits never change what an open table sees."""
+        if version is None:
+            vfile = os.path.join(path, _META, "VERSION")
+            with open(vfile) as f:
+                version = int(f.read().strip())
+        with open(os.path.join(path, _META, f"version-{version:06d}.json")) as f:
             snap = json.load(f)
         return LakeTable(spark, path, snap)
 
@@ -312,3 +322,56 @@ class LakeTable:
             evolve=evolve, salted=salted, metrics=metrics,
             broadcast_hint_keys=broadcast_hint_keys, renames=renames,
         )
+
+    # ------------------------------------------------------------ maintenance
+    def expire_snapshots(self, keep_last: int = 2) -> dict:
+        """Expire old snapshots and delete their orphaned data files
+        (Iceberg `expire_snapshots` equivalent). Keeps the most recent
+        `keep_last` versions time-travelable; any data file not
+        referenced by a retained snapshot is removed. Metadata JSONs of
+        expired versions are dropped too.
+
+        Copy-on-write merges re-list every affected bucket per version,
+        so without expiry the data directory grows by one superseded
+        copy of each rewritten bucket per epoch — at 10^10 events that
+        is the dominant storage cost; expiry bounds it to keep_last
+        copies.
+        """
+        import shutil as _shutil
+
+        keep_last = max(1, keep_last)
+        current = self.version
+        keep = [v for v in range(current - keep_last + 1, current + 1) if v >= 0]
+        live: set[str] = set()
+        meta_dir = os.path.join(self.path, _META)
+        for v in keep:
+            p = os.path.join(meta_dir, f"version-{v:06d}.json")
+            if not os.path.exists(p):
+                continue
+            with open(p) as f:
+                snap = json.load(f)
+            for rels in snap["files"].values():
+                live.update(rels)
+        removed_files = 0
+        data_dir = os.path.join(self.path, _DATA)
+        for root, _dirs, files in os.walk(data_dir, topdown=False):
+            for fn in files:
+                full = os.path.join(root, fn)
+                rel = os.path.relpath(full, self.path)
+                if rel not in live:
+                    os.remove(full)
+                    removed_files += 1
+            if not os.listdir(root) and root != data_dir:
+                _shutil.rmtree(root, ignore_errors=True)
+        removed_meta = 0
+        for fn in os.listdir(meta_dir):
+            if fn.startswith("version-") and fn.endswith(".json"):
+                v = int(fn[len("version-"):-len(".json")])
+                if v not in keep:
+                    os.remove(os.path.join(meta_dir, fn))
+                    removed_meta += 1
+        return {
+            "kept_versions": keep,
+            "removed_data_files": removed_files,
+            "removed_snapshots": removed_meta,
+        }
