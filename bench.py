@@ -71,6 +71,8 @@ def run_queries(spark) -> dict[str, float]:
         "text_stats",        # token counting
         "lang_id",           # stopword language heuristic
         "table_lookup",      # broadcast join
+        "dedup_embedding",   # exact cosine near-dup pairs
+        "fingerprint",       # rolling-hash winnowing
     ]
     qs = em.queries()
     out: dict[str, float] = {}

@@ -146,3 +146,29 @@ def test_time_travel_and_expire(spark, tmp_path):
     assert res["removed_data_files"] >= 1
     assert [r["content"] for r in LakeTable.load(spark, t.path, version=2).read().collect()] == ["v2"]
     assert [r["content"] for r in LakeTable.load(spark, t.path).read().collect()] == ["v3"]
+
+
+def test_empty_epoch_merge(spark, table):
+    empty = ch(spark, []).limit(0)
+    res = table.merge(empty, epoch=0)
+    assert res["events"] == 0 and not res["skipped"]
+    assert 0 in table.committed_epochs  # fenced even when empty
+    assert table.read().count() == 0
+
+
+def test_hot_key_flood_salted_and_plain(spark, table):
+    """Skew path: one (repo, path) receives almost all events. The
+    max-seq partial agg absorbs the hot key map-side; the opt-in salted
+    two-stage agg must produce the identical result."""
+    rows = [(i, "update", "hot/repo", "hot.py", f"c{i}", "python", f"v{i}") for i in range(500)]
+    rows += [(1000 + i, "insert", f"r{i}", "x.py", "c", "python", "cold") for i in range(5)]
+    table.merge(ch(spark, rows), epoch=0, salted=True)
+    got = {(r["repo"], r["path"]): r["content"] for r in table.read().collect()}
+    assert got[("hot/repo", "hot.py")] == "v499"
+    assert len(got) == 6
+
+    # same flood unsalted into a fresh epoch on different keys
+    rows2 = [(2000 + i, "update", "hot2", "h.py", f"d{i}", "python", f"w{i}") for i in range(500)]
+    table.merge(ch(spark, rows2), epoch=1, salted=False)
+    got2 = {(r["repo"], r["path"]): r["content"] for r in table.read().collect()}
+    assert got2[("hot2", "h.py")] == "w499"
