@@ -155,3 +155,26 @@ def test_rename_schema_evolution(spark, tmp_path):
     import pytest as _pytest
     with _pytest.raises(Exception, match="key column"):
         rp_bad.replay(ev.withColumn("epoch", F.col("epoch") + 2), from_epoch=2, to_epoch=3)
+
+
+def test_error_channel_sink(spark, events, tmp_path):
+    """Recipe error routes land in the replayer's error sink, counted
+    in lineage, and the routed rows are excluded from the upsert."""
+    import json, os
+
+    table, _ = _mk(spark, tmp_path, "t8")
+    rp = Replayer(
+        table, str(tmp_path / "t8_ckpt"),
+        recipe=["send-to-error exp:{op == 'delete'}"],
+    )
+    rp.replay(events, to_epoch=0)
+    rec = json.loads(open(os.path.join(rp.checkpoint_dir, "lineage.jsonl")).readline())
+    n_deletes = events.filter("epoch = 0 AND op = 'delete'").count()
+    assert rec["error_rows"] == n_deletes > 0
+    err = spark.read.parquet(os.path.join(rp.error_dir, "epoch=0"))
+    assert err.count() == n_deletes
+    assert set(err.columns) == {"step", "directive", "message", "record"}
+    # deletes were routed to error → no tombstones reached the table
+    assert table.read().count() == events.filter(
+        "epoch = 0 AND op != 'delete'"
+    ).select("repo", "path").distinct().count()

@@ -44,6 +44,7 @@ class Replayer:
         epoch_col: str = "epoch",
         partition_col: str = "source_partition",
         cache_batches: bool = False,
+        error_dir: str | None = None,
     ):
         self.table = table
         self.checkpoint_dir = checkpoint_dir
@@ -68,6 +69,10 @@ class Replayer:
         self.cache_batches = cache_batches
         # previous epoch's LWW winner count — broadcast-decision hint
         self._last_keys: int | None = None
+        # error-channel sink (reference error port): recipe directives
+        # that route rows to error (send-to-error, failed validations)
+        # land here as epoch-partitioned parquet
+        self.error_dir = error_dir or os.path.join(checkpoint_dir, "errors")
 
     # ------------------------------------------------------------ checkpoint
     @property
@@ -91,21 +96,22 @@ class Replayer:
             f.write(json.dumps(rec) + "\n")
 
     # ------------------------------------------------------------ transform
-    def _apply_recipe(self, events: DataFrame) -> DataFrame:
+    def _apply_recipe(self, events: DataFrame) -> tuple[DataFrame, DataFrame | None]:
         """Run the compiled recipe over the event payload. Delete events
         carry null payloads and bypass the transform; control columns
         (seq/epoch/op/partition) are reattached afterwards via a
-        narrow, shuffle-free select."""
+        narrow, shuffle-free select. Returns (ok, errors) — errors is
+        the recipe's error channel (None when nothing routed)."""
         if self.recipe is None:
-            return events
+            return events, None
         ctrl = [self.seq_col, self.epoch_col, self.op_col, self.partition_col]
         ctrl = [c for c in ctrl if c in events.columns]
-        ok, _err = self.recipe.apply(events)
+        ok, err = self.recipe.apply(events)
         # recipe must keep control columns; enforce
         missing = [c for c in ctrl if c not in ok.columns]
         if missing:
             raise ValueError(f"recipe dropped control columns {missing}")
-        return ok
+        return ok, err
 
     # ------------------------------------------------------------ replay
     def replay(
@@ -166,7 +172,7 @@ class Replayer:
         batch = events.filter(F.col(self.epoch_col) == epoch)
         if self.cache_batches:
             batch = batch.cache()
-        transformed = self._apply_recipe(batch)
+        transformed, err = self._apply_recipe(batch)
 
         # per-source-partition high-watermark AND lineage for this epoch —
         # over the RAW batch (consumed source progress), not the recipe
@@ -242,6 +248,15 @@ class Replayer:
                 pid = str(r[self.partition_col])
                 wms[pid] = max(int(wms.get(pid, -1)), int(r["hwm"]))
         self.save_checkpoint(epoch, wms)
+
+        # error-channel sink (the reference's error port): write routed
+        # rows before checkpointing so a resume never loses them
+        if err is not None:
+            err_path = os.path.join(self.error_dir, f"epoch={epoch}")
+            err.write.mode("overwrite").parquet(err_path)
+            res["error_rows"] = self.table.spark.read.parquet(err_path).count()
+        else:
+            res["error_rows"] = 0
 
         res["elapsed_sec"] = time.time() - t0
         res["recipe_steps"] = len(self.recipe.calls) if self.recipe else 0

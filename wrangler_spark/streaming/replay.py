@@ -32,7 +32,7 @@ def stream_replay(
     rp = Replayer(table, checkpoint_dir, recipe=recipe, seq_col=seq_col, op_col=op_col)
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
-        transformed = rp._apply_recipe(batch_df)
+        transformed, _err = rp._apply_recipe(batch_df)
         if rp.epoch_col in transformed.columns:
             transformed = transformed.drop(rp.epoch_col)
         table.merge(transformed, seq_col=seq_col, op_col=op_col, epoch=int(batch_id))
