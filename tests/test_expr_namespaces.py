@@ -65,3 +65,56 @@ def test_geo_infence(df):
 def test_string_split_join(df):
     assert run1(df, "string:split(s, ' ')") == ["a", "b"]
     assert run1(df, "string:join('-', s, 'c')") == "a b-c"
+
+
+def test_dq_credit_cards(spark, one_col):
+    df = one_col("4111111111111111", "4111111111111112", "378282246310005", "not-a-card")
+    from wrangler_spark import execute
+    ok, _ = execute(spark, [
+        "set-column :cc dq:isCreditCard(body)",
+        "set-column :visa dq:isVisa(body)",
+        "set-column :amex dq:isAmex(body)",
+    ], df)
+    rows = ok.collect()
+    assert [r["cc"] for r in rows] == [True, False, True, False]
+    assert [r["visa"] for r in rows] == [True, False, False, False]
+    assert [r["amex"] for r in rows] == [False, False, True, False]
+
+
+def test_dq_isbn(spark, one_col):
+    df = one_col("0-306-40615-2", "9780306406157", "0-306-40615-3")
+    from wrangler_spark import execute
+    ok, _ = execute(spark, ["set-column :v dq:isISBN(body)"], df)
+    assert [r["v"] for r in ok.collect()] == [True, True, False]
+
+
+def test_logical_bits(spark, one_col):
+    df = one_col("x")
+    from wrangler_spark import execute
+    ok, _ = execute(spark, [
+        "set-column :a logical:SetBit(8, 0, 1)",
+        "set-column :b logical:SetBit(9, 0, 0)",
+        "set-column :c logical:BitCompress('1011')",
+        "set-column :d logical:BitExpand(11)",
+    ], df)
+    r = ok.collect()[0]
+    assert (r["a"], r["b"], r["c"], r["d"]) == (9, 8, 11, "1011")
+
+
+def test_json_drop_keys_join(spark, one_col):
+    df = one_col('{"A":1,"b":{"x":2},"c":"s"}')
+    from wrangler_spark import execute
+    ok, _ = execute(spark, [
+        "set-column :dropped json:drop(body, 'a')",
+        "set-column :lower json:keysToLower(body)",
+        "set-column :joined json:join('[\"p\",\"q\"]', '-')",
+        "set-column :parsed json:parse(body)",
+        "set-column :bad json:parse('nope{')",
+    ], df)
+    import json
+    r = ok.collect()[0]
+    assert json.loads(r["dropped"]) == {"b": {"x": 2}, "c": "s"}
+    assert json.loads(r["lower"]) == {"a": 1, "b": {"x": 2}, "c": "s"}
+    assert r["joined"] == "p-q"
+    assert json.loads(r["parsed"]) == {"A": 1, "b": {"x": 2}, "c": "s"}
+    assert r["bad"] is None

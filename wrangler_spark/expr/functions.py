@@ -499,6 +499,63 @@ def _json_stringify(x):
     return _typed(F.to_json(x.col), STR)
 
 
+@_reg("json", "join")
+def _json_join(x, sep):
+    """json:join('["a","b"]', ",") — join a JSON string array."""
+    arr = F.from_json(_s(x), "array<string>")
+    return _typed(F.array_join(arr, _lit_value(sep, "json:join separator")), STR)
+
+
+@_reg("json", "parse")
+def _json_parse(x):
+    """json:parse(s) — validate-and-pass-through: the JSON text when it
+    parses, else null (the engine keeps JSON as strings; nested access
+    goes through json:select)."""
+    src = _s(x)
+    return _typed(F.when(F.try_parse_json(src).isNotNull(), src), STR)
+
+
+def _json_rewrite(name, rewrite):
+    """Shared Arrow-batched JSON-object rewriter (drop / keysToLower) —
+    nested values survive verbatim; per-batch python json, not per-row
+    Java reflection."""
+    from pyspark.sql.functions import pandas_udf as _pudf
+
+    import json as _json
+
+    @_pudf(T.StringType())
+    def fn(v: pd.Series) -> pd.Series:
+        def one(t):
+            if t is None:
+                return None
+            try:
+                obj = _json.loads(t)
+            except Exception:
+                return None
+            if not isinstance(obj, dict):
+                return t
+            return _json.dumps(rewrite(obj), separators=(",", ":"))
+
+        return v.map(one)
+
+    return fn
+
+
+@_reg("json", "drop")
+def _json_drop(x, *fields):
+    names = {str(_lit_value(f, "json:drop field")).lower() for f in fields}
+    fn = _json_rewrite(
+        "drop", lambda obj: {k: v for k, v in obj.items() if k.lower() not in names}
+    )
+    return _typed(fn(_s(x)), STR)
+
+
+@_reg("json", "keysToLower", "keystolower")
+def _json_keys_lower(x):
+    fn = _json_rewrite("keysToLower", lambda obj: {k.lower(): v for k, v in obj.items()})
+    return _typed(fn(_s(x)), STR)
+
+
 # ------------------------------------------------------------ dq:
 # reference: io/cdap/functions/DataQuality.java:43-339
 
@@ -536,6 +593,81 @@ def _dq_isnumber(x):
 @_reg("dq", "isInteger")
 def _dq_isint(x):
     return _typed(_s(x).rlike(r"^-?\d+$"), BOOL)
+
+
+def _luhn_ok(digits: Column) -> Column:
+    """Luhn checksum over a digits-only string Column — pure Column
+    algebra (transform-with-index + aggregate), stays in codegen."""
+    rev = F.split(F.reverse(digits), "")
+    rev = F.filter(rev, lambda ch: ch != "")
+    per = F.transform(
+        rev,
+        lambda ch, i: F.when(
+            i % 2 == 1,
+            F.when(ch.cast("int") * 2 > 9, ch.cast("int") * 2 - 9).otherwise(ch.cast("int") * 2),
+        ).otherwise(ch.cast("int")),
+    )
+    total = F.aggregate(per, F.lit(0), lambda acc, v: acc + v)
+    return total % 10 == 0
+
+
+def _cc_digits(x) -> Column:
+    return F.regexp_replace(_s(x), r"[ -]", "")
+
+
+@_reg("dq", "isCreditCard", "iscreditcard")
+def _dq_iscc(x):
+    d = _cc_digits(x)
+    return _typed(d.rlike(r"^\d{13,19}$") & _luhn_ok(d), BOOL)
+
+
+@_reg("dq", "isVisa")
+def _dq_isvisa(x):
+    d = _cc_digits(x)
+    return _typed(d.rlike(r"^4(\d{12}|\d{15}|\d{18})$") & _luhn_ok(d), BOOL)
+
+
+@_reg("dq", "isAmex")
+def _dq_isamex(x):
+    d = _cc_digits(x)
+    return _typed(d.rlike(r"^3[47]\d{13}$") & _luhn_ok(d), BOOL)
+
+
+@_reg("dq", "isMaster", "isMastercard")
+def _dq_ismaster(x):
+    d = _cc_digits(x)
+    pfx = d.rlike(r"^5[1-5]\d{14}$") | (
+        d.rlike(r"^\d{16}$") & F.substring(d, 1, 4).cast("int").between(2221, 2720)
+    )
+    return _typed(pfx & _luhn_ok(d), BOOL)
+
+
+@_reg("dq", "isISBN10")
+def _dq_isbn10(x):
+    d = F.regexp_replace(_s(x), r"[ -]", "")
+    chars = F.filter(F.split(d, ""), lambda ch: ch != "")
+    per = F.transform(
+        chars,
+        lambda ch, i: (i + 1) * F.when(F.upper(ch) == "X", 10).otherwise(ch.cast("int")),
+    )
+    total = F.aggregate(per, F.lit(0), lambda acc, v: acc + v)
+    return _typed(d.rlike(r"^\d{9}[0-9Xx]$") & (total % 11 == 0), BOOL)
+
+
+@_reg("dq", "isISBN13")
+def _dq_isbn13(x):
+    d = F.regexp_replace(_s(x), r"[ -]", "")
+    chars = F.filter(F.split(d, ""), lambda ch: ch != "")
+    per = F.transform(
+        chars, lambda ch, i: F.when(i % 2 == 1, 3 * ch.cast("int")).otherwise(ch.cast("int"))
+    )
+    total = F.aggregate(per, F.lit(0), lambda acc, v: acc + v)
+    return _typed(d.rlike(r"^\d{13}$") & (total % 10 == 0), BOOL)
+
+
+@_reg("dq", "isISBN", "isisbn")
+def _dq_isbn(x):
+    return _typed(_dq_isbn10(x).col | _dq_isbn13(x).col, BOOL)
 
 
 @_reg("dq", "isDouble")
@@ -629,6 +761,33 @@ def _bitxor(a, b):
 @_reg("logical", "Not")
 def _lnot(x):
     return _typed(F.when(x.col.cast("double") == 0, 1).otherwise(0).cast("long"), LNG)
+
+
+@_reg("logical", "SetBit")
+def _setbit(n, bit, val):
+    """SetBit(n, pos, 0|1) — set/clear bit `pos` (LSB = 0)."""
+    nn = n.col.cast("long")
+    b = bit.col.cast("int")
+    # shiftleft() takes only a literal shift; 2^b stays exact to bit 52
+    mask = F.pow(F.lit(2.0), b).cast("long")
+    cleared = nn.bitwiseAND(F.bitwise_not(mask))
+    return _typed(
+        F.when(val.col.cast("long") == 0, cleared).otherwise(cleared.bitwiseOR(mask)),
+        LNG,
+    )
+
+
+@_reg("logical", "BitCompress")
+def _bitcompress(x):
+    """BitCompress('1011') → 11 — binary-digit string to decimal
+    (DataStage-style; reference Logical.java)."""
+    return _typed(F.conv(_s(x), 2, 10).cast("long"), LNG)
+
+
+@_reg("logical", "BitExpand")
+def _bitexpand(x):
+    """BitExpand(11) → '1011' — decimal to binary-digit string."""
+    return _typed(F.conv(x.col.cast("long").cast("string"), 10, 2), STR)
 
 
 # ------------------------------------------------------------ number:
