@@ -29,7 +29,7 @@ sys.path.insert(0, REPO)
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-CDC_EVENTS = int(os.environ.get("BENCH_CDC_EVENTS", "4000000"))
+CDC_EVENTS = int(os.environ.get("BENCH_CDC_EVENTS", "8000000"))
 CDC_EPOCHS = int(os.environ.get("BENCH_CDC_EPOCHS", "2"))
 
 # the reference's published perf recipe shape (performance.md:24-38),
@@ -71,9 +71,10 @@ def run_queries(spark) -> dict[str, float]:
         "text_stats",        # token counting
         "lang_id",           # stopword language heuristic
         "table_lookup",      # broadcast join
-        "dedup_embedding",   # exact cosine near-dup pairs
         "fingerprint",       # rolling-hash winnowing
     ]
+    # (dedup_embedding is a correctness query — exact O(n^2) pairs — not
+    # a benchmark query; the scale path is ann_lsh/embedding LSH)
     qs = em.queries()
     out: dict[str, float] = {}
     for name in picks:
