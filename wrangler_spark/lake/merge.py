@@ -248,10 +248,14 @@ def merge_into(
         base_aligned.select(*keys), on=keys, how="left_anti"
     ).select(*keys, *[F.col(c) for c in data_cols if c not in keys], "__seq", "__deleted", "__b")
 
-    merged = existing.unionByName(brand_new)
+    # `existing` rides the base read's partitioning — bucket-aligned by
+    # construction (base files are per-bucket) — so only the (small)
+    # brand-new side needs clustering by bucket before the write; the
+    # rewritten bucket payload itself never shuffles.
+    merged = existing.unionByName(brand_new.repartition(F.col("__b")))
 
     new_version = table.version + 1
-    bucket_files = table.write_buckets(merged, new_version)
+    bucket_files = table.write_buckets(merged, new_version, pre_partitioned=True)
     # buckets that were affected but ended up empty (all keys deleted)
     for b in affected:
         bucket_files.setdefault(str(b), [])

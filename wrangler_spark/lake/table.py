@@ -251,14 +251,23 @@ class LakeTable:
         out = df.select(*cols, *( [F.col("__deleted")] if "__deleted" in have else [F.lit(False).alias("__deleted")] ))
         return out.filter(~F.coalesce(F.col("__deleted"), F.lit(False))).drop("__deleted")
 
-    def write_buckets(self, df: DataFrame, version: int) -> dict[str, list[str]]:
+    def write_buckets(
+        self, df: DataFrame, version: int, pre_partitioned: bool = False
+    ) -> dict[str, list[str]]:
         """Write df (which must carry an int `__b` bucket column) under
-        data/v<version>/, one directory per bucket; returns bucket→relpaths."""
+        data/v<version>/, one directory per bucket; returns bucket→relpaths.
+
+        pre_partitioned=True skips the clustering shuffle: the caller
+        guarantees rows are already reasonably bucket-aligned (the merge
+        path — base-bucket reads are aligned by construction), so each
+        task writes at most a few bucket files via the dynamic-partition
+        writer's local sort. The rewritten bucket payload — the dominant
+        data volume of a merge — then never shuffles at all."""
         staging_rel = os.path.join(_DATA, f"v{version:06d}")
         staging = os.path.join(self.path, staging_rel)
+        out_df = df if pre_partitioned else df.repartition(F.col("__b"))
         (
-            df.repartition(F.col("__b"))
-            .write.mode("overwrite")
+            out_df.write.mode("overwrite")
             .partitionBy("__b")
             .parquet(staging)
         )
