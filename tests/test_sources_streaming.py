@@ -63,3 +63,80 @@ def test_stream_replay_exactly_once(spark, tmp_path):
         for r in final_state_sha256(expected_final_state(events)).collect()
     )
     assert got == want
+
+
+def test_stateful_key_progress(spark, tmp_path):
+    """applyInPandasWithState: per-key running progress over a change
+    stream — state accumulates ACROSS micro-batches."""
+    from wrangler_spark.cdc import generate_events
+    from wrangler_spark.streaming.stateful import key_progress
+
+    events = generate_events(spark, 600, n_repos=4, n_paths_per_repo=5, epoch_size=200)
+    src = str(tmp_path / "st_src")
+    events.write.mode("overwrite").parquet(src)
+
+    stream = (
+        spark.readStream.schema(events.schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    out_dir = str(tmp_path / "st_out")
+    def sink(batch_df, batch_id):
+        batch_df.write.mode("append").parquet(out_dir)
+
+    q = (
+        key_progress(stream)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "st_ck"))
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = spark.read.parquet(out_dir)
+    # the LAST emitted row per key must equal the batch ground truth
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("repo", "path").orderBy(F.desc("events"))
+    final = got.withColumn("rn", F.row_number().over(w)).filter("rn = 1")
+    truth = events.groupBy("repo", "path").agg(
+        F.count(F.lit(1)).alias("events"), F.max("seq").alias("last_seq")
+    )
+    j = final.alias("g").join(truth.alias("t"), ["repo", "path"])
+    bad = j.filter(
+        (F.col("g.events") != F.col("t.events")) | (F.col("g.last_seq") != F.col("t.last_seq"))
+    ).count()
+    assert bad == 0
+    assert final.count() == truth.count()
+
+
+def test_stateful_sessionize_gap(spark, tmp_path):
+    """Seq-gap sessionization: a >1000 gap in a key's commit sequence
+    closes the episode (deterministic — no wall-clock timeouts)."""
+    from wrangler_spark.streaming.stateful import sessionize
+
+    rows = [(s, "r1", "a.py") for s in range(0, 50)]          # session 1
+    rows += [(s, "r1", "a.py") for s in range(5000, 5030)]    # session 2
+    df = spark.createDataFrame(rows, "seq long, repo string, path string")
+    src = str(tmp_path / "sg_src")
+    df.write.mode("overwrite").parquet(src)
+
+    out = []
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    q = (
+        sessionize(stream)
+        .writeStream.foreachBatch(lambda b, i: out.extend(b.collect()))
+        .option("checkpointLocation", str(tmp_path / "sg_ck"))
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    closed = [r for r in out if r["closed"]]
+    open_ = [r for r in out if not r["closed"]]
+    assert len(closed) == 1 and closed[0]["session_events"] == 50
+    assert closed[0]["first_seq"] == 0 and closed[0]["last_seq"] == 49
+    # last open-session emission carries the second burst
+    last_open = max(open_, key=lambda r: r["last_seq"])
+    assert last_open["session_events"] == 30 and last_open["first_seq"] == 5000
