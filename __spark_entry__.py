@@ -510,6 +510,68 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return pairs.filter(F.col("cos_sim") >= 0.35)
     q["dedup_embedding"] = q_dedup_embedding
 
+    def q_stateful_progress(spark, d):
+        """applyInPandasWithState over the events table streamed from
+        parquet: the FINAL per-user running state must converge to the
+        batch GROUP BY truth (oracle below), proving the incremental
+        GroupState path."""
+        import tempfile
+
+        from pyspark.sql.streaming.state import GroupStateTimeout
+        from pyspark.sql import types as TT
+        import pandas as pd  # noqa: F401
+
+        _prep(spark)
+        import os
+
+        src = f"{d}/events.parquet"
+        if os.path.isfile(src):
+            # streaming file source needs a directory
+            link_dir = tempfile.mkdtemp(prefix="q_stateful_src_")
+            os.symlink(os.path.abspath(src), os.path.join(link_dir, "events.parquet"))
+            src = link_dir
+        schema = spark.read.parquet(src).schema
+        out_schema = TT.StructType([
+            TT.StructField("user_id", TT.LongType()),
+            TT.StructField("events", TT.LongType()),
+            TT.StructField("last_event", TT.LongType()),
+        ])
+        state_schema = TT.StructType([
+            TT.StructField("events", TT.LongType()),
+            TT.StructField("last_event", TT.LongType()),
+        ])
+
+        def fn(key, pdfs, state):
+            import pandas as pd
+
+            n, last = state.get if state.exists else (0, -1)
+            for pdf in pdfs:
+                n += len(pdf)
+                if len(pdf):
+                    last = max(last, int(pdf["event_id"].max()))
+            state.update((int(n), int(last)))
+            yield pd.DataFrame({"user_id": [key[0]], "events": [n], "last_event": [last]})
+
+        stream = spark.readStream.schema(schema).parquet(src)
+        prog = stream.groupBy("user_id").applyInPandasWithState(
+            fn, outputStructType=out_schema, stateStructType=state_schema,
+            outputMode="update", timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+        rows = []
+        ck = tempfile.mkdtemp(prefix="q_stateful_ck_")
+        qy = (
+            prog.writeStream.foreachBatch(lambda b, i: rows.extend(b.collect()))
+            .option("checkpointLocation", ck).outputMode("update")
+            .trigger(availableNow=True).start()
+        )
+        qy.awaitTermination(180)
+        best: dict = {}
+        for r in rows:
+            if r["user_id"] not in best or r["events"] > best[r["user_id"]]["events"]:
+                best[r["user_id"]] = r
+        return spark.createDataFrame(list(best.values()), out_schema)
+    q["stateful_progress"] = q_stateful_progress
+
     return q
 
 
@@ -703,6 +765,11 @@ def oracle_sql() -> dict[str, str]:
             "0.2 * least(1.0, stop_hits / 3.0) + "
             "0.2 * (CASE WHEN n_words > 0 THEN least(1.0, 5.0 * n_punct / n_words) "
             "ELSE 0.0 END), 4) AS quality FROM m"
+        ),
+        # the stateful stream's FINAL state equals the batch aggregate
+        "stateful_progress": (
+            "SELECT user_id, count(*) AS events, max(event_id) AS last_event "
+            "FROM events GROUP BY user_id"
         ),
         # fingerprint / dedup_minhash / simhash / ngram_jaccard / ann_lsh
         # / cdc_replay / multimodal_features: not SQL-expressible
