@@ -54,3 +54,17 @@ def test_udd_decorator_direct(spark):
         assert ok.first()["v"] == 42
     finally:
         DIRECTIVES.pop("double-it", None)
+
+
+def test_udd_example_module(spark):
+    """The shipped examples/udd_stars.py loads via #pragma and runs."""
+    import sys, os
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))))
+    from wrangler_spark import execute
+
+    df = spark.createDataFrame([(5.0,), (55.0,), (100.0,)], "score double")
+    ok, _ = execute(spark, [
+        "#pragma load-directives examples.udd_stars;",
+        "!star-rating :score",
+    ], df)
+    assert [r["score_stars"] for r in ok.collect()] == [1, 3, 5]
