@@ -45,6 +45,7 @@ class Replayer:
         partition_col: str = "source_partition",
         cache_batches: bool = False,
         error_dir: str | None = None,
+        lookups: dict | None = None,
     ):
         self.table = table
         self.checkpoint_dir = checkpoint_dir
@@ -73,6 +74,8 @@ class Replayer:
         # that route rows to error (send-to-error, failed validations)
         # land here as epoch-partitioned parquet
         self.error_dir = error_dir or os.path.join(checkpoint_dir, "errors")
+        # lookup datasets for table-lookup / catalog-lookup directives
+        self.lookups = lookups or {}
 
     # ------------------------------------------------------------ checkpoint
     @property
@@ -104,9 +107,12 @@ class Replayer:
         the recipe's error channel (None when nothing routed)."""
         if self.recipe is None:
             return events, None
+        from wrangler_spark.recipe.registry import RecipeContext
+
         ctrl = [self.seq_col, self.epoch_col, self.op_col, self.partition_col]
         ctrl = [c for c in ctrl if c in events.columns]
-        ok, err = self.recipe.apply(events)
+        ctx = RecipeContext(spark=events.sparkSession, lookups=self.lookups)
+        ok, err = self.recipe.apply(events, ctx)
         # recipe must keep control columns; enforce
         missing = [c for c in ctrl if c not in ok.columns]
         if missing:

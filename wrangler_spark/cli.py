@@ -88,6 +88,19 @@ def cmd_init_table(args) -> int:
     return 0
 
 
+def _read_lookups(spark, specs: list[str] | None) -> dict:
+    """--lookup name=path[:format] → {name: DataFrame} (broadcast-join
+    dimension tables for table-lookup directives)."""
+    out = {}
+    for spec in specs or []:
+        name, _, rest = spec.partition("=")
+        path, _, fmt = rest.partition(":")
+        fmt = fmt or ("csv" if path.endswith(".csv") else "parquet")
+        reader = spark.read.option("header", "true") if fmt == "csv" else spark.read
+        out[name] = reader.format(fmt).load(path)
+    return out
+
+
 def cmd_replay(args) -> int:
     from wrangler_spark.cdc.replay import Replayer
     from wrangler_spark.lake.table import LakeTable
@@ -95,7 +108,10 @@ def cmd_replay(args) -> int:
     spark = _spark(args)
     table = LakeTable.load(spark, args.table)
     events = spark.read.parquet(args.events)
-    rp = Replayer(table, args.checkpoint, recipe=_read_recipe(args.recipe))
+    rp = Replayer(
+        table, args.checkpoint, recipe=_read_recipe(args.recipe),
+        lookups=_read_lookups(spark, args.lookup),
+    )
     res = rp.replay(
         events,
         from_epoch=args.from_epoch,
@@ -216,6 +232,8 @@ def build_parser() -> argparse.ArgumentParser:
     r.add_argument("--table", required=True)
     r.add_argument("--checkpoint", required=True)
     r.add_argument("--recipe", default=None, help="recipe file (one directive per line)")
+    r.add_argument("--lookup", action="append", default=None,
+                   help="name=path[:format] lookup dataset for table-lookup")
     r.add_argument("--from-epoch", type=int, default=None)
     r.add_argument("--to-epoch", type=int, default=None)
     r.add_argument("--salted", action="store_true")
