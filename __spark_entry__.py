@@ -346,6 +346,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return final_state_sha256(table.read())
     q["cdc_replay"] = q_cdc_replay
 
+    def q_cdc_replay_events(spark, d):
+        """End-to-end ORACLE-BACKED replay: the testdata events table as
+        a change stream keyed by user_id (seq = event_id; signup→insert,
+        error→delete, else update), split into 3 INTERLEAVED epochs
+        (epoch = event_id % 3 — seqs cross epochs, exercising the
+        seq-guarded merge). Final table state must equal the SQL
+        last-writer-wins aggregate."""
+        import tempfile
+
+        from pyspark.sql import types as TT
+
+        from wrangler_spark.cdc import Replayer
+        from wrangler_spark.lake import LakeTable
+
+        ev = _t(spark, d, "events").select(
+            F.col("event_id").alias("seq"),
+            (F.col("event_id") % 3).cast("long").alias("epoch"),
+            F.when(F.col("event_type") == "signup", "insert")
+            .when(F.col("event_type") == "error", "delete")
+            .otherwise("update")
+            .alias("op"),
+            "user_id",
+            "event_type",
+            "value",
+            "props",
+        )
+        schema = TT.StructType([f for f in ev.schema.fields if f.name not in ("seq", "epoch", "op")])
+        base = tempfile.mkdtemp(prefix="wr_replay_ev_")
+        table = LakeTable.create(spark, f"{base}/tbl", schema, ["user_id"], num_buckets=4)
+        Replayer(table, f"{base}/ckpt").replay(ev)
+        return table.read().select("user_id", "event_type", "value", "props")
+    q["cdc_replay_events"] = q_cdc_replay_events
+
     # ---- training-data pipeline ops
     def q_dedup_exact(spark, d):
         from wrangler_spark.pipeline.dedup import exact_dup_groups
@@ -765,6 +798,16 @@ def oracle_sql() -> dict[str, str]:
             "0.2 * least(1.0, stop_hits / 3.0) + "
             "0.2 * (CASE WHEN n_words > 0 THEN least(1.0, 5.0 * n_punct / n_words) "
             "ELSE 0.0 END), 4) AS quality FROM m"
+        ),
+        # end-to-end replay oracle: LWW by event_id per user, deletes win
+        "cdc_replay_events": (
+            "WITH d AS (SELECT user_id, event_type, value, props, "
+            "CASE WHEN event_type = 'signup' THEN 'insert' "
+            "WHEN event_type = 'error' THEN 'delete' ELSE 'update' END AS op, "
+            "row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn "
+            "FROM events) "
+            "SELECT user_id, event_type, value, props FROM d "
+            "WHERE rn = 1 AND op <> 'delete'"
         ),
         # the stateful stream's FINAL state equals the batch aggregate
         "stateful_progress": (
