@@ -14,6 +14,7 @@ on a multi-executor cluster. Subcommands:
 - replay       epoch-fenced batch replay (resumable from checkpoint)
 - stream       Structured-Streaming replay (readStream → foreachBatch)
 - verify       per-row sha256 projection of the final table state
+- vacuum       expire old snapshots + delete orphaned data files
 - package      zip wrangler_spark/ for --py-files
 
 Everything the job needs ships in the zip; no cluster-side installs.
