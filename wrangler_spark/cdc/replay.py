@@ -127,27 +127,39 @@ class Replayer:
         to_epoch: int | None = None,
         salted: bool = False,
         evolve: bool = True,
+        epochs: list[int] | None = None,
     ) -> dict:
         """Replay events epoch by epoch. Returns summary metrics.
 
         `events` may span many epochs; each epoch is filtered (partition-
         pruned for epoch-partitioned sources), transformed, merged and
         committed independently, in ascending epoch order.
+
+        `epochs`: explicit epoch list. At 10^10-event scale pass the
+        partition-directory listing (see `list_epoch_partitions`) — the
+        default discovery is a distinct() over the epoch column, which
+        prunes to one column but still touches every file's footer.
         """
         ckpt = self.load_checkpoint()
         start = from_epoch if from_epoch is not None else ckpt["last_epoch"] + 1
 
-        bounds = events
-        if to_epoch is not None:
-            bounds = bounds.filter(F.col(self.epoch_col) <= to_epoch)
-        epochs = [
-            r[0]
-            for r in bounds.filter(F.col(self.epoch_col) >= start)
-            .select(self.epoch_col)
-            .distinct()
-            .orderBy(self.epoch_col)
-            .collect()
-        ]
+        if epochs is None:
+            bounds = events
+            if to_epoch is not None:
+                bounds = bounds.filter(F.col(self.epoch_col) <= to_epoch)
+            epochs = [
+                r[0]
+                for r in bounds.filter(F.col(self.epoch_col) >= start)
+                .select(self.epoch_col)
+                .distinct()
+                .orderBy(self.epoch_col)
+                .collect()
+            ]
+        else:
+            epochs = sorted(
+                e for e in epochs
+                if e >= start and (to_epoch is None or e <= to_epoch)
+            )
 
         total = {"epochs": 0, "events": 0, "skipped_epochs": 0, "elapsed_sec": 0.0}
         t0 = time.time()
@@ -281,6 +293,19 @@ class Replayer:
             }
         self._append_metrics(res)
         return res
+
+
+def list_epoch_partitions(path: str, epoch_col: str = "epoch") -> list[int]:
+    """Epoch ids from an epoch-partitioned dataset's directory names —
+    O(#epochs) filesystem metadata instead of a cluster-wide scan."""
+    out = []
+    for entry in os.listdir(path):
+        if entry.startswith(f"{epoch_col}="):
+            try:
+                out.append(int(entry.split("=", 1)[1]))
+            except ValueError:
+                continue
+    return sorted(out)
 
 
 def final_state_sha256(df: DataFrame, key_cols=("repo", "path"), content_col="content") -> DataFrame:

@@ -103,7 +103,7 @@ def _read_lookups(spark, specs: list[str] | None) -> dict:
 
 
 def cmd_replay(args) -> int:
-    from wrangler_spark.cdc.replay import Replayer
+    from wrangler_spark.cdc.replay import Replayer, list_epoch_partitions
     from wrangler_spark.lake.table import LakeTable
 
     spark = _spark(args)
@@ -113,11 +113,19 @@ def cmd_replay(args) -> int:
         table, args.checkpoint, recipe=_read_recipe(args.recipe),
         lookups=_read_lookups(spark, args.lookup),
     )
+    # epoch-partitioned layout → discover epochs from directory names,
+    # not a dataset-wide distinct (the scale path)
+    epochs = None
+    if os.path.isdir(args.events):
+        listed = list_epoch_partitions(args.events)
+        if listed:
+            epochs = listed
     res = rp.replay(
         events,
         from_epoch=args.from_epoch,
         to_epoch=args.to_epoch,
         salted=args.salted,
+        epochs=epochs,
     )
     print(json.dumps(res))
     return 0
