@@ -104,11 +104,8 @@ def test_spark_submit_deployment(tmp_path, spark):
     ev = generate_events(spark, N_EVENTS, n_repos=10, n_paths_per_repo=40,
                          epoch_size=EPOCH_SIZE)
     exp = final_state_sha256(expected_final_state(ev))
-    digest = exp.agg(
-        F.sha2(F.concat_ws("", F.sort_array(F.collect_list(
-            F.concat_ws("|", "repo", "path", "content_sha256")))), 256
-        ).alias("table_sha256"),
-        F.count(F.lit(1)).alias("rows"),
-    ).first()
-    assert v["rows"] == digest["rows"]
-    assert v["table_sha256"] == digest["table_sha256"]
+    from wrangler_spark.cdc.replay import state_digest
+
+    rows, digest = state_digest(exp)
+    assert v["rows"] == rows
+    assert v["table_digest"] == digest

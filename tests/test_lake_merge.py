@@ -172,3 +172,75 @@ def test_hot_key_flood_salted_and_plain(spark, table):
     table.merge(ch(spark, rows2), epoch=1, salted=False)
     got2 = {(r["repo"], r["path"]): r["content"] for r in table.read().collect()}
     assert got2[("hot2", "h.py")] == "w499"
+
+
+def test_rename_epoch_touching_subset_of_buckets(spark, table):
+    """Regression (round-2 ADVICE): a rename epoch that rewrites only a
+    SUBSET of buckets leaves the snapshot mixing pre-rename (old-name)
+    and post-rename (new-name) parquet files. The read must resolve the
+    renamed column in BOTH file generations (explicit read schema +
+    alias coalesce), never silently null-fill one of them — and a later
+    merge touching an un-rewritten bucket must not persist nulls."""
+    # epoch 0: keys spread across many buckets, all with lang set
+    rows = [(i, "insert", f"r{i}", f"f{i}.py", "c0", f"L{i}", f"v{i}") for i in range(40)]
+    table.merge(ch(spark, rows), epoch=0)
+    all_buckets = set(table.snap["files"].keys())
+    assert len(all_buckets) > 2
+
+    # epoch 1: rename lang -> language, touching exactly ONE key
+    c1 = spark.createDataFrame(
+        [(100, "update", "r0", "f0.py", "c1", "LX", "v0b")],
+        "seq long, op string, repo string, path string, commit string, language string, content string",
+    )
+    table.merge(c1, epoch=1, renames={"lang": "language"})
+    names = [f.name for f in table.schema.fields]
+    assert "language" in names and "lang" not in names
+
+    # mixed read: every untouched key must show its epoch-0 lang value
+    # under the new name (read-through the alias, not null)
+    got = {(r["repo"], r["path"]): r["language"] for r in table.read().collect()}
+    assert got[("r0", "f0.py")] == "LX"
+    for i in range(1, 40):
+        assert got[(f"r{i}", f"f{i}.py")] == f"L{i}", f"lost lang for r{i}"
+
+    # epoch 2: touch ONE MORE bucket (another old-name bucket gets
+    # rewritten through the mixed base read) — the rewrite must carry the
+    # alias-resolved values, not persist nulls
+    c2 = spark.createDataFrame(
+        [(200, "update", "r1", "f1.py", "c2", "LY", "v1b")],
+        "seq long, op string, repo string, path string, commit string, language string, content string",
+    )
+    table.merge(c2, epoch=2)
+    got2 = {(r["repo"], r["path"]): r["language"] for r in table.read().collect()}
+    assert got2[("r1", "f1.py")] == "LY"
+    for i in range(2, 40):
+        assert got2[(f"r{i}", f"f{i}.py")] == f"L{i}"
+
+
+def test_widen_epoch_touching_subset_of_buckets(spark, tmp_path):
+    """Mixed int32/int64 files after a widen epoch that rewrites only
+    some buckets: the read must widen old files (no vectorized-reader
+    crash, no nulls)."""
+    schema = T.StructType([
+        T.StructField("repo", T.StringType()), T.StructField("path", T.StringType()),
+        T.StructField("size", T.IntegerType()),
+    ])
+    t = LakeTable.create(spark, str(tmp_path / "wd"), schema, ["repo", "path"], num_buckets=8)
+    rows = [(i, "insert", f"r{i}", f"f{i}.py", i * 10) for i in range(20)]
+    t.merge(
+        spark.createDataFrame(rows, "seq long, op string, repo string, path string, size int"),
+        epoch=0,
+    )
+    # widen epoch touches one key
+    t.merge(
+        spark.createDataFrame(
+            [(100, "update", "r0", "f0.py", 5_000_000_000)],
+            "seq long, op string, repo string, path string, size long",
+        ),
+        epoch=1,
+    )
+    assert t.schema["size"].dataType.simpleString() == "bigint"
+    got = {(r["repo"], r["path"]): r["size"] for r in t.read().collect()}
+    assert got[("r0", "f0.py")] == 5_000_000_000
+    for i in range(1, 20):
+        assert got[(f"r{i}", f"f{i}.py")] == i * 10

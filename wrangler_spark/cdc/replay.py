@@ -68,8 +68,6 @@ class Replayer:
         # columnar parquet re-reads are cheap and pruned. Turn on for
         # expensive recipes over slow sources.
         self.cache_batches = cache_batches
-        # previous epoch's LWW winner count — broadcast-decision hint
-        self._last_keys: int | None = None
         # error-channel sink (reference error port): recipe directives
         # that route rows to error (send-to-error, failed validations)
         # land here as epoch-partitioned parquet
@@ -237,6 +235,19 @@ class Replayer:
                 "max_seq": max((r["hwm"] for r in rows), default=None),
             }
 
+        # error-channel sink (the reference's error port): write routed
+        # rows BEFORE the merge commit fences this epoch — a crash
+        # between the commit (or checkpoint) and a later error write
+        # would permanently drop the epoch's error rows, because the
+        # resumed replay skips fenced epochs. Overwrite mode keeps the
+        # write idempotent across retries of an unfenced epoch.
+        if err is not None:
+            err_path = os.path.join(self.error_dir, f"epoch={epoch}")
+            err.write.mode("overwrite").parquet(err_path)
+            error_rows = self.table.spark.read.parquet(err_path).count()
+        else:
+            error_rows = 0
+
         res = self.table.merge(
             transformed.drop(self.epoch_col),
             seq_col=self.seq_col,
@@ -245,14 +256,10 @@ class Replayer:
             evolve=evolve,
             salted=salted,
             metrics=_resolve_metrics,
-            # previous epoch's winner count (×4 safety) lets the LWW
-            # broadcast decision skip its sizing job in steady state
-            broadcast_hint_keys=(self._last_keys * 4 if self._last_keys else None),
             # recipe-declared renames → lake schema renames (Iceberg
             # RENAME COLUMN equivalent; pre-rename files read via alias)
             renames=self.recipe.renames() if self.recipe else None,
         )
-        self._last_keys = res.get("keys") or self._last_keys
         wm_rows = wm_box.get("rows", [])
         if self.cache_batches:
             batch.unpersist()
@@ -267,15 +274,7 @@ class Replayer:
                 wms[pid] = max(int(wms.get(pid, -1)), int(r["hwm"]))
         self.save_checkpoint(epoch, wms)
 
-        # error-channel sink (the reference's error port): write routed
-        # rows before checkpointing so a resume never loses them
-        if err is not None:
-            err_path = os.path.join(self.error_dir, f"epoch={epoch}")
-            err.write.mode("overwrite").parquet(err_path)
-            res["error_rows"] = self.table.spark.read.parquet(err_path).count()
-        else:
-            res["error_rows"] = 0
-
+        res["error_rows"] = error_rows
         res["elapsed_sec"] = time.time() - t0
         res["recipe_steps"] = len(self.recipe.calls) if self.recipe else 0
         # per-source-partition lineage (north rule): events consumed, op
@@ -306,6 +305,29 @@ def list_epoch_partitions(path: str, epoch_col: str = "epoch") -> list[int]:
             except ValueError:
                 continue
     return sorted(out)
+
+
+def state_digest(sha_df: DataFrame) -> tuple[int, str]:
+    """Order-independent whole-table digest over a `final_state_sha256`
+    projection: per-row xxhash64 combined with commutative SUM and XOR.
+    Constant-size aggregation state with map-side combine — unlike a
+    sort_array(collect_list(...)) digest, this never materializes the
+    table on one reducer, so it holds at 10^10 rows.
+
+    Returns (row_count, digest_string)."""
+    row_h = F.xxhash64(F.concat_ws("|", "repo", "path", "content_sha256"))
+    r = sha_df.agg(
+        F.sum(row_h).alias("__sum"),
+        F.expr(
+            "bit_xor(xxhash64(concat_ws('|', repo, path, content_sha256)))"
+        ).alias("__xor"),
+        F.count(F.lit(1)).alias("rows"),
+    ).first()
+    digest = (
+        f"{(r['__sum'] or 0) & 0xFFFFFFFFFFFFFFFF:016x}-"
+        f"{(r['__xor'] or 0) & 0xFFFFFFFFFFFFFFFF:016x}"
+    )
+    return int(r["rows"]), digest
 
 
 def final_state_sha256(df: DataFrame, key_cols=("repo", "path"), content_col="content") -> DataFrame:

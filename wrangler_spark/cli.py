@@ -167,16 +167,10 @@ def cmd_verify(args) -> int:
         sha.repartition(1).sortWithinPartitions("repo", "path").write.mode(
             "overwrite"
         ).parquet(args.out)
-    digest = sha.agg(
-        F.sha2(
-            F.concat_ws(
-                "", F.sort_array(F.collect_list(F.concat_ws("|", "repo", "path", "content_sha256")))
-            ),
-            256,
-        ).alias("table_sha256"),
-        F.count(F.lit(1)).alias("rows"),
-    ).first()
-    print(json.dumps({"rows": digest["rows"], "table_sha256": digest["table_sha256"]}))
+    from wrangler_spark.cdc.replay import state_digest
+
+    rows, table_digest = state_digest(sha)
+    print(json.dumps({"rows": rows, "table_digest": table_digest}))
     return 0
 
 

@@ -36,7 +36,6 @@ def lww_dedup(
     salt_buckets: int = 16,
     unique_seq: bool = True,
     broadcast_keys_max: int = 0,
-    assume_keys: int | None = None,
     _handles: list | None = None,
 ) -> DataFrame:
     """One row per key: the change with max seq (last writer wins).
@@ -86,18 +85,11 @@ def lww_dedup(
     else:
         mx = proj.groupBy(*key_cols).agg(F.max(seq_col).alias(seq_col))
     if broadcast_keys_max:
-        if assume_keys is not None:
-            # caller-supplied key-count bound (e.g. the replayer's
-            # previous-epoch winner count with a safety factor): skips
-            # the sizing job entirely in steady state
-            if assume_keys <= broadcast_keys_max:
-                mx = F.broadcast(mx)
-        else:
-            mx = mx.cache()
-            if _handles is not None:
-                _handles.append(mx)
-            if mx.count() <= broadcast_keys_max:
-                mx = F.broadcast(mx)
+        mx = mx.cache()
+        if _handles is not None:
+            _handles.append(mx)
+        if mx.count() <= broadcast_keys_max:
+            mx = F.broadcast(mx)
     return changes.join(mx, on=[*key_cols, seq_col], how="inner")
 
 
@@ -126,10 +118,10 @@ def merge_into(
     run its metrics job CONCURRENTLY with the merge (they're needed
     only for commit properties and the result dict).
 
-    `broadcast_hint_keys`: caller's upper-bound estimate of this
-    batch's distinct-key count (e.g. previous epoch's winner count × a
-    safety factor). When present, the LWW join-back's broadcast
-    decision skips its sizing job.
+    `broadcast_hint_keys`: deprecated, ignored. The broadcast decision
+    now reads the exact winner count from the bucket-pruning probe (a
+    key+seq-bytes-only job that runs anyway), so a stale hint can never
+    force an oversized build side into memory.
     """
     if epoch is not None and int(epoch) in table.committed_epochs:
         return {"skipped": True, "epoch": epoch, "version": table.version}
@@ -153,19 +145,37 @@ def merge_into(
         schema, aliases = table.schema, table.aliases
 
     # ---- LWW winner per key (salted two-stage hash agg; no window sort).
-    # winners is bounded by the distinct-key count of the batch — small
-    # relative to the raw events — and is consumed by three downstream
-    # jobs (bucket probe, matched-join, new-key anti-join), so cache it
-    # rather than re-aggregating the full change stream each time.
-    # broadcast_keys_max: typical epochs touch far fewer keys than the
-    # broadcast bound, so the join-back (and thus the entire payload
-    # stream) stays shuffle-free; giant epochs degrade to shuffle join.
-    handles: list = []
-    winners = lww_dedup(
-        changes, keys, seq_col=seq_col, salted=salted,
-        broadcast_keys_max=500_000, assume_keys=broadcast_hint_keys,
-        _handles=handles,
-    ).cache()
+    # Shape: tiny max-seq agg over a (keys, seq) projection, cached, then
+    # a join back to the full rows (measured 10× faster than
+    # max_by(struct), which copies the payload into the agg buffer).
+    # The bucket-pruning probe runs on the AGG side, before the payload
+    # join, so it (a) costs only key+seq bytes and (b) yields the EXACT
+    # distinct-key count that gates the static broadcast — no stale
+    # previous-epoch hint can force a huge build side into driver memory
+    # (a key-count burst degrades gracefully to the shuffle join, the
+    # right plan at that size). broadcast keeps the full payload stream
+    # shuffle-free for typical epochs (≤500k keys).
+    proj = changes.select(*keys, seq_col)
+    if salted:
+        salt = F.pmod(F.xxhash64(F.col(seq_col)), F.lit(16))
+        stage1 = proj.groupBy(*keys, salt.alias("__salt")).agg(
+            F.max(seq_col).alias(seq_col)
+        )
+        mx = stage1.groupBy(*keys).agg(F.max(seq_col).alias(seq_col))
+    else:
+        mx = proj.groupBy(*keys).agg(F.max(seq_col).alias(seq_col))
+    mx = mx.withColumn("__b", table.bucket_expr(mx)).cache()
+
+    # ---- bucket pruning probe (≤ num_buckets rows collected) — also the
+    # broadcast sizing job and the winner count, all in one tiny job
+    bucket_counts = mx.groupBy("__b").count().collect()
+    affected = sorted(r["__b"] for r in bucket_counts)
+    n_winners = sum(r["count"] for r in bucket_counts)
+
+    winners_broadcast = n_winners <= 500_000
+    build = F.broadcast(mx) if winners_broadcast else mx
+    # join-back carries __b from the agg side for free
+    winners = changes.join(build, on=[*keys, seq_col], how="inner").cache()
 
     # ---- metrics on the change batch (precomputed by the replayer's
     # watermark agg when available; one small agg job otherwise)
@@ -179,13 +189,7 @@ def merge_into(
         ).first()
         metrics = {k: mrow[k] for k in ("events", "inserts", "updates", "deletes", "max_seq")}
 
-    # ---- bucket pruning: which buckets do the changed keys live in?
-    # (the same job also yields the winner count — the next epoch's
-    # broadcast-decision hint — for free: ≤ num_buckets rows collected)
-    wb = winners.withColumn("__b", table.bucket_expr(winners))
-    bucket_counts = wb.groupBy("__b").count().collect()
-    affected = sorted(r["__b"] for r in bucket_counts)
-    n_winners = sum(r["count"] for r in bucket_counts)
+    wb = winners
 
     def _align(df: DataFrame, extra: list) -> DataFrame:
         cols = []
@@ -214,48 +218,79 @@ def merge_into(
     base_aligned = _align(base, [F.col("__seq"), F.col("__deleted")])
     base_aligned = base_aligned.withColumn("__b", table.bucket_expr(base_aligned))
 
-    # seq-guarded merge (`WHEN MATCHED AND s.seq > t.seq`), planned as two
-    # joins rather than a re-aggregation so AQE can broadcast the (usually
-    # small) change set at runtime — base rows then never shuffle for the
-    # matching step, only for the bucket-partitioned rewrite:
-    #   1) base ⟕ winners on keys: replace the row iff the change is newer
-    #   2) winners ∖ base keys: brand-new keys (insert or new tombstone)
+    # seq-guarded merge (`WHEN MATCHED AND s.seq > t.seq`). Two plans:
+    #
+    # Broadcast path (n_winners ≤ 500k — the typical epoch): base rows
+    # join ONLY against the broadcast (keys, max-seq) projection, so the
+    # base payload provably never shuffles — bucket alignment holds by
+    # construction, not by hoping AQE picks BHJ for a payload-bearing
+    # side. The changed-row payload (winners that beat the base, plus
+    # brand-new keys) is the small side and repartitions by bucket once.
+    #
+    # Degraded path (key-count burst): classic two-join SMJ merge; base
+    # rows shuffle on keys, so the write explicitly re-clusters by
+    # bucket (without it, every write task would span many buckets and
+    # emit tasks × buckets small files per version).
     data_cols = [f.name for f in schema.fields]
-    w = changes_aligned.select(
+    mxk = mx.select(
         *[F.col(k).alias(f"__w_{k}") for k in keys],
-        *[F.col(c).alias(f"__wv_{c}") for c in data_cols if c not in keys],
-        F.col("__seq").alias("__w_seq"),
-        F.col("__deleted").alias("__w_deleted"),
+        F.col(seq_col).cast("long").alias("__w_seq"),
     )
     join_cond = None
     for k in keys:
-        c = base_aligned[k].eqNullSafe(w[f"__w_{k}"])
+        c = F.col(k).eqNullSafe(F.col(f"__w_{k}"))
         join_cond = c if join_cond is None else (join_cond & c)
-    joined = base_aligned.join(w, join_cond, "left")
-    newer = w["__w_seq"].isNotNull() & (w["__w_seq"] > F.col("__seq"))
-    resolved_cols = [F.col(k) for k in keys]
-    for c in data_cols:
-        if c not in keys:
-            resolved_cols.append(F.when(newer, F.col(f"__wv_{c}")).otherwise(F.col(c)).alias(c))
-    resolved_cols.append(F.when(newer, F.col("__w_seq")).otherwise(F.col("__seq")).alias("__seq"))
-    resolved_cols.append(
-        F.when(newer, F.col("__w_deleted")).otherwise(F.col("__deleted")).alias("__deleted")
-    )
-    resolved_cols.append(F.col("__b"))
-    existing = joined.select(*resolved_cols)
 
-    brand_new = changes_aligned.join(
-        base_aligned.select(*keys), on=keys, how="left_anti"
-    ).select(*keys, *[F.col(c) for c in data_cols if c not in keys], "__seq", "__deleted", "__b")
-
-    # `existing` rides the base read's partitioning — bucket-aligned by
-    # construction (base files are per-bucket) — so only the (small)
-    # brand-new side needs clustering by bucket before the write; the
-    # rewritten bucket payload itself never shuffles.
-    merged = existing.unionByName(brand_new.repartition(F.col("__b")))
+    if winners_broadcast:
+        bj = base_aligned.join(F.broadcast(mxk), join_cond, "left")
+        newer = F.col("__w_seq").isNotNull() & (F.col("__w_seq") > F.col("__seq"))
+        # base rows that survive (no change, or a stale change)
+        base_keep = bj.filter(~F.coalesce(newer, F.lit(False))).select(
+            *keys, *[c for c in data_cols if c not in keys], "__seq", "__deleted", "__b"
+        )
+        # keys where the base won (stale change) — bounded by n_winners;
+        # Catalyst prunes this second base scan to keys+__seq only
+        losers = bj.filter(F.coalesce(F.col("__w_seq") <= F.col("__seq"), F.lit(False))).select(
+            *[F.col(f"__w_{k}").alias(f"__l_{k}") for k in keys]
+        )
+        lose_cond = None
+        for k in keys:
+            c = F.col(k).eqNullSafe(F.col(f"__l_{k}"))
+            lose_cond = c if lose_cond is None else (lose_cond & c)
+        changed = changes_aligned.join(F.broadcast(losers), lose_cond, "left_anti").select(
+            *keys, *[c for c in data_cols if c not in keys], "__seq", "__deleted", "__b"
+        )
+        merged = base_keep.unionByName(changed.repartition(F.col("__b")))
+        pre_partitioned = True
+    else:
+        w = changes_aligned.select(
+            *[F.col(k).alias(f"__w_{k}") for k in keys],
+            *[F.col(c).alias(f"__wv_{c}") for c in data_cols if c not in keys],
+            F.col("__seq").alias("__w_seq"),
+            F.col("__deleted").alias("__w_deleted"),
+        )
+        joined = base_aligned.join(w, join_cond, "left")
+        newer = F.col("__w_seq").isNotNull() & (F.col("__w_seq") > F.col("__seq"))
+        resolved_cols = [F.col(k) for k in keys]
+        for c in data_cols:
+            if c not in keys:
+                resolved_cols.append(
+                    F.when(newer, F.col(f"__wv_{c}")).otherwise(F.col(c)).alias(c)
+                )
+        resolved_cols.append(F.when(newer, F.col("__w_seq")).otherwise(F.col("__seq")).alias("__seq"))
+        resolved_cols.append(
+            F.when(newer, F.col("__w_deleted")).otherwise(F.col("__deleted")).alias("__deleted")
+        )
+        resolved_cols.append(F.col("__b"))
+        existing = joined.select(*resolved_cols)
+        brand_new = changes_aligned.join(
+            base_aligned.select(*keys), on=keys, how="left_anti"
+        ).select(*keys, *[F.col(c) for c in data_cols if c not in keys], "__seq", "__deleted", "__b")
+        merged = existing.unionByName(brand_new)
+        pre_partitioned = False
 
     new_version = table.version + 1
-    bucket_files = table.write_buckets(merged, new_version, pre_partitioned=True)
+    bucket_files = table.write_buckets(merged, new_version, pre_partitioned=pre_partitioned)
     # buckets that were affected but ended up empty (all keys deleted)
     for b in affected:
         bucket_files.setdefault(str(b), [])
@@ -272,8 +307,7 @@ def merge_into(
         props["max_seq"] = int(metrics["max_seq"])
     table.commit(bucket_files, epoch=epoch, properties=props, schema=schema, aliases=aliases)
     winners.unpersist()
-    for h in handles:
-        h.unpersist()
+    mx.unpersist()
 
     return {
         "skipped": False,

@@ -220,36 +220,51 @@ class LakeTable:
                     "__deleted", F.lit(False)
                 )
             return base
-        df = self.spark.read.parquet(*files)
-        cols = []
-        have = {c.lower() for c in df.columns}
         aliases = aliases if aliases is not None else self.aliases
+        # EXPLICIT physical read schema — never footer inference. With
+        # default mergeSchema=false Spark takes ONE file's footer, so a
+        # snapshot mixing pre-rename (old-name) and post-rename
+        # (new-name) files would silently null the columns the chosen
+        # footer lacks, and a widened column (old int32 vs new int64
+        # files) crashes the vectorized reader outright. The explicit
+        # schema lists every current field PLUS every alias name (at the
+        # current, widest type — the parquet reader's widening
+        # promotions cover int→long→double etc.); each file null-fills
+        # the names it doesn't have, deterministically.
+        current_l = {f_.name.lower() for f_ in schema.fields}
+        read_fields: list[T.StructField] = []
         for f_ in schema.fields:
-            # a renamed column may exist under its current name in new
-            # files AND an older name in pre-rename files (parquet union
-            # null-fills the one each file lacks) → per-row coalesce
+            read_fields.append(T.StructField(f_.name.lower(), f_.dataType, True))
+            for a in aliases.get(f_.name.lower(), []):
+                # an alias name later reused as a brand-new column reads
+                # under its current meaning; skip it as an alias
+                if a not in current_l:
+                    read_fields.append(T.StructField(a, f_.dataType, True))
+        read_fields.append(T.StructField("__seq", T.LongType(), True))
+        read_fields.append(T.StructField("__deleted", T.BooleanType(), True))
+        df = self.spark.read.schema(T.StructType(read_fields)).parquet(*files)
+        cols = []
+        for f_ in schema.fields:
+            # a renamed column exists under its current name in new files
+            # and an older name in pre-rename files → per-row coalesce
             # over current-name-then-aliases, like Iceberg's field-id
             # mapping resolves renames at read time
-            cands = [
-                n for n in [f_.name.lower(), *aliases.get(f_.name.lower(), [])]
-                if n in have
+            cands = [f_.name.lower()] + [
+                a for a in aliases.get(f_.name.lower(), []) if a not in current_l
             ]
-            if cands:
-                cols.append(
-                    F.coalesce(*[F.col(n) for n in cands]).cast(f_.dataType).alias(f_.name)
-                )
-            else:
-                cols.append(F.lit(None).cast(f_.dataType).alias(f_.name))
+            cols.append(
+                F.coalesce(*[F.col(n) for n in cands]).cast(f_.dataType).alias(f_.name)
+                if len(cands) > 1
+                else F.col(cands[0]).cast(f_.dataType).alias(f_.name)
+            )
         if with_meta:
-            cols.append(
-                (F.col("__seq").cast("long") if "__seq" in have else F.lit(-1).cast("long")).alias("__seq")
-            )
-            cols.append(
-                (F.coalesce(F.col("__deleted"), F.lit(False)) if "__deleted" in have else F.lit(False)).alias("__deleted")
-            )
+            # files written by merge always carry __seq/__deleted; the -1
+            # fallback covers externally imported files only
+            cols.append(F.coalesce(F.col("__seq"), F.lit(-1)).cast("long").alias("__seq"))
+            cols.append(F.coalesce(F.col("__deleted"), F.lit(False)).alias("__deleted"))
             return df.select(*cols)
-        out = df.select(*cols, *( [F.col("__deleted")] if "__deleted" in have else [F.lit(False).alias("__deleted")] ))
-        return out.filter(~F.coalesce(F.col("__deleted"), F.lit(False))).drop("__deleted")
+        out = df.select(*cols, F.coalesce(F.col("__deleted"), F.lit(False)).alias("__deleted"))
+        return out.filter(~F.col("__deleted")).drop("__deleted")
 
     def write_buckets(
         self, df: DataFrame, version: int, pre_partitioned: bool = False
