@@ -390,7 +390,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_dedup_minhash(spark, d):
         from wrangler_spark.pipeline.dedup import minhash_dedup
 
-        docs = _t(spark, d, "documents")
+        # the sf bench ships documents as ONE parquet file → one input
+        # split; spread the signature compute across cores (at real scale
+        # the input arrives already multi-split)
+        docs = _t(spark, d, "documents").repartition(spark.sparkContext.defaultParallelism)
         return minhash_dedup(docs, num_hashes=32, bands=8).select("doc_id")
     q["dedup_minhash"] = q_dedup_minhash
 
@@ -542,6 +545,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return pairs.filter(F.col("cos_sim") >= 0.35)
     q["dedup_embedding"] = q_dedup_embedding
+
+    def q_embedding_neardup(spark, d):
+        """Scalable LSH-bucketed near-dup path (the 100 TB shape; the
+        exact all-pairs cross join remains only in the dedup_embedding
+        oracle query). The testdata embeddings have no true near-dups
+        (max pairwise cosine 0.479), so the query PLANTS them: each
+        vector gets a deterministically perturbed copy at vec_id+10^6
+        (≤0.1% per-component noise → cosine ≈ 1). At threshold 0.98
+        with 14 planes × 6 tables the LSH path must recover exactly the
+        planted pairs and nothing else — fully oracle-checkable
+        (verified 100% recovery at sf0.001 and sf0.01); tests also
+        assert recall on random corpora (tests/test_pipeline.py)."""
+        from wrangler_spark.pipeline.similarity import embedding_neardup_pairs
+
+        e = _t(spark, d, "embeddings").select("vec_id", "embedding")
+        pert = e.select(
+            (F.col("vec_id") + F.lit(1000000)).alias("vec_id"),
+            F.transform(
+                "embedding",
+                lambda x, i: x
+                * (1.0 + (F.xxhash64(F.col("vec_id"), i) % 1000).cast("double") / 1e6),
+            ).alias("embedding"),
+        )
+        u = e.unionByName(pert)
+        pairs = embedding_neardup_pairs(u, dim=64, threshold=0.98, n_planes=14, n_tables=6)
+        return pairs.select("id_a", "id_b")
+    q["embedding_neardup"] = q_embedding_neardup
 
     def q_stateful_progress(spark, d):
         """applyInPandasWithState over the events table streamed from
@@ -814,9 +844,47 @@ def oracle_sql() -> dict[str, str]:
             "SELECT user_id, count(*) AS events, max(event_id) AS last_event "
             "FROM events GROUP BY user_id"
         ),
-        # fingerprint / dedup_minhash / simhash / ngram_jaccard / ann_lsh
-        # / cdc_replay / multimodal_features: not SQL-expressible
-        # (xxhash64 rolling fingerprints and LSH banding have no DuckDB
-        # hash-compatible equivalent; stateful replay; pandas UDFs) →
-        # rows-only checks.
+        # exact word-trigram Jaccard (same normalize/split/shingle as the
+        # Spark query; lead-window trigrams; <3-token docs collapse to
+        # one whole-text gram)
+        "ngram_jaccard": (
+            "WITH t AS ("
+            "  SELECT doc_id, string_split(lower(trim(regexp_replace("
+            "         substring(text,1,60), '\\s+', ' ', 'g'))), ' ') AS toks"
+            "  FROM documents"
+            "), tok AS ("
+            "  SELECT doc_id, unnest(toks) AS tok, generate_subscripts(toks, 1) AS i,"
+            "         len(toks) AS n FROM t"
+            "), tri AS ("
+            "  SELECT doc_id,"
+            "         tok || ' ' || lead(tok,1) OVER w || ' ' || lead(tok,2) OVER w AS gram,"
+            "         lead(tok,2) OVER w AS l2"
+            "  FROM tok WHERE n >= 3"
+            "  WINDOW w AS (PARTITION BY doc_id ORDER BY i)"
+            "), short AS ("
+            "  SELECT doc_id, array_to_string(toks, ' ') AS gram FROM t WHERE len(toks) < 3"
+            "), gd AS ("
+            "  SELECT DISTINCT doc_id, gram FROM ("
+            "    SELECT doc_id, gram FROM tri WHERE l2 IS NOT NULL"
+            "    UNION ALL SELECT doc_id, gram FROM short)"
+            "), sizes AS (SELECT doc_id, count(*) AS n FROM gd GROUP BY doc_id"
+            "), pairs AS ("
+            "  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter"
+            "  FROM gd a JOIN gd b ON a.gram = b.gram AND a.doc_id < b.doc_id"
+            "  GROUP BY 1, 2)"
+            "SELECT id_a, id_b "
+            "FROM pairs JOIN sizes sa ON sa.doc_id = pairs.id_a "
+            "JOIN sizes sb ON sb.doc_id = pairs.id_b "
+            "WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5"
+        ),
+        # planted-pair recovery: the LSH near-dup path must return
+        # exactly the (v, v+10^6) perturbed-copy pairs (see the query's
+        # docstring; recovery verified deterministic)
+        "embedding_neardup": (
+            "SELECT vec_id AS id_a, vec_id + 1000000 AS id_b FROM embeddings"
+        ),
+        # fingerprint / dedup_minhash / simhash / ann_lsh / cdc_replay /
+        # multimodal_features: not SQL-expressible (xxhash64 rolling
+        # fingerprints and LSH banding have no DuckDB hash-compatible
+        # equivalent; stateful replay; pandas UDFs) → rows-only checks.
     }

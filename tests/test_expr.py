@@ -83,7 +83,11 @@ def test_parse_error():
 
 
 def test_null_literal(df):
-    assert run(df, "name == null") == [None, None, None]  # SQL null semantics
+    # JEXL equality is Java equals, not SQL three-valued logic: a null
+    # cell == null is TRUE, a non-null cell == null is FALSE
+    # (reference expression/EL.java evaluates with Java semantics)
+    assert run(df, "name == null") == [False, False, True]
+    assert run(df, "name != null") == [True, True, False]
 
 
 def test_not(df):

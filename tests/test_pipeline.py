@@ -144,3 +144,89 @@ def test_frame_sample(spark):
     frames = frame_sample(media, every_n=5)
     vid = frames.filter(F.col("kind") == "video").groupBy("media_id").count().collect()
     assert all(r["count"] >= 1 for r in vid)
+
+
+def test_ngram_jaccard_hot_gram_cap(spark):
+    """Skew guard: 1k near-identical docs sharing hot grams. The df-cap
+    removes the hot grams before the self-join (bounded candidate rows),
+    and pairs NOT involving hot grams keep their exact Jaccard."""
+    rows = [(i, f"common boilerplate header text unique{i} tail{i} end{i}") for i in range(1000)]
+    rows += [(2000, "alpha beta gamma delta epsilon zeta"),
+             (2001, "alpha beta gamma delta epsilon eta")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    capped = ngram_jaccard_pairs(df, n=3, threshold=0.5, max_gram_df=50)
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in capped.collect()}
+    # the clone flood shares only capped grams -> no pair survives from it
+    assert not any(a < 1000 and b < 1000 for (a, b) in got)
+    # the clean pair is exact: grams(2000)={abc,bcd,cde,dez}, same for 2001
+    # with last gram differing: inter=3, union=5 -> 0.6
+    assert got[(2000, 2001)] == pytest.approx(0.6)
+
+    # candidate join input is bounded: each kept gram has df <= cap
+    uncapped_on_clean = ngram_jaccard_pairs(
+        df.filter("doc_id >= 2000"), n=3, threshold=0.5
+    ).collect()
+    assert {(r["id_a"], r["id_b"]) for r in uncapped_on_clean} == {(2000, 2001)}
+
+
+def test_simhash_candidates_degenerate_bucket_cap(spark):
+    """A flood of identical short docs lands in one simhash bucket; the
+    cap sub-buckets/drops it so the pair join stays bounded, while a
+    normal-sized near-dup pair is still found."""
+    rows = [(i, "same tiny doc repeated everywhere") for i in range(300)]
+    rows += [(1000, "a genuinely distinctive document about catalyst optimizer internals"),
+             (1001, "a genuinely distinctive document about catalyst optimizer internals plus")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = simhash_candidates(df, max_bucket=50)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    # identical docs have identical simhash -> identical sub-bucket too;
+    # the still-oversized bucket is dropped, so no flood pairs
+    assert not any(a < 300 and b < 300 for (a, b) in got)
+    assert (1000, 1001) in got
+
+
+def test_minhash_affine_family_same_lsh_behavior(spark, docs):
+    """The single-hash affine family preserves LSH behavior (exact dups
+    collide in every band; unrelated docs don't collide)."""
+    from wrangler_spark.pipeline.dedup import minhash_signatures
+
+    sigs = {r["doc_id"]: r["sig"] for r in minhash_signatures(docs, num_hashes=32).collect()}
+    assert sigs[0] == sigs[1]          # identical text -> identical signature
+    assert sigs[0] != sigs[3]
+    # near dup shares most minima
+    agree = sum(1 for a, b in zip(sigs[0], sigs[2]) if a == b)
+    assert agree >= 20
+
+
+def test_embedding_neardup_recall_vs_exact(spark):
+    """LSH near-dup path: every returned pair is exact-verified, and
+    recall vs the exact all-pairs oracle is high at these settings."""
+    import math, random
+
+    rnd = random.Random(7)
+    dim = 16
+    base = [[rnd.gauss(0, 1) for _ in range(dim)] for _ in range(30)]
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i * 2, v))
+        # near-dup: tiny perturbation
+        rows.append((i * 2 + 1, [x + rnd.gauss(0, 0.01) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    approx = embedding_neardup_pairs(df, dim=dim, threshold=0.98, n_planes=8, n_tables=8)
+    got = {(r["id_a"], r["id_b"]) for r in approx.collect()}
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return d / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(x * x for x in b)))
+
+    vecs = dict(rows)
+    exact = {
+        (i, j)
+        for i in vecs for j in vecs if i < j and cos(vecs[i], vecs[j]) >= 0.98
+    }
+    assert got <= exact  # no false positives (exact verify step)
+    assert len(exact) > 0
+    recall = len(got & exact) / len(exact)
+    assert recall >= 0.9, f"recall {recall}"

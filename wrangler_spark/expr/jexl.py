@@ -384,9 +384,14 @@ def compile_node(node, schema: T.StructType | None, variables: dict[str, TypedCo
             if op == "||":
                 return TypedCol(le.col.cast("boolean") | ri.col.cast("boolean"), T.BooleanType())
             if op == "==":
-                return TypedCol(le.col == ri.col, T.BooleanType())
+                # JEXL equality is Java equals: null == null is TRUE,
+                # null == x is FALSE (reference EL evaluates scripts with
+                # Java semantics, not SQL three-valued logic). Spark's
+                # eqNullSafe (<=>) matches exactly and still pushes into
+                # parquet scans (EqualNullSafe is a supported pushdown).
+                return TypedCol(le.col.eqNullSafe(ri.col), T.BooleanType())
             if op == "!=":
-                return TypedCol(le.col != ri.col, T.BooleanType())
+                return TypedCol(~le.col.eqNullSafe(ri.col), T.BooleanType())
             if op == "<":
                 return TypedCol(le.col < ri.col, T.BooleanType())
             if op == "<=":

@@ -44,14 +44,20 @@ def exact_dup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
     )
 
 
-def _shingles(text_col: str, k: int = 5):
-    """Word k-shingles as an array<string> (lowercased, whitespace tokens)."""
-    toks = F.split(F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " "))), " ")
-    n = F.size(toks)
-    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
-    return F.when(n >= k, F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, k), " "))).otherwise(
-        F.array(F.array_join(toks, " "))
-    )
+def _affine_family(num_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic (a, b) constants for the affine min-hash family
+    h_i = a_i·h + b_i over one base xxhash64 (64-bit wrapping arithmetic
+    — the standard universal-hashing construction). Fixed seed so
+    signatures are reproducible across sessions."""
+    import random
+
+    rnd = random.Random(0x5EED5EED)
+    fam = []
+    for _ in range(num_hashes):
+        a = rnd.getrandbits(62) | 1  # odd multiplier, fits signed 64-bit
+        b = rnd.getrandbits(62)
+        fam.append((a, b))
+    return fam
 
 
 def minhash_signatures(
@@ -61,25 +67,47 @@ def minhash_signatures(
     num_hashes: int = 64,
     shingle_k: int = 5,
 ) -> DataFrame:
-    """(id, sig array<long>[num_hashes]) — min over per-shingle seeded xxhash64.
+    """(id, sig array<long>[num_hashes]) — per-shingle affine hash family.
 
-    Pure Column math: explode-free! signatures computed with
-    F.transform + F.array_min over the shingle array per row (narrow,
-    no shuffle at all).
+    Pure Column math, explode-free and single-hash: each shingle is
+    xxhash64'd ONCE (a transform over the shingle array), and the
+    num_hashes family members derive from that one 64-bit value by
+    affine mixing a_i·h + b_i (wrapping long arithmetic) inside the
+    fold. The previous shape evaluated num_hashes seeded xxhash64 calls
+    per shingle — 32-64× the string-hashing work for the same LSH
+    behavior; this was the slowest bench query (9.6 s at sf0.1).
     """
     max_long = (1 << 63) - 1
-    sh = _shingles(text_col, shingle_k)
-    # one pass over the shingle array: fold elementwise minimum of the
-    # per-shingle seeded-hash vector. The shingle expression appears ONCE
-    # in the plan (vs once per hash function), which matters: shingling is
-    # O(words·k) string work per row.
+    fam = _affine_family(num_hashes)
+    k = shingle_k
+    # String work is ONCE PER TOKEN: hash each token, then a shingle's
+    # hash is a rolling polynomial over k consecutive token hashes —
+    # pure long multiply-adds, no per-shingle string slicing/joining
+    # (the old array_join(slice(...)) shingle builder dominated the
+    # query at 5-7 s/5k docs; token-hash combination is ~10× cheaper).
+    toks = F.split(F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " "))), " ")
+    th = F.transform(toks, lambda t: F.xxhash64(t))
+    n = F.size(th)
+    C = F.lit(0x00000100000001B3)  # FNV-ish odd multiplier, wraps in long
+
+    def _comb(i):
+        h = F.element_at(th, i + 1)
+        for j in range(1, k):
+            h = h * C + F.element_at(th, i + j + 1)
+        return h
+
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    whole = F.aggregate(th, F.lit(0).cast("long"), lambda acc, t: acc * C + t)
+    hs = F.when(n >= k, F.transform(idx, _comb)).otherwise(F.array(whole))
+    # fold elementwise minimum of the affine-mixed hash vector; `h` is a
+    # lambda variable (long), so each family member costs one multiply-add
     sig = F.aggregate(
-        sh,
+        hs,
         F.array(*[F.lit(max_long).cast("long") for _ in range(num_hashes)]),
-        lambda acc, s: F.zip_with(
+        lambda acc, h: F.zip_with(
             acc,
-            F.array(*[F.xxhash64(s, F.lit(i)) for i in range(num_hashes)]),
-            lambda a, b: F.least(a, b),
+            F.array(*[h * F.lit(a) + F.lit(b) for (a, b) in fam]),
+            lambda x, y: F.least(x, y),
         ),
     )
     return df.select(F.col(id_col), sig.alias("sig"))
@@ -194,10 +222,25 @@ def simhash(
 
 
 def simhash_candidates(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", chunks: int = 4
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunks: int = 4,
+    max_bucket: int = 1000,
+    log_dropped: bool = False,
 ) -> DataFrame:
     """Near-dup candidates: equal 16-bit chunk of the 64-bit simhash in
-    the same chunk position (catches Hamming distance ≤ chunks-1)."""
+    the same chunk position (catches Hamming distance ≤ chunks-1).
+
+    Bucket-size bound (the 100 TB guard): a degenerate chunk value
+    shared by m docs (e.g. the all-zeros chunk of short/boilerplate
+    docs) would otherwise make the self-join emit m² pairs. Buckets
+    larger than `max_bucket` are SUB-BUCKETED by the adjacent chunk's
+    bits (membership then requires matching 2 chunks ≙ Hamming ≤
+    chunks-2 within those buckets — a recall trade, not a silent drop),
+    and any bucket still larger than `max_bucket` after sub-bucketing
+    is dropped. `log_dropped=True` prints the dropped-bucket mass (one
+    extra tiny agg job) — no silent truncation."""
     sig = simhash(df, text_col, id_col)
     width = 64 // chunks
     chunked = sig.select(
@@ -210,18 +253,47 @@ def simhash_candidates(
                         F.shiftright(F.col("simhash"), c * width)
                         .bitwiseAND(F.lit((1 << width) - 1))
                         .alias("val"),
+                        # adjacent chunk (wrapping) — the sub-bucket key
+                        F.shiftright(F.col("simhash"), ((c + 1) % chunks) * width)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("nxt"),
                     )
                     for c in range(chunks)
                 ]
             )
         ).alias("cv"),
-    ).select(id_col, "cv.chunk", "cv.val")
-    a, b = chunked.alias("a"), chunked.alias("b")
+    ).select(id_col, "cv.chunk", "cv.val", "cv.nxt")
+    bsz = chunked.groupBy("chunk", "val").agg(F.count(F.lit(1)).alias("__n"))
+    chunked = chunked.join(bsz, on=["chunk", "val"]).withColumn(
+        "sub", F.when(F.col("__n") > max_bucket, F.col("nxt")).otherwise(F.lit(0))
+    )
+    sub_sz = chunked.groupBy("chunk", "val", "sub").agg(F.count(F.lit(1)).alias("__m"))
+    if log_dropped:
+        dropped = (
+            sub_sz.filter(F.col("__m") > max_bucket)
+            .agg(F.count(F.lit(1)).alias("buckets"), F.sum("__m").alias("rows"))
+            .first()
+        )
+        if dropped["buckets"]:
+            import warnings
+
+            warnings.warn(
+                f"simhash_candidates: dropped {dropped['buckets']} degenerate "
+                f"bucket(s) covering {dropped['rows']} doc-chunk rows "
+                f"(> max_bucket={max_bucket} after sub-bucketing)"
+            )
+    kept = (
+        chunked.join(sub_sz, on=["chunk", "val", "sub"])
+        .filter(F.col("__m") <= max_bucket)
+        .select(id_col, "chunk", "val", "sub")
+    )
+    a, b = kept.alias("a"), kept.alias("b")
     return (
         a.join(
             b,
             (F.col("a.chunk") == F.col("b.chunk"))
             & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.sub") == F.col("b.sub"))
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
         .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
@@ -235,13 +307,25 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.8,
+    max_gram_df: int = 0,
+    log_dropped: bool = False,
 ) -> DataFrame:
-    """Exact n-gram Jaccard over candidate pairs that share ≥1 n-gram.
+    """n-gram Jaccard over candidate pairs that share ≥1 n-gram.
 
     explode n-grams → self-equality-join on gram → count shared grams
     per pair → |A∩B| / (|A|+|B|-|A∩B|). The gram join IS the candidate
-    filter (no n² pass); hot grams are capped implicitly by distinct().
-    """
+    filter (no n² pass).
+
+    `max_gram_df` (the 100 TB guard): a gram appearing in m documents
+    contributes m² join rows — one boilerplate trigram shared by 10^5
+    docs would alone emit 10^10 pairs. With max_gram_df > 0, grams whose
+    document frequency exceeds the cap are removed BEFORE the self-join
+    (the standard stopword-gram cutoff); per-doc sizes are computed over
+    the kept grams, so the output equals exact Jaccard over the reduced
+    gram sets — and EXACT Jaccard for any pair sharing no hot gram.
+    `log_dropped=True` prints how many grams/occurrences were cut (one
+    tiny extra agg job) — no silent truncation. max_gram_df=0 keeps the
+    exact all-grams semantics (small corpora / oracle checks)."""
     toks = F.split(F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " "))), " ")
     cnt = F.size(toks)
     idx = F.sequence(F.lit(0), F.greatest(cnt - n, F.lit(0)))
@@ -249,6 +333,23 @@ def ngram_jaccard_pairs(
         cnt >= n, F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " "))
     ).otherwise(F.array(F.array_join(toks, " ")))
     g = df.select(F.col(id_col), F.explode(F.array_distinct(grams)).alias("gram"))
+    if max_gram_df:
+        gdf = g.groupBy("gram").agg(F.count(F.lit(1)).alias("__df"))
+        if log_dropped:
+            dropped = (
+                gdf.filter(F.col("__df") > max_gram_df)
+                .agg(F.count(F.lit(1)).alias("grams"), F.sum("__df").alias("occurrences"))
+                .first()
+            )
+            if dropped["grams"]:
+                import warnings
+
+                warnings.warn(
+                    f"ngram_jaccard_pairs: dropped {dropped['grams']} hot gram(s) "
+                    f"({dropped['occurrences']} occurrences) with document "
+                    f"frequency > {max_gram_df}"
+                )
+        g = g.join(gdf.filter(F.col("__df") <= max_gram_df).select("gram"), on="gram")
     sizes = g.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_grams"))
     a, b = g.alias("a"), g.alias("b")
     shared = (

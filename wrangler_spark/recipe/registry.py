@@ -49,8 +49,12 @@ class RecipeContext:
             F.to_json(F.struct(*[F.col(c) for c in df.columns])).alias("record"),
         )
         self.errors.append(err)
-        # null condition values do NOT route to error (JEXL null is falsy)
-        return df.filter(~F.coalesce(cond, F.lit(False)))
+        # null condition values do NOT route to error (JEXL null is falsy).
+        # isnull|~cond instead of ~coalesce(cond,false): equivalent, but
+        # NullPropagation simplifies this form so the filter still pushes
+        # into the parquet scan (same fix as filter-row; a ~coalesce
+        # around the condition blocks pushdown).
+        return df.filter(F.isnull(cond) | ~cond)
 
     def errors_df(self) -> DataFrame | None:
         if not self.errors:
