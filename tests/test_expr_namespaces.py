@@ -118,3 +118,22 @@ def test_json_drop_keys_join(spark, one_col):
     assert r["joined"] == "p-q"
     assert json.loads(r["parsed"]) == {"A": 1, "b": {"x": 2}, "c": "s"}
     assert r["bad"] is None
+
+
+def test_ddl_record_ops(spark):
+    rec = spark.createDataFrame(
+        [((1, "x", (5, "deep")),)],
+        "r struct<a:int, b:string, c:struct<k:int, v:string>>",
+    )
+    assert run1(rec, "ddl:select(r, 'b')") == "x"
+    assert run1(rec, "ddl:select(r, 'c.v')") == "deep"
+    assert run1(rec, "ddl:hasField(r, 'a')") is True
+    assert run1(rec, "ddl:hasField(r, 'zz')") is False
+    dropped = run1(rec, "ddl:drop(r, 'b')")
+    assert dropped.asDict().keys() == {"a", "c"}
+    nested = run1(rec, "ddl:drop(r, 'c.k')")
+    assert nested["c"].asDict().keys() == {"v"}
+    import json
+    j = json.loads(run1(rec, "ddl:toJson(r)"))
+    assert j == {"a": 1, "b": "x", "c": {"k": 5, "v": "deep"}}
+    assert run1(rec, "ddl:select(ddl:parse(r), 'a')") == 1

@@ -15,7 +15,12 @@ Public API:
     ok, err = execute(spark, ["uppercase :name", "filter-row exp:{age > 10}"], df)
 """
 
-from wrangler_spark.recipe.compiler import CompiledRecipe, compile_recipe, execute
+from wrangler_spark.recipe.compiler import (
+    CompiledRecipe,
+    apply_precondition,
+    compile_recipe,
+    execute,
+)
 
-__all__ = ["CompiledRecipe", "compile_recipe", "execute"]
+__all__ = ["CompiledRecipe", "apply_precondition", "compile_recipe", "execute"]
 __version__ = "0.1.0"

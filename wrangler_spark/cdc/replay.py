@@ -46,6 +46,8 @@ class Replayer:
         cache_batches: bool = False,
         error_dir: str | None = None,
         lookups: dict | None = None,
+        precondition: str | None = None,
+        precondition_language: str = "jexl",
     ):
         self.table = table
         self.checkpoint_dir = checkpoint_dir
@@ -74,6 +76,13 @@ class Replayer:
         self.error_dir = error_dir or os.path.join(checkpoint_dir, "errors")
         # lookup datasets for table-lookup / catalog-lookup directives
         self.lookups = lookups or {}
+        # plugin-level precondition (reference Wrangler.java:414-421):
+        # JEXL skip-if-true / SQL keep-if-true, applied to each epoch's
+        # batch BEFORE the recipe — compiles to a pushed-down filter.
+        # NOTE: filtered events still advance the watermark (the raw
+        # batch is consumed), matching the reference's metric-only skip.
+        self.precondition = precondition
+        self.precondition_language = precondition_language
 
     # ------------------------------------------------------------ checkpoint
     @property
@@ -103,6 +112,12 @@ class Replayer:
         (seq/epoch/op/partition) are reattached afterwards via a
         narrow, shuffle-free select. Returns (ok, errors) — errors is
         the recipe's error channel (None when nothing routed)."""
+        if self.precondition:
+            from wrangler_spark.recipe.compiler import apply_precondition
+
+            events = apply_precondition(
+                events, self.precondition, self.precondition_language
+            )
         if self.recipe is None:
             return events, None
         from wrangler_spark.recipe.registry import RecipeContext

@@ -212,8 +212,25 @@ def parse_as_avro_file(call: DirectiveCall):
     decode is a scan in Spark — spark.read.format('avro'))."""
     col = call.col(0)
 
+    MAX_PATHS = 100_000  # driver-memory guard on the path collect
+
     def tr(df: DataFrame, ctx: RecipeContext) -> DataFrame:
-        paths = [r[0] for r in df.select(F.col(col).cast("string")).distinct().collect()]
+        # the path column is inherently driver-side (it becomes the scan's
+        # file list), but an unbounded distinct().collect() could OOM the
+        # driver if pointed at a data column by mistake — cap it and fail
+        # loudly instead
+        path_rows = (
+            df.select(F.col(col).cast("string"))
+            .distinct()
+            .limit(MAX_PATHS + 1)
+            .collect()
+        )
+        if len(path_rows) > MAX_PATHS:
+            raise UsageError(
+                f"parse-as-avro-file: more than {MAX_PATHS} distinct paths in "
+                f"column '{col}' — is this really a file-path column?"
+            )
+        paths = [r[0] for r in path_rows]
         try:
             return ctx.spark.read.format("avro").load(paths)
         except Exception as e:  # noqa: BLE001

@@ -1119,3 +1119,72 @@ def _geo_infence(lat, lon, fence):
         )
 
     return _typed(infence(lat.col.cast("double"), lon.col.cast("double")), BOOL)
+
+
+# ------------------------------------------------------------ ddl ns
+# reference: io/cdap/functions/DDL.java:49-317 — schema/record ops.
+# Records are struct columns in this engine. The schema-literal
+# overloads (parse of a JSON/SQL schema STRING, DDL.java:49-72) are
+# design-time service helpers with no runtime Column equivalent; the
+# record-level surface (drop/select/hasField/toJson/parse(record),
+# DDL.java:79-116,300-317) maps to native struct expressions below.
+
+
+@_reg("ddl", "drop")
+def _ddl_drop(rec, *paths):
+    """ddl:drop(record, path...) — record minus the named (possibly
+    nested, dotted) fields. DDL.java:300-314 → Column.dropFields."""
+    col = rec.col
+    names = []
+    for p in paths:
+        name = _lit_value(p, "ddl:drop path")
+        names.append(name.lower())
+        col = col.dropFields(name)
+    dt = None
+    if isinstance(rec.dtype, T.StructType):
+        dt = T.StructType(
+            [f for f in rec.dtype.fields if f.name.lower() not in names]
+        )
+    return _typed(col, dt)
+
+
+@_reg("ddl", "select")
+def _ddl_select(rec, path):
+    """ddl:select(record, path) — the value at a dotted path.
+    DDL.java:317 → chained getField."""
+    p = _lit_value(path, "ddl:select path")
+    col, dt = rec.col, rec.dtype
+    for part in p.split("."):
+        col = col.getField(part)
+        if isinstance(dt, T.StructType):
+            dt = next(
+                (f.dataType for f in dt.fields if f.name.lower() == part.lower()), None
+            )
+        else:
+            dt = None
+    return _typed(col, dt)
+
+
+@_reg("ddl", "hasField", "hasfield")
+def _ddl_hasfield(rec, name):
+    """ddl:hasField(record, name) — schema membership; resolved at
+    compile time from the struct type (DDL.java:102-109)."""
+    n = _lit_value(name, "ddl:hasField name").lower()
+    if isinstance(rec.dtype, T.StructType):
+        return _typed(
+            F.lit(any(f.name.lower() == n for f in rec.dtype.fields)), BOOL
+        )
+    return _typed(F.lit(None).cast("boolean"), BOOL)
+
+
+@_reg("ddl", "toJson", "tojson")
+def _ddl_tojson(rec):
+    """ddl:toJson(record) — DDL.java:90-96 → to_json."""
+    return _typed(F.to_json(rec.col), STR)
+
+
+@_reg("ddl", "parse")
+def _ddl_parse(rec):
+    """ddl:parse(record) — identity on an already-structured record
+    (DDL.java:79-83)."""
+    return rec

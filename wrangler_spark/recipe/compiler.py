@@ -94,10 +94,55 @@ def _load_udds(names: list[str]) -> None:
             continue
 
 
+def apply_precondition(
+    df: DataFrame, precondition: str, language: str = "jexl"
+) -> DataFrame:
+    """Plugin-level precondition filter, applied BEFORE the recipe
+    (reference Wrangler.java:414-421 + Precondition.java:64-89; SQL
+    variant Wrangler.java:571-589).
+
+    - language='jexl': rows where the condition evaluates TRUE are
+      SKIPPED (the reference's semantics — the record bypasses the
+      recipe entirely); null/false keeps the row.
+    - language='sql': a Spark SQL boolean expression; rows where it is
+      TRUE are KEPT (the reference's SQL pushdown keeps matching rows).
+
+    Both compile to plain filters in the pushdown-friendly
+    isnull-or-not form, so they reach the parquet scan."""
+    from pyspark.sql import functions as F
+
+    if language.lower() == "jexl":
+        from pyspark.sql import types as T
+
+        from wrangler_spark.expr.jexl import compile_expr
+
+        raw = compile_expr(precondition, df.schema)
+        # the reference rejects non-boolean preconditions
+        # (Precondition.java:74-78); analysis-only type probe, no job
+        probed = df.select(raw.alias("__pc")).schema[0].dataType
+        if not isinstance(probed, (T.BooleanType, T.NullType)):
+            raise ValueError(
+                f"Precondition '{precondition}' does not result in true or false."
+            )
+        cond = raw.cast("boolean")
+        return df.filter(F.isnull(cond) | ~cond)
+    if language.lower() == "sql":
+        cond = F.expr(precondition).cast("boolean")
+        return df.filter(cond.isNotNull() & cond)
+    raise ValueError(f"unknown precondition language {language!r} (jexl|sql)")
+
+
 def execute(
     spark, recipe: str | list[str], df: DataFrame,
     lookups: dict[str, DataFrame] | None = None,
+    precondition: str | None = None,
+    precondition_language: str = "jexl",
 ) -> tuple[DataFrame, DataFrame | None]:
-    """One-shot helper mirroring the reference's TestingRig.execute."""
+    """One-shot helper mirroring the reference's TestingRig.execute.
+
+    `precondition`: optional plugin-level row filter evaluated before
+    the recipe (see apply_precondition)."""
     ctx = RecipeContext(spark=spark, lookups=lookups or {})
+    if precondition:
+        df = apply_precondition(df, precondition, precondition_language)
     return compile_recipe(recipe).apply(df, ctx)
