@@ -630,6 +630,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return out.select("doc_id", F.round(F.col("sim").cast("double"), 4).alias("sim"))
     q["text_metric"] = q_text_metric
 
+    def q_multimodal_real(spark, d):
+        """REAL media decode (round-1 VERDICT: the stub was the only
+        tested path): synthesize genuine PNG/WAV payloads per doc_id,
+        run them through the pure-stdlib decoders (PNG IHDR+IDAT
+        unfilter, WAV RIFF+PCM) inside mapInPandas, and check the
+        recovered geometry against the closed-form oracle."""
+        from wrangler_spark.pipeline.multimodal import extract_features, synthesize_real_media
+
+        ids = _t(spark, d, "documents").filter(F.col("doc_id") < 60).select(
+            F.col("doc_id").alias("media_id")
+        )
+        media = synthesize_real_media(ids)
+        feats = extract_features(media, fake=False)
+        return feats.select("media_id", "kind", "width", "height", "n_frames")
+    q["multimodal_real"] = q_multimodal_real
+
     def q_precondition(spark, d):
         """Plugin-level JEXL precondition (skip-if-true) ahead of the
         recipe — reference Wrangler.java:414-421 / Precondition.java."""
@@ -965,6 +981,16 @@ def oracle_sql() -> dict[str, str]:
             "FROM pairs JOIN sizes sa ON sa.doc_id = pairs.id_a "
             "JOIN sizes sb ON sb.doc_id = pairs.id_b "
             "WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5"
+        ),
+        # geometry recovered by the real PNG/WAV decoders must equal the
+        # synthesis parameters (closed form per id)
+        "multimodal_real": (
+            "SELECT doc_id AS media_id,"
+            " CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,"
+            " CAST(CASE WHEN doc_id % 2 = 0 THEN 4 + doc_id % 13 ELSE 8000 END AS INTEGER) AS width,"
+            " CAST(CASE WHEN doc_id % 2 = 0 THEN 3 + doc_id % 7 ELSE 1 END AS INTEGER) AS height,"
+            " CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 100 + doc_id % 50 END AS INTEGER) AS n_frames"
+            " FROM documents WHERE doc_id < 60"
         ),
         "parse_simple_date": (
             "SELECT o_orderkey, CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s FROM orders"

@@ -230,3 +230,97 @@ def test_embedding_neardup_recall_vs_exact(spark):
     assert len(exact) > 0
     recall = len(got & exact) / len(exact)
     assert recall >= 0.9, f"recall {recall}"
+
+
+def test_png_decode_roundtrip():
+    """Real PNG decode: encode a known 2x2 RGB image (filter 0) and
+    recover exact dimensions + intensity histogram."""
+    from wrangler_spark.pipeline.multimodal import _decode_bytes, encode_png
+
+    pix = {(0, 0): (0, 0, 0), (1, 0): (255, 255, 255),
+           (0, 1): (32, 64, 96), (1, 1): (224, 192, 160)}
+    png = encode_png(2, 2, lambda x, y: pix[(x, y)])
+    w, h, nf, feat = _decode_bytes(png, "image", fake=False)
+    assert (w, h, nf) == (2, 2, 1)
+    # 12 channel bytes: three 0-31 (bin0: 0,0,0), 32 is bin1, 64 bin2,
+    # 96 bin3, 160 bin5, 192 bin6, 224 bin7, three 255s bin7
+    assert feat[0] == pytest.approx(3 / 12)
+    assert feat[7] == pytest.approx(4 / 12)
+    assert sum(feat) == pytest.approx(1.0)
+
+
+def test_png_decode_filters():
+    """Unfiltering correctness: zlib-recompress scanlines with Sub/Up/
+    Average/Paeth filters and check the decoder recovers the pixels."""
+    import struct, zlib
+    from wrangler_spark.pipeline.multimodal import _decode_bytes, _PNG_SIG
+
+    # 2x4 RGB image, one row per filter type 1..4
+    rows = [bytes(range(6)), bytes(range(10, 16)), bytes(range(50, 56)), bytes(range(200, 206))]
+
+    def _filt(ftype, line, prev, bpp=3):
+        out = bytearray([ftype])
+        for i, v in enumerate(line):
+            a = line[i - bpp] if i >= bpp else 0
+            b = prev[i]
+            c = prev[i - bpp] if i >= bpp else 0
+            if ftype == 1: pred = a
+            elif ftype == 2: pred = b
+            elif ftype == 3: pred = (a + b) >> 1
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            out.append((v - pred) & 0xFF)
+        return bytes(out)
+
+    raw = bytearray()
+    prev = bytes(6)
+    for ftype, line in zip([1, 2, 3, 4], rows):
+        raw += _filt(ftype, line, prev)
+        prev = line
+
+    def chunk(tag, body):
+        return struct.pack(">I", len(body)) + tag + body + struct.pack(
+            ">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+
+    png = (_PNG_SIG + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 4, 8, 2, 0, 0, 0))
+           + chunk(b"IDAT", zlib.compress(bytes(raw))) + chunk(b"IEND", b""))
+    w, h, nf, feat = _decode_bytes(png, "image", fake=False)
+    assert (w, h) == (2, 4)
+    # histogram reflects the original bytes, proving unfiltering worked
+    exp = [0] * 8
+    for line in rows:
+        for v in line:
+            exp[v >> 5] += 1
+    assert feat == pytest.approx([e / 24 for e in exp])
+
+
+def test_wav_decode():
+    from wrangler_spark.pipeline.multimodal import _decode_bytes, encode_wav
+
+    wav = encode_wav(120, lambda i: 1000 if i % 2 == 0 else -1000, rate=16000)
+    w, h, nf, feat = _decode_bytes(wav, "audio", fake=False)
+    assert (w, h, nf) == (16000, 1, 120)  # rate, channels, frames
+    assert all(f == pytest.approx(1000 / 32768.0, abs=1e-6) for f in feat)
+
+
+def test_real_media_extract_features(spark):
+    """End-to-end: synthesized real PNG/WAV through mapInPandas with
+    fake=False — the decoders, not the stub, produce the features."""
+    from wrangler_spark.pipeline.multimodal import extract_features, synthesize_real_media
+
+    ids = spark.range(20).select(F.col("id").alias("media_id"))
+    feats = extract_features(synthesize_real_media(ids), fake=False)
+    got = {r["media_id"]: r for r in feats.collect()}
+    assert len(got) == 20
+    for mid, r in got.items():
+        if mid % 2 == 0:
+            assert r["kind"] == "image"
+            assert r["width"] == 4 + mid % 13 and r["height"] == 3 + mid % 7
+            assert r["n_frames"] == 1
+        else:
+            assert r["kind"] == "audio"
+            assert (r["width"], r["height"]) == (8000, 1)
+            assert r["n_frames"] == 100 + mid % 50
+        assert len(r["feature"]) == 8
