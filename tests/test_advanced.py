@@ -98,10 +98,15 @@ def test_data_model_map_column(spark):
     assert dict(ok.dtypes)["user_age"] == "int"
 
 
-def test_avro_binary_mode_gated(spark):
-    from wrangler_spark.errors import UsageError
+def test_avro_binary_mode_pure_python_fallback(spark):
+    """Without the spark-avro jar, binary mode decodes through the
+    pure-Python codec (directives/_avro_binary.py) instead of failing
+    (full coverage in tests/test_avro_xlsx.py)."""
+    from wrangler_spark.directives._avro_binary import encode
 
-    df = spark.createDataFrame([(bytearray(b"x"),)], "body binary")
-    with pytest.raises(UsageError, match="spark-avro"):
-        ok, _ = execute(spark, ['parse-as-avro :body \'{"type":"record","name":"r","fields":[]}\' binary'], df)
-        ok.collect()
+    schema = '{"type":"record","name":"r","fields":[{"name":"n","type":"long"}]}'
+    payload = encode({"n": 41}, {"type": "record", "name": "r",
+                                 "fields": [{"name": "n", "type": "long"}]})
+    df = spark.createDataFrame([(payload,)], "body binary")
+    ok, _ = execute(spark, [f"parse-as-avro :body '{schema}' binary"], df)
+    assert ok.collect()[0]["body_n"] == 41

@@ -1,0 +1,128 @@
+"""Pure-stdlib Avro-binary codec and xlsx reader + their directive
+integration (reference codec/BinaryAvroDecoder.java, parser/ParseExcel.java)."""
+
+import io
+import json
+import struct
+import zipfile
+
+import pytest
+
+from wrangler_spark.directives._avro_binary import decode, encode
+
+SCHEMA = {
+    "type": "record",
+    "name": "Ev",
+    "fields": [
+        {"name": "id", "type": "long"},
+        {"name": "name", "type": "string"},
+        {"name": "score", "type": "double"},
+        {"name": "tags", "type": {"type": "array", "items": "string"}},
+        {"name": "props", "type": {"type": "map", "values": "int"}},
+        {"name": "maybe", "type": ["null", "string"]},
+        {"name": "flag", "type": "boolean"},
+        {"name": "raw", "type": "bytes"},
+    ],
+}
+
+
+def test_avro_roundtrip():
+    val = {
+        "id": 12345678901,
+        "name": "héllo",
+        "score": -2.5,
+        "tags": ["a", "b", "c"],
+        "props": {"x": 1, "y": -7},
+        "maybe": None,
+        "flag": True,
+        "raw": b"\x00\x01\xff",
+    }
+    assert decode(encode(val, SCHEMA), SCHEMA) == val
+    val2 = {**val, "maybe": "present", "tags": [], "props": {}}
+    assert decode(encode(val2, SCHEMA), SCHEMA) == val2
+
+
+def test_avro_zigzag_edges():
+    s = {"type": "record", "name": "R", "fields": [{"name": "v", "type": "long"}]}
+    for v in (0, -1, 1, 63, 64, -64, -65, 2**40, -(2**40)):
+        assert decode(encode({"v": v}, s), s) == {"v": v}
+
+
+def test_avro_enum_fixed():
+    s = {
+        "type": "record", "name": "R",
+        "fields": [
+            {"name": "e", "type": {"type": "enum", "name": "E", "symbols": ["A", "B", "C"]}},
+            {"name": "f", "type": {"type": "fixed", "name": "F", "size": 4}},
+        ],
+    }
+    v = {"e": "B", "f": b"\x01\x02\x03\x04"}
+    assert decode(encode(v, s), s) == v
+
+
+def _mini_xlsx(rows, shared=None):
+    """Minimal xlsx: workbook + one sheet, inline strings and numbers."""
+    def cell_xml(ri, ci, v):
+        ref = f"{chr(65 + ci)}{ri + 1}"
+        if v is None:
+            return ""
+        if isinstance(v, (int, float)):
+            return f'<c r="{ref}"><v>{v}</v></c>'
+        return f'<c r="{ref}" t="inlineStr"><is><t>{v}</t></is></c>'
+
+    ns = 'xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"'
+    sheet_rows = "".join(
+        f'<row r="{ri + 1}">' + "".join(cell_xml(ri, ci, v) for ci, v in enumerate(row)) + "</row>"
+        for ri, row in enumerate(rows)
+    )
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as z:
+        z.writestr("xl/workbook.xml", f'<workbook {ns}><sheets><sheet name="S1" sheetId="1"/></sheets></workbook>')
+        z.writestr("xl/worksheets/sheet1.xml", f'<worksheet {ns}><sheetData>{sheet_rows}</sheetData></worksheet>')
+    return buf.getvalue()
+
+
+def test_xlsx_reader_stdlib():
+    from wrangler_spark.directives.advanced import _xlsx_rows
+
+    payload = _mini_xlsx([["name", "qty"], ["apple", 3], ["pear", 7.5], [None, 1]])
+    rows = _xlsx_rows(payload, "0")
+    assert rows[0] == ["name", "qty"]
+    assert rows[1] == ["apple", "3"]
+    assert rows[2] == ["pear", "7.5"]
+    assert rows[3] == [None, "1"]
+    # by sheet name
+    assert _xlsx_rows(payload, "S1")[0] == ["name", "qty"]
+
+
+def test_parse_as_avro_binary_fallback(spark):
+    """No spark-avro jar in this container → the pure-Python decoder
+    path must produce the typed columns."""
+    from wrangler_spark import execute
+
+    vals = [
+        {"id": 1, "name": "a", "score": 0.5, "tags": ["t"], "props": {"k": 2},
+         "maybe": "m", "flag": True, "raw": b"\x07"},
+        {"id": 2, "name": "b", "score": 1.5, "tags": [], "props": {},
+         "maybe": None, "flag": False, "raw": b""},
+    ]
+    df = spark.createDataFrame([(encode(v, SCHEMA),) for v in vals], "payload binary")
+    ok, _ = execute(
+        spark, [f"parse-as-avro :payload '{json.dumps(SCHEMA)}' binary"], df
+    )
+    rows = {r["payload_id"]: r for r in ok.collect()}
+    assert rows[1]["payload_name"] == "a" and rows[1]["payload_maybe"] == "m"
+    assert rows[1]["payload_tags"] == ["t"] and rows[1]["payload_props"] == {"k": 2}
+    assert rows[1]["payload_flag"] is True and bytes(rows[1]["payload_raw"]) == b"\x07"
+    assert rows[2]["payload_maybe"] is None and rows[2]["payload_score"] == 1.5
+
+
+def test_parse_as_excel_stdlib(spark):
+    from wrangler_spark import execute
+
+    payload = _mini_xlsx([["h1", "h2"], ["v1", 42]])
+    df = spark.createDataFrame([(payload,)], "book binary")
+    ok, _ = execute(spark, ["parse-as-excel :book"], df)
+    rows = sorted(ok.collect(), key=lambda r: r["row_idx"])
+    assert rows[0]["cells"] == ["h1", "h2"]
+    assert rows[1]["cells"] == ["v1", "42"]

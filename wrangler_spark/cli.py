@@ -112,6 +112,8 @@ def cmd_replay(args) -> int:
     rp = Replayer(
         table, args.checkpoint, recipe=_read_recipe(args.recipe),
         lookups=_read_lookups(spark, args.lookup),
+        precondition=args.precondition,
+        precondition_language=args.precondition_language,
     )
     # epoch-partitioned layout → discover epochs from directory names,
     # not a dataset-wide distinct (the scale path)
@@ -240,6 +242,10 @@ def build_parser() -> argparse.ArgumentParser:
     r.add_argument("--from-epoch", type=int, default=None)
     r.add_argument("--to-epoch", type=int, default=None)
     r.add_argument("--salted", action="store_true")
+    r.add_argument("--precondition", default=None,
+                   help="plugin-level row filter ahead of the recipe "
+                        "(JEXL: skip-if-true; SQL: keep-if-true)")
+    r.add_argument("--precondition-language", default="jexl", choices=["jexl", "sql"])
     r.set_defaults(fn=cmd_replay)
 
     s = sub.add_parser("stream", help="structured-streaming replay")

@@ -1,0 +1,176 @@
+"""Pure-Python Avro binary codec (decoder + test encoder).
+
+The reference decodes Avro-binary payload cells via the Avro Java
+library (wrangler-core codec/BinaryAvroDecoder.java); Spark's own
+`from_avro` needs the spark-avro connector jar, absent in this
+container. Avro's binary encoding is simple enough to implement
+directly from the public spec (zigzag varints + length-prefixed bytes):
+this module supports records, all primitives, unions, arrays, maps,
+enums and fixed — enough for the wrangler parse-as-avro surface.
+
+Used by parse-as-avro binary mode as an Arrow-batched pandas-UDF
+fallback when the connector jar is unavailable (never per-row Python
+at the Spark API level — batches stream through the UDF).
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Any
+
+
+class _Reader:
+    __slots__ = ("buf", "pos")
+
+    def __init__(self, buf: bytes):
+        self.buf = buf
+        self.pos = 0
+
+    def read(self, n: int) -> bytes:
+        b = self.buf[self.pos:self.pos + n]
+        if len(b) != n:
+            raise ValueError("avro: truncated input")
+        self.pos += n
+        return b
+
+    def read_long(self) -> int:
+        # zigzag varint
+        shift = 0
+        acc = 0
+        while True:
+            byte = self.buf[self.pos]
+            self.pos += 1
+            acc |= (byte & 0x7F) << shift
+            if not byte & 0x80:
+                break
+            shift += 7
+        return (acc >> 1) ^ -(acc & 1)
+
+
+def _decode(r: _Reader, schema: Any) -> Any:
+    if isinstance(schema, str):
+        t = schema
+        if t == "null":
+            return None
+        if t == "boolean":
+            return r.read(1) != b"\x00"
+        if t in ("int", "long"):
+            return r.read_long()
+        if t == "float":
+            return struct.unpack("<f", r.read(4))[0]
+        if t == "double":
+            return struct.unpack("<d", r.read(8))[0]
+        if t == "bytes":
+            return r.read(r.read_long())
+        if t == "string":
+            return r.read(r.read_long()).decode("utf-8")
+        raise ValueError(f"avro: unknown primitive {t!r}")
+    if isinstance(schema, list):  # union: branch index then value
+        idx = r.read_long()
+        return _decode(r, schema[idx])
+    t = schema["type"]
+    if t == "record":
+        return {f["name"]: _decode(r, f["type"]) for f in schema["fields"]}
+    if t == "enum":
+        return schema["symbols"][r.read_long()]
+    if t == "fixed":
+        return r.read(schema["size"])
+    if t == "array":
+        out = []
+        while True:
+            n = r.read_long()
+            if n == 0:
+                break
+            if n < 0:  # block with byte size
+                r.read_long()
+                n = -n
+            for _ in range(n):
+                out.append(_decode(r, schema["items"]))
+        return out
+    if t == "map":
+        out = {}
+        while True:
+            n = r.read_long()
+            if n == 0:
+                break
+            if n < 0:
+                r.read_long()
+                n = -n
+            for _ in range(n):
+                k = r.read(r.read_long()).decode("utf-8")
+                out[k] = _decode(r, schema["values"])
+        return out
+    # named/nested type given as {"type": <primitive-or-complex>}
+    return _decode(r, t)
+
+
+def decode(payload: bytes, schema: Any) -> Any:
+    """Decode one Avro-binary datum against `schema` (parsed JSON)."""
+    return _decode(_Reader(payload), schema)
+
+
+# --------------------------------------------------------------- encoder
+# (test fixtures and round-trip checks)
+
+def _zigzag(n: int) -> bytes:
+    acc = (n << 1) ^ (n >> 63)
+    out = bytearray()
+    while True:
+        b = acc & 0x7F
+        acc >>= 7
+        if acc:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _encode(value: Any, schema: Any) -> bytes:
+    if isinstance(schema, str):
+        t = schema
+        if t == "null":
+            return b""
+        if t == "boolean":
+            return b"\x01" if value else b"\x00"
+        if t in ("int", "long"):
+            return _zigzag(int(value))
+        if t == "float":
+            return struct.pack("<f", float(value))
+        if t == "double":
+            return struct.pack("<d", float(value))
+        if t == "bytes":
+            return _zigzag(len(value)) + bytes(value)
+        if t == "string":
+            b = value.encode("utf-8")
+            return _zigzag(len(b)) + b
+        raise ValueError(f"avro: unknown primitive {t!r}")
+    if isinstance(schema, list):
+        for i, branch in enumerate(schema):
+            bt = branch if isinstance(branch, str) else branch["type"]
+            if value is None and bt == "null":
+                return _zigzag(i)
+            if value is not None and bt != "null":
+                return _zigzag(i) + _encode(value, branch)
+        raise ValueError("avro: no union branch matches value")
+    t = schema["type"]
+    if t == "record":
+        return b"".join(_encode(value[f["name"]], f["type"]) for f in schema["fields"])
+    if t == "enum":
+        return _zigzag(schema["symbols"].index(value))
+    if t == "fixed":
+        return bytes(value)
+    if t == "array":
+        body = b"".join(_encode(v, schema["items"]) for v in value)
+        return (_zigzag(len(value)) + body + _zigzag(0)) if value else _zigzag(0)
+    if t == "map":
+        parts = []
+        for k, v in value.items():
+            kb = k.encode("utf-8")
+            parts.append(_zigzag(len(kb)) + kb + _encode(v, schema["values"]))
+        return (_zigzag(len(value)) + b"".join(parts) + _zigzag(0)) if value else _zigzag(0)
+    return _encode(value, t)
+
+
+def encode(value: Any, schema: Any) -> bytes:
+    """Encode one datum as Avro binary (test fixtures / round trips)."""
+    return _encode(value, schema)

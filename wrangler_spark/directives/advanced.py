@@ -187,11 +187,39 @@ def parse_as_avro(call: DirectiveCall):
 
                 parsed = from_avro(F.col(c), schema_json)
                 df.limit(0).withColumn("__wr_probe", parsed)  # eager analysis probe
-            except Exception as e:  # noqa: BLE001
-                raise UsageError(
-                    "parse-as-avro binary mode needs the spark-avro connector "
-                    "jar (org.apache.spark:spark-avro), not present here"
-                ) from e
+            except Exception:  # noqa: BLE001
+                # no spark-avro jar → pure-Python Avro binary decoder
+                # (directives/_avro_binary.py), Arrow-batched: decode to a
+                # JSON string per row, then native from_json. bytes/fixed
+                # surface base64 (what Spark's JSON reader expects for
+                # BinaryType).
+                import base64 as _b64
+
+                from wrangler_spark.directives._avro_binary import decode as _avro_decode
+
+                avro_schema = json.loads(schema_json)
+
+                def _jsonable(v):
+                    if isinstance(v, (bytes, bytearray)):
+                        return _b64.b64encode(bytes(v)).decode("ascii")
+                    if isinstance(v, dict):
+                        return {k: _jsonable(x) for k, x in v.items()}
+                    if isinstance(v, list):
+                        return [_jsonable(x) for x in v]
+                    return v
+
+                @pandas_udf(T.StringType())
+                def _dec(s: pd.Series) -> pd.Series:
+                    return pd.Series(
+                        [
+                            json.dumps(_jsonable(_avro_decode(bytes(v), avro_schema)))
+                            if v is not None
+                            else None
+                            for v in s
+                        ]
+                    )
+
+                parsed = F.from_json(_dec(F.col(c)), spark_type)
         else:
             raise UsageError(f"parse-as-avro: mode must be json|binary, got {mode!r}")
         out = df.withColumn("__wr_avro", parsed)
@@ -264,23 +292,93 @@ def parse_as_protobuf(call: DirectiveCall):
 
 # ------------------------------------------------------------- excel / hl7
 
+def _xlsx_rows(payload: bytes, sheet: str) -> list[list[str | None]]:
+    """Pure-stdlib xlsx reader: an .xlsx is a zip of XML — workbook.xml
+    names the sheets, sharedStrings.xml interns strings, and each
+    worksheet's sheetData holds rows of typed cells. Covers inline/
+    shared strings, numbers and booleans — the wrangler surface
+    (reference ParseExcel.java reads cells as display values)."""
+    import io
+    import re as _re
+    import zipfile
+    import xml.etree.ElementTree as ET
+
+    NS = "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}"
+    zf = zipfile.ZipFile(io.BytesIO(payload))
+    # sheet order from workbook.xml (r:id order == sheetN.xml order for
+    # files written by common writers; fall back to numeric file order)
+    wb = ET.fromstring(zf.read("xl/workbook.xml"))
+    names = [s.get("name") for s in wb.iter(f"{NS}sheet")]
+    sheet_files = sorted(
+        (n for n in zf.namelist() if _re.fullmatch(r"xl/worksheets/sheet\d+\.xml", n)),
+        key=lambda n: int(_re.search(r"(\d+)", n).group(1)),
+    )
+    if sheet.isdigit():
+        idx = int(sheet)
+    else:
+        idx = names.index(sheet) if sheet in names else 0
+    if idx >= len(sheet_files):
+        raise UsageError(f"parse-as-excel: sheet {sheet!r} not found")
+    shared: list[str] = []
+    if "xl/sharedStrings.xml" in zf.namelist():
+        ss = ET.fromstring(zf.read("xl/sharedStrings.xml"))
+        shared = ["".join(t.text or "" for t in si.iter(f"{NS}t")) for si in ss.iter(f"{NS}si")]
+    ws = ET.fromstring(zf.read(sheet_files[idx]))
+
+    def col_idx(ref: str | None, fallback: int) -> int:
+        if not ref:
+            return fallback
+        letters = "".join(ch for ch in ref if ch.isalpha())
+        n = 0
+        for ch in letters:
+            n = n * 26 + (ord(ch.upper()) - 64)
+        return n - 1 if n else fallback
+
+    rows: list[list[str | None]] = []
+    for row in ws.iter(f"{NS}row"):
+        cells: list[str | None] = []
+        for j, cell in enumerate(row.iter(f"{NS}c")):
+            i = col_idx(cell.get("r"), j)
+            while len(cells) <= i:
+                cells.append(None)
+            ctype = cell.get("t", "n")
+            v = cell.find(f"{NS}v")
+            if ctype == "inlineStr":
+                is_ = cell.find(f"{NS}is")
+                val = "".join(t.text or "" for t in is_.iter(f"{NS}t")) if is_ is not None else None
+            elif v is None:
+                val = None
+            elif ctype == "s":
+                val = shared[int(v.text)]
+            elif ctype == "b":
+                val = "True" if v.text == "1" else "False"
+            else:
+                val = v.text
+            cells[i] = val
+        rows.append(cells)
+    width = max((len(r) for r in rows), default=0)
+    return [r + [None] * (width - len(r)) for r in rows]
+
+
 @directive("parse-as-excel")
 def parse_as_excel(call: DirectiveCall):
     """parse-as-excel :col [sheet] — binary xlsx column → rows
-    (reference parser/ParseExcel.java). 1→N via mapInPandas +
-    pd.read_excel; needs openpyxl (gated)."""
+    (reference parser/ParseExcel.java). 1→N via mapInPandas; uses
+    pandas+openpyxl when available, else a pure-stdlib zip+XML xlsx
+    reader (no external deps)."""
     col = call.col(0)
     sheet = call.text(1, default="0")
 
     def tr(df: DataFrame, ctx: RecipeContext) -> DataFrame:
-        try:
-            import openpyxl  # noqa: F401
-        except ImportError as e:
-            raise UsageError(
-                "parse-as-excel needs openpyxl, not present in this container"
-            ) from e
         import io
         from collections.abc import Iterator
+
+        try:
+            import openpyxl  # noqa: F401
+
+            have_openpyxl = True
+        except ImportError:
+            have_openpyxl = False
 
         c = _require(df, col)
         out_schema = T.StructType(
@@ -295,16 +393,17 @@ def parse_as_excel(call: DirectiveCall):
             for pdf in batches:
                 rows = []
                 for payload in pdf[c]:
-                    sh = int(sheet) if sheet.isdigit() else sheet
-                    book = pd.read_excel(io.BytesIO(payload), sheet_name=sh, header=None)
-                    for i, row in book.iterrows():
-                        rows.append(
-                            {
-                                "sheet": str(sheet),
-                                "row_idx": int(i),
-                                "cells": [None if pd.isna(v) else str(v) for v in row],
-                            }
-                        )
+                    if have_openpyxl:
+                        sh = int(sheet) if sheet.isdigit() else sheet
+                        book = pd.read_excel(io.BytesIO(payload), sheet_name=sh, header=None)
+                        cells_rows = [
+                            [None if pd.isna(v) else str(v) for v in row]
+                            for _, row in book.iterrows()
+                        ]
+                    else:
+                        cells_rows = _xlsx_rows(bytes(payload), sheet)
+                    for i, cells in enumerate(cells_rows):
+                        rows.append({"sheet": str(sheet), "row_idx": i, "cells": cells})
                 yield pd.DataFrame(rows, columns=["sheet", "row_idx", "cells"])
 
         return df.select(c).mapInPandas(run, out_schema)

@@ -155,6 +155,9 @@ def merge_into(
     # (a key-count burst degrades gracefully to the shuffle join, the
     # right plan at that size). broadcast keeps the full payload stream
     # shuffle-free for typical epochs (≤500k keys).
+    import time as _time
+
+    _t0 = _time.time()
     proj = changes.select(*keys, seq_col)
     if salted:
         salt = F.pmod(F.xxhash64(F.col(seq_col)), F.lit(16))
@@ -171,6 +174,7 @@ def merge_into(
     bucket_counts = mx.groupBy("__b").count().collect()
     affected = sorted(r["__b"] for r in bucket_counts)
     n_winners = sum(r["count"] for r in bucket_counts)
+    _t_probe = _time.time() - _t0
 
     winners_broadcast = n_winners <= 500_000
     build = F.broadcast(mx) if winners_broadcast else mx
@@ -290,7 +294,9 @@ def merge_into(
         pre_partitioned = False
 
     new_version = table.version + 1
+    _t1 = _time.time()
     bucket_files = table.write_buckets(merged, new_version, pre_partitioned=pre_partitioned)
+    _t_write = _time.time() - _t1
     # buckets that were affected but ended up empty (all keys deleted)
     for b in affected:
         bucket_files.setdefault(str(b), [])
@@ -319,4 +325,9 @@ def merge_into(
         "deletes": metrics["deletes"],
         "keys": n_winners,
         "affected_buckets": len(affected),
+        "timings": {
+            "probe_sec": round(_t_probe, 3),
+            "write_sec": round(_t_write, 3),
+            "broadcast_path": winners_broadcast,
+        },
     }
