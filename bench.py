@@ -30,14 +30,19 @@ sys.path.insert(0, REPO)
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 CDC_EVENTS = int(os.environ.get("BENCH_CDC_EVENTS", "8000000"))
-# ONE production-shaped epoch: at 10^10-event scale epochs are 10^7-10^8
-# events, so an 8M-event epoch is the right ratio. Fewer, larger epochs
-# amortize the per-epoch jobs (probe + write + checkpoint) that do not
-# parallelize — measured +4-7 s per extra epoch at local[8], which is
-# exactly the non-scaling term that depressed the round-1 efficiency.
-# Epoch fencing / resume / multi-epoch upsert correctness is covered by
-# the test suite (tests/test_cdc_replay.py), not the throughput bench.
+# ONE production-shaped TIMED epoch: at 10^10-event scale epochs are
+# 10^7-10^8 events, so an 8M-event epoch is the right ratio. Fewer,
+# larger epochs amortize the per-epoch jobs (probe + write +
+# checkpoint) that do not parallelize — measured +4-7 s per extra epoch
+# at local[8], exactly the non-scaling term that depressed the round-1
+# efficiency. An additional SEED epoch (1/8 of the events) is replayed
+# before the timed region so the measured epoch performs the
+# representative work — merging into an EXISTING table (base-bucket
+# reads + seq-guarded upsert), not an empty-table insert. Epoch
+# fencing / resume / multi-epoch correctness is covered by the test
+# suite (tests/test_cdc_replay.py), not the throughput bench.
 CDC_EPOCHS = int(os.environ.get("BENCH_CDC_EPOCHS", "1"))
+CDC_SEED_FRACTION = 8  # seed epoch = CDC_EVENTS // CDC_SEED_FRACTION
 
 # the reference's published perf recipe shape (performance.md:24-38),
 # adapted to the repo-files payload: parse/mask/filter/hash — the
@@ -100,16 +105,28 @@ def write_bench_events(spark, ev_path: str) -> None:
     prune). Written ONCE and shared by all measurement subprocesses so
     generation cost neither sits in the timed region nor drains this
     VM's burstable-CPU credits before each measurement."""
+    from pyspark.sql import functions as F
+
     from wrangler_spark.cdc import generate_events
 
-    generate_events(
+    seed_n = CDC_EVENTS // CDC_SEED_FRACTION
+    main_size = CDC_EVENTS // CDC_EPOCHS
+    ev = generate_events(
         spark,
-        CDC_EVENTS,
+        CDC_EVENTS + seed_n,
         n_repos=200,
         n_paths_per_repo=500,
-        epoch_size=CDC_EVENTS // CDC_EPOCHS,
+        epoch_size=CDC_EVENTS + seed_n,  # re-mapped below
         parallelism=64,
-    ).write.mode("overwrite").partitionBy("epoch").parquet(ev_path)
+    )
+    # epoch 0 = the (small) seed; epochs 1.. = the timed replay
+    ev = ev.withColumn(
+        "epoch",
+        F.when(F.col("seq") < seed_n, F.lit(0)).otherwise(
+            1 + ((F.col("seq") - seed_n) / main_size).cast("long")
+        ),
+    )
+    ev.write.mode("overwrite").partitionBy("epoch").parquet(ev_path)
 
 
 def run_cdc_replay(spark, cpus: int, ev_path: str) -> dict:
@@ -134,8 +151,12 @@ def run_cdc_replay(spark, cpus: int, ev_path: str) -> dict:
         # explicit epoch list from the partition directories — the
         # distinct() discovery scan is pure non-scaling overhead here
         epochs = list_epoch_partitions(ev_path)
+        # untimed SEED epoch: the timed epochs then upsert into an
+        # EXISTING table (base-bucket reads + seq-guarded merge), the
+        # representative steady-state shape
+        rp.replay(events, epochs=[e for e in epochs if e == 0])
         t0 = time.time()
-        summary = rp.replay(events, epochs=epochs)
+        summary = rp.replay(events, epochs=[e for e in epochs if e > 0])
         wall = time.time() - t0
         # per-phase timings from the lineage log: probe (LWW agg +
         # bucket pruning) and write (transform + merge + parquet write)
@@ -143,7 +164,10 @@ def run_cdc_replay(spark, cpus: int, ev_path: str) -> dict:
         lineage = os.path.join(base, "ckpt", "lineage.jsonl")
         if os.path.exists(lineage):
             for line in open(lineage):
-                t = json.loads(line).get("timings") or {}
+                rec = json.loads(line)
+                if rec.get("epoch") == 0:
+                    continue  # untimed seed epoch
+                t = rec.get("timings") or {}
                 probe += t.get("probe_sec", 0.0)
                 write += t.get("write_sec", 0.0)
         return {
