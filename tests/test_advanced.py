@@ -64,12 +64,69 @@ def test_parse_as_avro_json_mode(spark):
 
 
 def test_parse_as_hl7(spark):
-    msg = "MSH|^~\\&|SND|FAC|RCV|FAC2\rPID|1||12345||DOE^JOHN"
+    # repeated OBX segments must survive (occurrence list per segment)
+    msg = (
+        "MSH|^~\\&|SND|FAC|RCV|FAC2\r"
+        "PID|1||12345||DOE^JOHN\r"
+        "OBX|1|NM|GLU||95\r"
+        "OBX|2|NM|HGB||14"
+    )
     df = spark.createDataFrame([(msg,)], "body string")
     ok, _ = execute(spark, ["parse-as-hl7 :body"], df)
     m = ok.first()["body_hl7"]
-    assert m["MSH"][2] == "SND"
-    assert m["PID"][3] == "12345"
+    assert m["MSH"][0][2] == "SND"
+    assert m["PID"][0][3] == "12345"
+    assert len(m["OBX"]) == 2
+    assert m["OBX"][0][5] == "95" and m["OBX"][1][5] == "14"
+
+
+def test_parse_as_hl7_components(spark):
+    msg = "MSH|^~\\&|SND\rPID|1||12345||DOE^JOHN^Q"
+    df = spark.createDataFrame([(msg,)], "body string")
+    ok, _ = execute(spark, ["parse-as-hl7 :body 2"], df)
+    m = ok.first()["body_hl7"]
+    # depth 2: fields split into components on ^
+    assert m["PID"][0][5] == ["DOE", "JOHN", "Q"]
+    assert m["PID"][0][3] == ["12345"]
+
+
+def test_invoke_http_local_server(spark):
+    """Real HTTP round trip against a local stdlib server: the batched
+    mapInPandas enrichment posts each row's selected columns and
+    attaches the response body."""
+    import http.server
+    import threading
+
+    class Echo(http.server.BaseHTTPRequestHandler):
+        def do_POST(self):
+            body = self.rfile.read(int(self.headers["Content-Length"]))
+            data = json.loads(body)
+            out = json.dumps({"echo": data, "seen": True}).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(out)))
+            self.end_headers()
+            self.wfile.write(out)
+
+        def log_message(self, *a):  # quiet
+            pass
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Echo)
+    port = srv.server_address[1]
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        df = spark.createDataFrame([(1, "a"), (2, "b")], "id int, name string")
+        ok, _ = execute(
+            spark,
+            [f"invoke-http 'http://127.0.0.1:{port}/enrich' :id,:name"],
+            df,
+        )
+        rows = {r["id"]: json.loads(r["http_response"]) for r in ok.collect()}
+        assert rows[1]["echo"] == {"id": 1, "name": "a"} and rows[1]["seen"]
+        assert rows[2]["echo"]["name"] == "b"
+    finally:
+        srv.shutdown()
 
 
 def test_validate_standard(spark):

@@ -413,21 +413,40 @@ def parse_as_excel(call: DirectiveCall):
 
 @directive("parse-as-hl7")
 def parse_as_hl7(call: DirectiveCall):
-    """parse-as-hl7 :col [depth] (reference parser/HL7Parser.java). Minimal
-    native HL7v2 pipe-format decoder: segments → map<segment, fields>."""
+    """parse-as-hl7 :col [depth] (reference parser/HL7Parser.java).
+
+    Native HL7v2 pipe-format decoder, pure Column expressions:
+    - depth 1 (default): `<col>_hl7` = map<segment, array<occurrence>>
+      where each occurrence is the segment's field array — REPEATED
+      segments (e.g. multiple OBX) are preserved as separate
+      occurrences (a plain map-from-entries would collide on them).
+    - depth ≥ 2: fields are further split on the component separator
+      `^` → map<segment, array<array<array<string>>>>.
+    """
     col = call.col(0)
+    depth = int(call.text(1, default="1"))
 
     def tr(df: DataFrame, ctx: RecipeContext) -> DataFrame:
         c = _require(df, col)
-        segs = F.split(F.col(c).cast("string"), r"[\r\n]+")
-        pairs = F.transform(
-            segs,
-            lambda seg: F.struct(
-                F.substring(seg, 1, 3).alias("key"),
-                F.split(seg, r"\|").alias("value"),
+        segs = F.filter(
+            F.split(F.col(c).cast("string"), r"[\r\n]+"),
+            lambda s: F.length(s) >= 3,
+        )
+        keys = F.array_distinct(F.transform(segs, lambda s: F.substring(s, 1, 3)))
+
+        def fields_of(seg):
+            f_ = F.split(seg, r"\|")
+            if depth >= 2:
+                return F.transform(f_, lambda x: F.split(x, r"\^"))
+            return f_
+
+        vals = F.transform(
+            keys,
+            lambda k: F.transform(
+                F.filter(segs, lambda s: F.substring(s, 1, 3) == k), fields_of
             ),
         )
-        return df.withColumn(f"{c}_hl7", F.map_from_entries(F.filter(pairs, lambda p: F.length(p.getField("key")) == 3)))
+        return df.withColumn(f"{c}_hl7", F.map_from_arrays(keys, vals))
 
     return tr
 
@@ -531,21 +550,40 @@ def invoke_http(call: DirectiveCall):
         )
 
         def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            import requests
+            # requests when available (connection pooling), stdlib
+            # urllib otherwise — the directive is never import-gated
+            try:
+                import requests
 
-            with requests.Session() as sess:
+                sess = requests.Session()
                 sess.headers.update(headers)
-                for pdf in batches:
-                    responses = []
-                    for _, row in pdf[resolved].iterrows():
-                        try:
-                            r = sess.post(url, json=row.to_dict(), timeout=10)
-                            responses.append(r.text)
-                        except Exception as e:  # noqa: BLE001
-                            responses.append(json.dumps({"error": str(e)}))
-                    pdf = pdf.copy()
-                    pdf["http_response"] = responses
-                    yield pdf
+
+                def post(payload: dict) -> str:
+                    return sess.post(url, json=payload, timeout=10).text
+
+            except ImportError:
+                import urllib.request
+
+                def post(payload: dict) -> str:
+                    req = urllib.request.Request(
+                        url,
+                        data=json.dumps(payload).encode("utf-8"),
+                        headers={"Content-Type": "application/json", **headers},
+                        method="POST",
+                    )
+                    with urllib.request.urlopen(req, timeout=10) as r:
+                        return r.read().decode("utf-8")
+
+            for pdf in batches:
+                responses = []
+                for _, row in pdf[resolved].iterrows():
+                    try:
+                        responses.append(post(row.to_dict()))
+                    except Exception as e:  # noqa: BLE001
+                        responses.append(json.dumps({"error": str(e)}))
+                pdf = pdf.copy()
+                pdf["http_response"] = responses
+                yield pdf
 
         return df.mapInPandas(run, out_schema)
 
