@@ -671,6 +671,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["profile"] = q_profile
 
+    def q_windowed_counts(spark, d):
+        """Watermarked tumbling-window streaming aggregation (late-data
+        surface): append-mode output must equal the batch window agg
+        restricted to windows the final watermark closed."""
+        import os
+        import tempfile
+
+        _prep(spark)
+        src = f"{d}/events.parquet"
+        if os.path.isfile(src):
+            link_dir = tempfile.mkdtemp(prefix="q_wm_src_")
+            os.symlink(os.path.abspath(src), os.path.join(link_dir, "events.parquet"))
+            src = link_dir
+        from wrangler_spark.streaming.stateful import windowed_event_counts
+
+        schema = spark.read.parquet(src).schema
+        # watermarks need TIMESTAMP (session tz = UTC); the table ships NTZ
+        stream = spark.readStream.schema(schema).parquet(src).withColumn(
+            "ts", F.col("ts").cast("timestamp")
+        )
+        agg = windowed_event_counts(
+            stream, window_duration="6 hours", watermark_delay="61 minutes",
+            ts_col="ts", key_col="event_type", seq_col="event_id",
+        ).select(
+            "window_start", "event_type",
+            F.col("events"), F.col("last_seq").alias("last_event"),
+        )
+        rows = []
+        ck = tempfile.mkdtemp(prefix="q_wm_ck_")
+        q_ = (
+            agg.writeStream.outputMode("append")
+            .foreachBatch(lambda b, i: rows.extend(b.collect()))
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True).start()
+        )
+        q_.awaitTermination(180)
+        out_schema = "window_start timestamp, event_type string, events long, last_event long"
+        return spark.createDataFrame(rows, out_schema)
+    q["windowed_counts"] = q_windowed_counts
+
     def q_stateful_progress(spark, d):
         """applyInPandasWithState over the events table streamed from
         parquet: the FINAL per-user running state must converge to the
@@ -948,6 +988,16 @@ def oracle_sql() -> dict[str, str]:
         "stateful_progress": (
             "SELECT user_id, count(*) AS events, max(event_id) AS last_event "
             "FROM events GROUP BY user_id"
+        ),
+        # append-mode watermarked windows = batch window agg restricted
+        # to windows closed by the final watermark (max ts - delay)
+        "windowed_counts": (
+            "SELECT * FROM ("
+            "  SELECT time_bucket(INTERVAL '6 hours', ts) AS window_start,"
+            "         event_type, count(*) AS events, max(event_id) AS last_event"
+            "  FROM events GROUP BY 1, 2)"
+            " WHERE window_start + INTERVAL '6 hours'"
+            "   <= (SELECT max(ts) - INTERVAL '61 minutes' FROM events)"
         ),
         # exact word-trigram Jaccard (same normalize/split/shingle as the
         # Spark query; lead-window trigrams; <3-token docs collapse to

@@ -244,3 +244,33 @@ def test_widen_epoch_touching_subset_of_buckets(spark, tmp_path):
     assert got[("r0", "f0.py")] == 5_000_000_000
     for i in range(1, 20):
         assert got[(f"r{i}", f"f{i}.py")] == i * 10
+
+
+def test_degraded_shuffle_merge_path(spark, table):
+    """Force the >broadcast_keys_max path (key-count burst): the classic
+    two-join shuffle merge must produce the same state as the broadcast
+    path, and the write re-clusters by bucket."""
+    rows = [(i, "insert", f"r{i}", f"f{i}.py", "c", "python", f"v{i}") for i in range(30)]
+    res = table.merge(ch(spark, rows), epoch=0, broadcast_keys_max=2)
+    assert res["timings"]["broadcast_path"] is False
+    # upsert + delete over the existing base, still degraded
+    rows2 = [(100 + i, "update", f"r{i}", f"f{i}.py", "c2", "python", f"w{i}") for i in range(10)]
+    rows2.append((200, "delete", "r20", "f20.py", None, None, None))
+    res2 = table.merge(ch(spark, rows2), epoch=1, broadcast_keys_max=2)
+    assert res2["timings"]["broadcast_path"] is False
+    got = {(r["repo"], r["path"]): r["content"] for r in table.read().collect()}
+    assert len(got) == 29  # 30 - 1 deleted
+    for i in range(10):
+        assert got[(f"r{i}", f"f{i}.py")] == f"w{i}"
+    for i in range(10, 30):
+        if i != 20:
+            assert got[(f"r{i}", f"f{i}.py")] == f"v{i}"
+    assert ("r20", "f20.py") not in got
+
+    # stale update after the delete cannot resurrect (seq guard holds
+    # on the degraded path too)
+    table.merge(ch(spark, [(150, "update", "r20", "f20.py", "c3", "python", "zombie")]),
+                epoch=2, broadcast_keys_max=2)
+    assert ("r20", "f20.py") not in {
+        (r["repo"], r["path"]) for r in table.read().collect()
+    }

@@ -140,3 +140,56 @@ def test_stateful_sessionize_gap(spark, tmp_path):
     # last open-session emission carries the second burst
     last_open = max(open_, key=lambda r: r["last_seq"])
     assert last_open["session_events"] == 30 and last_open["first_seq"] == 5000
+
+
+def test_windowed_watermark_counts(spark, tmp_path):
+    """Watermarked tumbling windows over a streamed event table must
+    converge (append mode: only finalized windows) to the batch window
+    aggregation, and the watermark must bound state."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from wrangler_spark.cdc.events import generate_events
+    from wrangler_spark.streaming.stateful import windowed_event_counts
+
+    src = str(tmp_path / "wm_src")
+    ev = generate_events(spark, 3000, n_repos=5, n_paths_per_repo=10, epoch_size=3000)
+    # deterministic event time: one second per seq step from a fixed origin
+    ev = ev.withColumn(
+        "event_ts", F.timestamp_seconds(F.lit(1_700_000_000) + F.col("seq"))
+    )
+    ev.write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+    agg = windowed_event_counts(stream, window_duration="5 minutes",
+                                watermark_delay="1 minute")
+    rows = []
+    q = (
+        agg.writeStream.outputMode("append")
+        .foreachBatch(lambda b, i: rows.extend(b.collect()))
+        .option("checkpointLocation", str(tmp_path / "wm_ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = {(r["window_start"], r["repo"]): (r["events"], r["last_seq"]) for r in rows}
+    batch = (
+        spark.read.parquet(src)
+        .groupBy(F.window(F.col("event_ts"), "5 minutes"), F.col("repo"))
+        .agg(F.count(F.lit(1)).alias("events"), F.max("seq").alias("last_seq"))
+        .select(F.col("window.start").alias("ws"), "repo", "events", "last_seq")
+    )
+    exp_all = {(r["ws"], r["repo"]): (r["events"], r["last_seq"]) for r in batch.collect()}
+    # append mode emits only windows the final watermark passed; the
+    # last (open) window is withheld — everything emitted must match
+    # the batch truth exactly, and most windows must have been emitted
+    assert got
+    for k, v in got.items():
+        assert exp_all[k] == v
+    max_ws = max(ws for ws, _ in exp_all)
+    assert all(ws < max_ws for ws, _ in got)  # open window withheld
+    emitted_windows = {ws for ws, _ in got}
+    all_windows = {ws for ws, _ in exp_all}
+    assert len(emitted_windows) >= len(all_windows) - 2

@@ -104,6 +104,7 @@ def merge_into(
     metrics: dict | None = None,
     broadcast_hint_keys: int | None = None,
     renames: dict | None = None,
+    broadcast_keys_max: int = 500_000,
 ) -> dict:
     """Apply a change batch; returns lineage metrics.
 
@@ -176,7 +177,7 @@ def merge_into(
     n_winners = sum(r["count"] for r in bucket_counts)
     _t_probe = _time.time() - _t0
 
-    winners_broadcast = n_winners <= 500_000
+    winners_broadcast = n_winners <= broadcast_keys_max
     build = F.broadcast(mx) if winners_broadcast else mx
     # join-back carries __b from the agg side for free
     winners = changes.join(build, on=[*keys, seq_col], how="inner").cache()

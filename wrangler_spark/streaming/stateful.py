@@ -164,3 +164,40 @@ def sessionize(stream: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def windowed_event_counts(
+    stream: DataFrame,
+    window_duration: str = "1 minute",
+    watermark_delay: str = "2 minutes",
+    ts_col: str = "event_ts",
+    key_col: str = "repo",
+    seq_col: str = "seq",
+):
+    """Watermarked tumbling-window aggregation over the change stream —
+    the late-data surface (Structured Streaming's canonical shape:
+    `withWatermark` bounds state, late events beyond the delay are
+    dropped, windows finalize once the watermark passes their end).
+
+    Returns (window_start, window_end, key, events, last_seq) per
+    closed window. Pure built-in operators: watermark + window groupBy
+    compile to a streaming aggregation with state-store-backed partial
+    aggregates — scales with keys × open windows, not with history.
+    """
+    from pyspark.sql import functions as F
+
+    return (
+        stream.withWatermark(ts_col, watermark_delay)
+        .groupBy(F.window(F.col(ts_col), window_duration), F.col(key_col))
+        .agg(
+            F.count(F.lit(1)).alias("events"),
+            F.max(seq_col).alias("last_seq"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            F.col(key_col),
+            "events",
+            "last_seq",
+        )
+    )
