@@ -178,3 +178,42 @@ def test_error_channel_sink(spark, events, tmp_path):
     assert table.read().count() == events.filter(
         "epoch = 0 AND op != 'delete'"
     ).select("repo", "path").distinct().count()
+
+
+def test_error_rows_survive_crash_before_commit(spark, events, tmp_path):
+    """Round-2 ADVICE: the error sink writes BEFORE the merge fences
+    the epoch. Inject a crash at merge time — the routed error rows
+    must already be on disk, the epoch must NOT be fenced, and the
+    retry must succeed without losing them."""
+    import json, os
+
+    table, _ = _mk(spark, tmp_path, "t_errcrash")
+    rp = Replayer(
+        table, str(tmp_path / "t_errcrash_ck"),
+        recipe=["send-to-error exp:{op == 'delete'}"],
+    )
+
+    real_merge = table.merge
+
+    def boom(*a, **k):
+        raise RuntimeError("injected crash at merge")
+
+    table.merge = boom
+    import pytest as _pytest
+    with _pytest.raises(RuntimeError, match="injected crash"):
+        rp.replay_epoch(events, 0)
+    table.merge = real_merge
+
+    # error rows landed before the crash; the epoch is not fenced
+    err_path = os.path.join(rp.error_dir, "epoch=0")
+    n_deletes = events.filter("epoch = 0 AND op = 'delete'").count()
+    assert spark.read.parquet(err_path).count() == n_deletes > 0
+    assert 0 not in table.committed_epochs
+
+    # retry completes; the (idempotent, overwrite-mode) error sink
+    # still holds exactly the routed rows and lineage counts them
+    res = rp.replay_epoch(events, 0)
+    assert not res.get("skipped")
+    assert res["error_rows"] == n_deletes
+    assert spark.read.parquet(err_path).count() == n_deletes
+    assert 0 in table.committed_epochs

@@ -105,6 +105,7 @@ def merge_into(
     broadcast_hint_keys: int | None = None,
     renames: dict | None = None,
     broadcast_keys_max: int = 500_000,
+    explain_sink: list | None = None,
 ) -> dict:
     """Apply a change batch; returns lineage metrics.
 
@@ -293,6 +294,17 @@ def merge_into(
         ).select(*keys, *[F.col(c) for c in data_cols if c not in keys], "__seq", "__deleted", "__b")
         merged = existing.unionByName(brand_new)
         pre_partitioned = False
+
+    if explain_sink is not None:
+        # plan-audit hook (scripts/explain_audit.py → PLANS.md): the
+        # formatted physical plan of the merge output, pre-write
+        import io as _io
+        from contextlib import redirect_stdout as _rs
+
+        _buf = _io.StringIO()
+        with _rs(_buf):
+            merged.explain("formatted")
+        explain_sink.append(_buf.getvalue())
 
     new_version = table.version + 1
     _t1 = _time.time()

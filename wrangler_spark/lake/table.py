@@ -339,6 +339,7 @@ class LakeTable:
         broadcast_hint_keys: int | None = None,
         renames: dict | None = None,
         broadcast_keys_max: int = 500_000,
+        explain_sink: list | None = None,
     ) -> dict:
         from wrangler_spark.lake.merge import merge_into
 
@@ -346,7 +347,7 @@ class LakeTable:
             self, changes, seq_col=seq_col, op_col=op_col, epoch=epoch,
             evolve=evolve, salted=salted, metrics=metrics,
             broadcast_hint_keys=broadcast_hint_keys, renames=renames,
-            broadcast_keys_max=broadcast_keys_max,
+            broadcast_keys_max=broadcast_keys_max, explain_sink=explain_sink,
         )
 
     # ------------------------------------------------------------ maintenance
