@@ -126,3 +126,33 @@ def test_parse_as_excel_stdlib(spark):
     rows = sorted(ok.collect(), key=lambda r: r["row_idx"])
     assert rows[0]["cells"] == ["h1", "h2"]
     assert rows[1]["cells"] == ["v1", "42"]
+
+
+def test_avro_container_roundtrip():
+    from wrangler_spark.directives._avro_binary import read_container, write_container
+
+    s = {"type": "record", "name": "R",
+         "fields": [{"name": "a", "type": "long"}, {"name": "b", "type": "string"}]}
+    recs = [{"a": i, "b": f"x{i}"} for i in range(100)]
+    for codec in ("null", "deflate"):
+        blob = write_container(recs, s, codec=codec)
+        schema, got = read_container(blob)
+        assert schema == s and got == recs
+
+
+def test_parse_as_avro_file_pure_python(spark, tmp_path):
+    """Without the spark-avro jar, parse-as-avro-file decodes container
+    files through a binaryFile scan + the pure-Python OCF reader."""
+    from wrangler_spark import execute
+    from wrangler_spark.directives._avro_binary import write_container
+
+    s = {"type": "record", "name": "R",
+         "fields": [{"name": "a", "type": "long"}, {"name": "b", "type": "string"}]}
+    p1 = tmp_path / "f1.avro"
+    p2 = tmp_path / "f2.avro"
+    p1.write_bytes(write_container([{"a": 1, "b": "one"}], s, codec="deflate"))
+    p2.write_bytes(write_container([{"a": 2, "b": "two"}, {"a": 3, "b": "three"}], s))
+    df = spark.createDataFrame([(str(p1),), (str(p2),)], "path string")
+    ok, _ = execute(spark, ["parse-as-avro-file :path"], df)
+    got = {r["a"]: r["b"] for r in ok.collect()}
+    assert got == {1: "one", 2: "two", 3: "three"}

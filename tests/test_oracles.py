@@ -9,7 +9,11 @@ import pytest
 
 import __spark_entry__ as entry_mod
 
-SF_DIR = "/root/testdata/sf0.001"
+import os as _os
+
+# default sf0.001 for speed; set ORACLE_SF_DIR=/root/testdata/sf0.01 to
+# mirror the driver's exact scale
+SF_DIR = _os.environ.get("ORACLE_SF_DIR", "/root/testdata/sf0.001")
 TABLES = [
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings",

@@ -174,3 +174,74 @@ def _encode(value: Any, schema: Any) -> bytes:
 def encode(value: Any, schema: Any) -> bytes:
     """Encode one datum as Avro binary (test fixtures / round trips)."""
     return _encode(value, schema)
+
+
+# ------------------------------------------------- object container files
+# (Avro OCF per the public spec: magic, metadata map with avro.schema /
+# avro.codec, 16-byte sync marker, then blocks of count+size+data+sync.)
+
+_OCF_MAGIC = b"Obj\x01"
+
+
+def read_container(data: bytes):
+    """Decode an Avro Object Container File → (schema, records).
+    Codecs: null, deflate (raw zlib)."""
+    import json
+    import zlib
+
+    r = _Reader(data)
+    if r.read(4) != _OCF_MAGIC:
+        raise ValueError("not an Avro object container file")
+    meta: dict[str, bytes] = {}
+    while True:
+        n = r.read_long()
+        if n == 0:
+            break
+        if n < 0:
+            r.read_long()
+            n = -n
+        for _ in range(n):
+            k = r.read(r.read_long()).decode("utf-8")
+            meta[k] = r.read(r.read_long())
+    sync = r.read(16)
+    schema = json.loads(meta["avro.schema"].decode("utf-8"))
+    codec = meta.get("avro.codec", b"null").decode("utf-8")
+    records = []
+    while r.pos < len(data):
+        cnt = r.read_long()
+        size = r.read_long()
+        block = r.read(size)
+        if codec == "deflate":
+            block = zlib.decompress(block, -15)
+        elif codec != "null":
+            raise ValueError(f"avro: unsupported container codec {codec!r}")
+        br = _Reader(block)
+        for _ in range(cnt):
+            records.append(_decode(br, schema))
+        if r.read(16) != sync:
+            raise ValueError("avro: bad sync marker")
+    return schema, records
+
+
+def write_container(records, schema, codec: str = "null", sync: bytes = b"0123456789abcdef") -> bytes:
+    """Encode records as an Avro OCF (test fixtures / round trips)."""
+    import json
+    import zlib
+
+    meta = {
+        "avro.schema": json.dumps(schema).encode("utf-8"),
+        "avro.codec": codec.encode("utf-8"),
+    }
+    out = bytearray(_OCF_MAGIC)
+    out += _zigzag(len(meta))
+    for k, v in meta.items():
+        kb = k.encode("utf-8")
+        out += _zigzag(len(kb)) + kb + _zigzag(len(v)) + v
+    out += _zigzag(0)
+    out += sync
+    body = b"".join(_encode(rec, schema) for rec in records)
+    if codec == "deflate":
+        co = zlib.compressobj(level=6, wbits=-15)
+        body = co.compress(body) + co.flush()
+    out += _zigzag(len(records)) + _zigzag(len(body)) + body + sync
+    return bytes(out)

@@ -261,11 +261,42 @@ def parse_as_avro_file(call: DirectiveCall):
         paths = [r[0] for r in path_rows]
         try:
             return ctx.spark.read.format("avro").load(paths)
-        except Exception as e:  # noqa: BLE001
-            raise UsageError(
-                "parse-as-avro-file needs the spark-avro connector jar "
-                "(org.apache.spark:spark-avro), not present here"
-            ) from e
+        except Exception:  # noqa: BLE001
+            # no spark-avro jar → binaryFile scan + pure-Python Avro OCF
+            # decode (directives/_avro_binary.py), Arrow-batched. One
+            # file's header is fetched driver-side for the schema (pure
+            # metadata); data blocks decode inside mapInPandas.
+            import base64 as _b64
+            from collections.abc import Iterator
+
+            from wrangler_spark.directives._avro_binary import read_container
+
+            head = (
+                ctx.spark.read.format("binaryFile").load(paths[0]).select("content").first()
+            )
+            schema_avro, _ = read_container(bytes(head["content"]))
+            spark_type = avro_to_spark_type(schema_avro)
+
+            def _jsonable(v):
+                if isinstance(v, (bytes, bytearray)):
+                    return _b64.b64encode(bytes(v)).decode("ascii")
+                if isinstance(v, dict):
+                    return {k: _jsonable(x) for k, x in v.items()}
+                if isinstance(v, list):
+                    return [_jsonable(x) for x in v]
+                return v
+
+            def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+                for pdf in batches:
+                    out = []
+                    for blob in pdf["content"]:
+                        _s, recs = read_container(bytes(blob))
+                        out.extend(json.dumps(_jsonable(r)) for r in recs)
+                    yield pd.DataFrame({"json": out})
+
+            bf = ctx.spark.read.format("binaryFile").load(paths).select("content")
+            js = bf.mapInPandas(run, "json string")
+            return js.select(F.from_json("json", spark_type).alias("__r")).select("__r.*")
 
     return tr
 
