@@ -303,6 +303,14 @@ def parse_as_avro_file(call: DirectiveCall):
 
 @directive("parse-as-protobuf")
 def parse_as_protobuf(call: DirectiveCall):
+    """parse-as-protobuf :col <descriptor-set-file> <message-full-name>
+
+    Uses spark-protobuf's from_protobuf when the jar is available;
+    otherwise decodes through the pure-Python wire-format reader
+    (directives/_protobuf.py) driven by the same FileDescriptorSet —
+    Arrow-batched, rows surface via from_json with the translated
+    schema (reference parser/ParseProtobuf.java + its registry
+    descriptor decode)."""
     col = call.col(0)
     desc = call.text(1)
     message = call.text(2)
@@ -311,12 +319,49 @@ def parse_as_protobuf(call: DirectiveCall):
         c = _require(df, col)
         try:
             from pyspark.sql.protobuf.functions import from_protobuf
-        except Exception as e:  # noqa: BLE001
-            raise UsageError(
-                "parse-as-protobuf needs the spark-protobuf connector jar "
-                "(org.apache.spark:spark-protobuf), not present here"
-            ) from e
-        return df.withColumn(c, from_protobuf(F.col(c), message, descFilePath=desc))
+
+            parsed = from_protobuf(F.col(c), message, descFilePath=desc)
+            df.limit(0).withColumn("__wr_probe", parsed)  # eager analysis probe
+            return df.withColumn(c, parsed)
+        except Exception:  # noqa: BLE001
+            import base64 as _b64
+
+            from wrangler_spark.directives._protobuf import (
+                decode_message,
+                message_to_spark_type,
+                parse_descriptor_set,
+            )
+
+            with open(desc, "rb") as fh:
+                msgs, enums = parse_descriptor_set(fh.read())
+            if message not in msgs:
+                raise UsageError(
+                    f"parse-as-protobuf: message {message!r} not in descriptor set "
+                    f"(have: {sorted(msgs)})"
+                )
+            spark_type = message_to_spark_type(message, msgs)
+
+            def _jsonable(v):
+                if isinstance(v, (bytes, bytearray)):
+                    return _b64.b64encode(bytes(v)).decode("ascii")
+                if isinstance(v, dict):
+                    return {k: _jsonable(x) for k, x in v.items()}
+                if isinstance(v, list):
+                    return [_jsonable(x) for x in v]
+                return v
+
+            @pandas_udf(T.StringType())
+            def _dec(s: pd.Series) -> pd.Series:
+                return pd.Series(
+                    [
+                        json.dumps(_jsonable(decode_message(bytes(v), message, msgs, enums)))
+                        if v is not None
+                        else None
+                        for v in s
+                    ]
+                )
+
+            return df.withColumn(c, F.from_json(_dec(F.col(c)), spark_type))
 
     return tr
 
