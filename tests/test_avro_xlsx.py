@@ -156,3 +156,41 @@ def test_parse_as_avro_file_pure_python(spark, tmp_path):
     ok, _ = execute(spark, ["parse-as-avro-file :path"], df)
     got = {r["a"]: r["b"] for r in ok.collect()}
     assert got == {1: "one", 2: "two", 3: "three"}
+
+
+def test_avro_logical_types(spark):
+    """decimal / date / timestamp-micros logical types decode into the
+    matching Spark types (reference SchemaConverter.java:118-143)."""
+    import datetime
+    from decimal import Decimal
+
+    from wrangler_spark.directives._avro_binary import encode
+
+    s = {
+        "type": "record", "name": "L",
+        "fields": [
+            {"name": "amt", "type": {"type": "bytes", "logicalType": "decimal",
+                                     "precision": 10, "scale": 2}},
+            {"name": "d", "type": {"type": "int", "logicalType": "date"}},
+            {"name": "ts", "type": {"type": "long", "logicalType": "timestamp-micros"}},
+        ],
+    }
+    unscaled = 123456  # 1234.56 at scale 2
+    amt_bytes = unscaled.to_bytes((unscaled.bit_length() + 8) // 8, "big", signed=True)
+    days = 19876  # 2024-06-02
+    micros = 1_700_000_123_456_789
+    payload = encode({"amt": amt_bytes, "d": days, "ts": micros}, s)
+
+    import json as _json
+
+    from wrangler_spark import execute
+
+    df = spark.createDataFrame([(payload,)], "body binary")
+    ok, _ = execute(spark, [f"parse-as-avro :body '{_json.dumps(s)}' binary"], df)
+    r = ok.first()
+    assert r["body_amt"] == Decimal("1234.56")
+    assert r["body_d"] == datetime.date(1970, 1, 1) + datetime.timedelta(days=days)
+    # session tz is UTC: recovered timestamp equals the micros instant
+    assert r["body_ts"] == datetime.datetime(1970, 1, 1) + datetime.timedelta(
+        microseconds=micros
+    )

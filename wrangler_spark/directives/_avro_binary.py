@@ -245,3 +245,58 @@ def write_container(records, schema, codec: str = "null", sync: bytes = b"012345
         body = co.compress(body) + co.flush()
     out += _zigzag(len(records)) + _zigzag(len(body)) + body + sync
     return bytes(out)
+
+
+# ------------------------------------------------- logical-type surfacing
+
+def to_jsonable(v: Any, schema: Any) -> Any:
+    """Schema-aware conversion of a decoded datum to JSON-compatible
+    values that Spark's from_json parses back into the types
+    avro_to_spark_type declares: decimals as plain strings, dates as
+    ISO dates, timestamps as ISO instants, bytes/fixed as base64
+    (reference utils/SchemaConverter.java logical-type mapping)."""
+    import base64
+    import datetime
+    import decimal
+
+    if v is None:
+        return None
+    if isinstance(schema, list):
+        branches = [b for b in schema if b != "null"]
+        return to_jsonable(v, branches[0]) if branches else None
+    if isinstance(schema, dict):
+        lt = schema.get("logicalType")
+        t = schema["type"]
+        if lt == "decimal":
+            unscaled = int.from_bytes(bytes(v), "big", signed=True)
+            return str(decimal.Decimal(unscaled).scaleb(-int(schema.get("scale", 0))))
+        if lt == "date":
+            return (datetime.date(1970, 1, 1) + datetime.timedelta(days=v)).isoformat()
+        if lt in (
+            "timestamp-millis", "timestamp-micros",
+            "local-timestamp-millis", "local-timestamp-micros",
+        ):
+            us = v * 1000 if lt.endswith("millis") else v
+            dt = datetime.datetime(1970, 1, 1) + datetime.timedelta(microseconds=us)
+            return dt.strftime("%Y-%m-%dT%H:%M:%S.%f") + (
+                "Z" if lt.startswith("timestamp") else ""
+            )
+        if lt in ("time-millis", "time-micros"):
+            return v * 1000 if lt == "time-millis" else v
+        if t == "record":
+            return {
+                f["name"]: to_jsonable(v.get(f["name"]), f["type"])
+                for f in schema["fields"]
+            }
+        if t == "array":
+            return [to_jsonable(x, schema["items"]) for x in v]
+        if t == "map":
+            return {k: to_jsonable(x, schema["values"]) for k, x in v.items()}
+        if t == "fixed":
+            return base64.b64encode(bytes(v)).decode("ascii")
+        if t == "enum":
+            return v
+        return to_jsonable(v, t)
+    if isinstance(v, (bytes, bytearray)):
+        return base64.b64encode(bytes(v)).decode("ascii")
+    return v

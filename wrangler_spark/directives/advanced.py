@@ -141,6 +141,21 @@ def avro_to_spark_type(avro) -> T.DataType:
         return avro_to_spark_type(branches[0]) if branches else T.NullType()
     if isinstance(avro, dict):
         t = avro.get("type")
+        # Avro logical types (reference utils/SchemaConverter.java:118-143:
+        # BigDecimal → decimal(p,s), LocalDate → DATE, timestamps → micros)
+        lt = avro.get("logicalType")
+        if lt == "decimal":
+            return T.DecimalType(int(avro.get("precision", 38)), int(avro.get("scale", 0)))
+        if lt == "date":
+            return T.DateType()
+        if lt in ("timestamp-millis", "timestamp-micros"):
+            return T.TimestampType()
+        if lt in ("local-timestamp-millis", "local-timestamp-micros"):
+            return T.TimestampNTZType()
+        if lt in ("time-millis", "time-micros"):
+            # Spark has no TIME type: micros-since-midnight as long
+            # (SURVEY §7 hard part (d))
+            return T.LongType()
         if t == "record":
             return T.StructType(
                 [
@@ -190,29 +205,23 @@ def parse_as_avro(call: DirectiveCall):
             except Exception:  # noqa: BLE001
                 # no spark-avro jar → pure-Python Avro binary decoder
                 # (directives/_avro_binary.py), Arrow-batched: decode to a
-                # JSON string per row, then native from_json. bytes/fixed
-                # surface base64 (what Spark's JSON reader expects for
-                # BinaryType).
-                import base64 as _b64
-
-                from wrangler_spark.directives._avro_binary import decode as _avro_decode
+                # JSON string per row (schema-aware conversion — logical
+                # types surface as what from_json parses back into the
+                # declared Spark types), then native from_json.
+                from wrangler_spark.directives._avro_binary import (
+                    decode as _avro_decode,
+                    to_jsonable as _to_jsonable,
+                )
 
                 avro_schema = json.loads(schema_json)
-
-                def _jsonable(v):
-                    if isinstance(v, (bytes, bytearray)):
-                        return _b64.b64encode(bytes(v)).decode("ascii")
-                    if isinstance(v, dict):
-                        return {k: _jsonable(x) for k, x in v.items()}
-                    if isinstance(v, list):
-                        return [_jsonable(x) for x in v]
-                    return v
 
                 @pandas_udf(T.StringType())
                 def _dec(s: pd.Series) -> pd.Series:
                     return pd.Series(
                         [
-                            json.dumps(_jsonable(_avro_decode(bytes(v), avro_schema)))
+                            json.dumps(
+                                _to_jsonable(_avro_decode(bytes(v), avro_schema), avro_schema)
+                            )
                             if v is not None
                             else None
                             for v in s
@@ -266,10 +275,9 @@ def parse_as_avro_file(call: DirectiveCall):
             # decode (directives/_avro_binary.py), Arrow-batched. One
             # file's header is fetched driver-side for the schema (pure
             # metadata); data blocks decode inside mapInPandas.
-            import base64 as _b64
             from collections.abc import Iterator
 
-            from wrangler_spark.directives._avro_binary import read_container
+            from wrangler_spark.directives._avro_binary import read_container, to_jsonable
 
             head = (
                 ctx.spark.read.format("binaryFile").load(paths[0]).select("content").first()
@@ -277,21 +285,12 @@ def parse_as_avro_file(call: DirectiveCall):
             schema_avro, _ = read_container(bytes(head["content"]))
             spark_type = avro_to_spark_type(schema_avro)
 
-            def _jsonable(v):
-                if isinstance(v, (bytes, bytearray)):
-                    return _b64.b64encode(bytes(v)).decode("ascii")
-                if isinstance(v, dict):
-                    return {k: _jsonable(x) for k, x in v.items()}
-                if isinstance(v, list):
-                    return [_jsonable(x) for x in v]
-                return v
-
             def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 for pdf in batches:
                     out = []
                     for blob in pdf["content"]:
-                        _s, recs = read_container(bytes(blob))
-                        out.extend(json.dumps(_jsonable(r)) for r in recs)
+                        sch, recs = read_container(bytes(blob))
+                        out.extend(json.dumps(to_jsonable(r, sch)) for r in recs)
                     yield pd.DataFrame({"json": out})
 
             bf = ctx.spark.read.format("binaryFile").load(paths).select("content")
