@@ -105,3 +105,45 @@ def test_create_and_flatten_record(spark, df):
     assert isinstance(ok.first()["rec"], Row)
     back, _ = execute(spark, ["flatten-record :rec"], ok)
     assert "rec_name" in back.columns and "rec_state" in back.columns
+
+
+def test_set_type_decimal_rounding_modes(spark):
+    """Exact java.math.RoundingMode semantics, incl. the negative-value
+    distinctions (FLOOR vs DOWN, CEILING vs UP) and HALF_DOWN ties
+    (reference utils/ColumnConverter.java:305-334)."""
+    from decimal import Decimal
+
+    from wrangler_spark import execute
+
+    df = spark.createDataFrame(
+        [(2.345,), (-2.345,), (2.675,), (-2.675,)], "v double"
+    )
+
+    def run(mode):
+        ok, _ = execute(spark, [f"set-type :v decimal 2 {mode}"], df)
+        return [r["v"] for r in ok.orderBy("v").collect()]
+
+    assert run("FLOOR") == [Decimal("-2.68"), Decimal("-2.35"), Decimal("2.34"), Decimal("2.67")]
+    assert run("CEILING") == [Decimal("-2.67"), Decimal("-2.34"), Decimal("2.35"), Decimal("2.68")]
+    assert run("DOWN") == [Decimal("-2.67"), Decimal("-2.34"), Decimal("2.34"), Decimal("2.67")]
+    assert run("UP") == [Decimal("-2.68"), Decimal("-2.35"), Decimal("2.35"), Decimal("2.68")]
+    # ties: 2.345 at scale 2
+    half_up = run("HALF_UP")
+    half_down = run("HALF_DOWN")
+    assert Decimal("2.35") in half_up and Decimal("-2.35") in half_up
+    assert Decimal("2.34") in half_down and Decimal("-2.34") in half_down
+
+
+def test_set_type_decimal_unnecessary(spark):
+    from wrangler_spark import execute
+
+    clean = spark.createDataFrame([(2.25,)], "v double")
+    ok, _ = execute(spark, ["set-type :v decimal 2 UNNECESSARY"], clean)
+    from decimal import Decimal
+    assert ok.first()["v"] == Decimal("2.25")
+
+    dirty = spark.createDataFrame([(2.345,)], "v double")
+    ok2, _ = execute(spark, ["set-type :v decimal 2 UNNECESSARY"], dirty)
+    import pytest as _pytest
+    with _pytest.raises(Exception, match="rounding necessary"):
+        ok2.collect()

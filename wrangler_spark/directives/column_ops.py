@@ -211,20 +211,41 @@ def set_type(call: DirectiveCall):
         if tname == "decimal":
             sc = scale if scale is not None else 6
             target = T.DecimalType(precision, sc)
-            if rounding in ("HALF_UP", "UNNECESSARY"):
-                expr = F.col(c).cast("double")
-                expr = F.round(expr, sc).cast(target)
+            # exact java.math.RoundingMode semantics (reference
+            # utils/ColumnConverter.java:305-334) — FLOOR/DOWN and
+            # CEILING/UP differ for NEGATIVE values (toward -inf vs
+            # toward zero, +inf vs away from zero). Arithmetic happens in
+            # DECIMAL space: double→decimal casts go through the decimal
+            # string representation (BigDecimal.valueOf semantics), so
+            # 2.345·100 is exactly 234.5, not 234.50000000000003 — the
+            # float-scaling artifact that breaks tie rounding.
+            x = F.col(c).cast(T.DecimalType(38, 18))
+            p = 10 ** sc
+            if rounding == "HALF_UP":  # ties away from zero (= Spark round)
+                expr = F.round(x, sc)
             elif rounding == "HALF_EVEN":
-                expr = F.bround(F.col(c).cast("double"), sc).cast(target)
-            elif rounding in ("FLOOR", "DOWN"):
-                p = 10 ** sc
-                expr = (F.floor(F.col(c).cast("double") * p) / p).cast(target)
-            elif rounding in ("CEILING", "UP"):
-                p = 10 ** sc
-                expr = (F.ceil(F.col(c).cast("double") * p) / p).cast(target)
+                expr = F.bround(x, sc)
+            elif rounding == "HALF_DOWN":  # ties toward zero
+                expr = F.signum(x) * F.ceil(F.abs(x) * p - 0.5) / p
+            elif rounding == "FLOOR":  # toward -inf
+                expr = F.floor(x * p) / p
+            elif rounding == "CEILING":  # toward +inf
+                expr = F.ceil(x * p) / p
+            elif rounding == "DOWN":  # toward zero
+                expr = F.signum(x) * F.floor(F.abs(x) * p) / p
+            elif rounding == "UP":  # away from zero
+                expr = F.signum(x) * F.ceil(F.abs(x) * p) / p
+            elif rounding == "UNNECESSARY":
+                # reference throws when rounding would be needed
+                expr = F.when(F.round(x, sc) == x, x).otherwise(
+                    F.raise_error(
+                        F.lit(f"set-type: rounding necessary for column {c!r} "
+                              f"at scale {sc} (mode UNNECESSARY)")
+                    )
+                )
             else:
                 raise UsageError(f"set-type: unsupported rounding {rounding!r}")
-            return df.withColumn(c, expr)
+            return df.withColumn(c, expr.cast(target))
         return df.withColumn(c, F.col(c).cast(_TYPE_MAP[tname]))
 
     return tr
