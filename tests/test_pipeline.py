@@ -324,3 +324,114 @@ def test_real_media_extract_features(spark):
             assert (r["width"], r["height"]) == (8000, 1)
             assert r["n_frames"] == 100 + mid % 50
         assert len(r["feature"]) == 8
+
+
+# ---------------------------------------------------------------- round 3:
+# star-pair guards on the bucket self-joins, quantified LSH recall, and
+# the planted-invariant properties backing the driver oracles.
+
+def test_minhash_lsh_pairs_star_guard(spark):
+    """A clone army (the skew case the guard exists for): 1k identical
+    docs form one bucket per band; with the star guard the pair output
+    is linear (every clone ↔ the min-id canonical), not m²."""
+    clones = [(i, "common boilerplate text repeated across the corpus many times over", f"s{i}")
+              for i in range(1000)]
+    other = [(5000, "a genuinely unique document about distributed joins", "u")]
+    df = spark.createDataFrame(clones + other, "doc_id long, text string, source string")
+    pairs = minhash_lsh_pairs(df, num_hashes=32, bands=8, max_bucket=50).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    # linear star output: exactly (0, i) for every clone i — not 499500 pairs
+    assert got == {(0, i) for i in range(1, 1000)}
+
+
+def test_minhash_lsh_pairs_small_buckets_exact(spark, docs):
+    """Buckets under the cap keep exhaustive all-pairs semantics: the
+    guarded output equals the unguarded (max_bucket=0) output."""
+    guarded = {(r["id_a"], r["id_b"])
+               for r in minhash_lsh_pairs(docs, num_hashes=32, bands=16, max_bucket=100).collect()}
+    exact = {(r["id_a"], r["id_b"])
+             for r in minhash_lsh_pairs(docs, num_hashes=32, bands=16, max_bucket=0).collect()}
+    assert guarded == exact
+
+
+def test_embedding_neardup_star_guard(spark):
+    """500 near-identical embeddings (all signs agree → one bucket in
+    every table, unsplittable by more planes): star guard keeps the
+    candidate stream linear while every clone stays connected to the
+    canonical vector and survives the exact cosine verify."""
+    import math
+
+    base = [math.sin(0.7 + j) for j in range(8)]
+    rows = [(i, [float(x * (1.0 + 1e-5 * (i % 7))) for x in base]) for i in range(500)]
+    rows.append((9000, [float(math.cos(3.1 * j) * (-1) ** j) for j in range(8)]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = embedding_neardup_pairs(
+        df, dim=8, threshold=0.999, n_planes=8, n_tables=3, max_bucket=50
+    ).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert got == {(0, i) for i in range(1, 500)}
+
+
+def test_lsh_topk_recall_floor(spark):
+    """Quantified recall@5 vs the exact oracle on a seeded random
+    corpus (near-orthogonal — the hard case), with the driver query's
+    parameters (n_planes=4, n_tables=16): recall must clear 0.8."""
+    import random
+
+    rnd = random.Random(7)
+    rows = [(i, [rnd.uniform(-1, 1) for _ in range(64)]) for i in range(200)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    exact = {(r["q_id"], r["vec_id"]) for r in brute_force_topk(emb, q, k=5).collect()}
+    approx = {(r["q_id"], r["vec_id"])
+              for r in lsh_topk(emb, q, dim=64, k=5, n_planes=4, n_tables=16).collect()}
+    for qid in range(3):
+        truth = {v for (qq, v) in exact if qq == qid}
+        hit = truth & {v for (qq, v) in approx if qq == qid}
+        assert len(hit) / len(truth) >= 0.8, f"recall@5 for q{qid} = {len(hit)/len(truth)}"
+
+
+def test_fingerprint_append_monotone(spark, docs):
+    """Winnowing containment (the driver oracle's invariant): appending
+    a suffix preserves every original window, so the min-over-windows
+    fingerprint can only decrease (texts ≥ one window wide)."""
+    from wrangler_spark.pipeline.text import fingerprint_expr
+
+    out = docs.select(
+        "doc_id",
+        fingerprint_expr(F.col("text")).alias("fp"),
+        fingerprint_expr(F.concat(F.col("text"), F.lit(" zz-tail"))).alias("fp_app"),
+        F.length("text").alias("n"),
+    ).collect()
+    for r in out:
+        if r["n"] >= 8:
+            assert r["fp_app"] <= r["fp"]
+
+
+def test_simhash_permutation_invariant(spark, docs):
+    """SimHash is a bag-of-tokens bit-vote sum → invariant under token
+    permutation (the driver oracle's invariant)."""
+    norm = F.split(F.lower(F.trim(F.regexp_replace(F.col("text"), r"\s+", " "))), " ")
+    rev = docs.select("doc_id", F.array_join(F.reverse(norm), " ").alias("text"))
+    s1 = {r["doc_id"]: r["simhash"] for r in simhash(docs).collect()}
+    s2 = {r["doc_id"]: r["simhash"] for r in simhash(rev).collect()}
+    assert s1 == s2
+
+
+def test_minhash_planted_copy_invariants(spark, docs):
+    """Planted exact copies (the driver oracle's invariants): identical
+    text ⇒ identical minhash signature, and the copy — sharing ALL band
+    buckets with its smaller-id original — is always deduped."""
+    from wrangler_spark.pipeline.dedup import minhash_signatures
+
+    copies = docs.select(
+        (F.col("doc_id") + F.lit(1000)).alias("doc_id"), "text", "source"
+    )
+    u = docs.unionByName(copies)
+    sigs = {r["doc_id"]: tuple(r["sig"]) for r in minhash_signatures(u, num_hashes=32).collect()}
+    for i in range(5):
+        assert sigs[i] == sigs[i + 1000]
+    survivors = {r["doc_id"] for r in minhash_dedup(u, num_hashes=32, bands=8).collect()}
+    assert all(i + 1000 not in survivors for i in range(5))

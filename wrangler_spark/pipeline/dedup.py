@@ -127,24 +127,62 @@ def minhash_lsh_pairs(
     num_hashes: int = 64,
     bands: int = 16,
     shingle_k: int = 5,
+    max_bucket: int = 1000,
 ) -> DataFrame:
     """Candidate near-dup pairs via LSH banding: docs sharing any band
-    bucket. Returns (id_a, id_b, band-agnostic distinct pairs), id_a < id_b."""
+    bucket. Returns (id_a, id_b) distinct pairs, id_a < id_b.
+
+    Bucket-size bound (the 100 TB guard): a bucket of m near-identical
+    docs — exactly what a dedup pass exists to find — contains m² TRUE
+    pairs, so no sub-bucketing can shrink it without losing real output.
+    Buckets larger than `max_bucket` therefore emit STAR pairs only
+    (every member paired with the bucket's min-id canonical doc): each
+    clone group stays fully represented (connected through its
+    canonical), but the join output is O(m) instead of O(m²). Small
+    buckets keep exact all-pairs semantics. max_bucket=0 disables the
+    guard (small corpora / oracle checks)."""
     sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k)
     banded = _banded(sigs, id_col, num_hashes, bands)
-    a = banded.alias("a")
-    b = banded.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col(f"a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    return _bucket_pairs(banded, id_col, ["band", "bucket"], max_bucket)
+
+
+def _bucket_pairs(
+    banded: DataFrame, id_col: str, bucket_cols: list[str], max_bucket: int
+) -> DataFrame:
+    """(id_a, id_b) pairs from bucket co-membership with the star-pair
+    guard: buckets ≤ max_bucket self-join exhaustively; larger buckets
+    emit (min_id, member) pairs only — linear in bucket size."""
+    if not max_bucket:
+        a, b = banded.alias("a"), banded.alias("b")
+        cond = (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        for c in bucket_cols:
+            cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+        return (
+            a.join(b, cond)
+            .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+            .distinct()
         )
-        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
-        .distinct()
+    from pyspark.sql.window import Window
+
+    # window stats over the bucket partition (one pass — no agg+join
+    # back, which would recompute the upstream signature fold twice)
+    wdw = Window.partitionBy(*bucket_cols)
+    tagged = banded.withColumn("__n", F.count(F.lit(1)).over(wdw)).withColumn(
+        "__min", F.min(id_col).over(wdw)
     )
-    return pairs
+    small = tagged.filter(F.col("__n") <= max_bucket)
+    a, b = small.alias("a"), small.alias("b")
+    cond = (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+    for c in bucket_cols:
+        cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+    full = a.join(b, cond).select(
+        F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+    )
+    star = (
+        tagged.filter((F.col("__n") > max_bucket) & (F.col(id_col) > F.col("__min")))
+        .select(F.col("__min").alias("id_a"), F.col(id_col).alias("id_b"))
+    )
+    return full.unionByName(star).distinct()
 
 
 def _banded(sigs: DataFrame, id_col: str, num_hashes: int, bands: int) -> DataFrame:
@@ -184,12 +222,23 @@ def minhash_dedup(
     Deliberately NOT pair-based: a bucket of n near-identical docs would
     produce n² candidate pairs; the per-bucket min-id aggregation keeps
     it O(n) — the shape that survives a corpus where 30% of documents are
-    boilerplate clones. Full transitive closure would iterate this."""
+    boilerplate clones. Full transitive closure would iterate this.
+
+    The per-bucket min is a window function (min over the unordered
+    (band, bucket) partition), NOT a groupBy + join back: the banded
+    stream is consumed ONCE, so the expensive signature fold runs once.
+    The previous agg+join shape recomputed signatures for each consumer
+    (no exchange sits between the fold and the fan-out) — measured 2×
+    the signature cost, 3.2-5.3 s → 2.4-2.9 s at sf0.1. The window's
+    internal sort is over (id, band, bucket) triples only — tiny rows,
+    bounded by the bucket-hash shuffle that is required anyway."""
+    from pyspark.sql.window import Window
+
     sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k)
     banded = _banded(sigs, id_col, num_hashes, bands)
-    mins = banded.groupBy("band", "bucket").agg(F.min(id_col).alias("__keep"))
+    w = Window.partitionBy("band", "bucket")
     losers = (
-        banded.join(mins, on=["band", "bucket"])
+        banded.withColumn("__keep", F.min(id_col).over(w))
         .filter(F.col(id_col) > F.col("__keep"))
         .select(id_col)
         .distinct()

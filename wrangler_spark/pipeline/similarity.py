@@ -139,29 +139,38 @@ def embedding_neardup_pairs(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     seed: int = 42,
+    max_bucket: int = 1000,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: LSH self-join candidates,
-    exact cosine verify ≥ threshold. Returns (id_a, id_b, cos_sim)."""
+    exact cosine verify ≥ threshold. Returns (id_a, id_b, cos_sim).
+
+    Bucket-size bound (the 100 TB guard): near-identical embeddings —
+    the very thing this pass hunts — all land in the SAME bucket in
+    every table (sub-bucketing by more planes cannot split them: their
+    signs agree everywhere), and a clone group of m vectors contains m²
+    true pairs. Buckets larger than `max_bucket` therefore emit STAR
+    candidates only (member ↔ bucket min-id): every clone is still
+    connected to its canonical representative and verified by exact
+    cosine, but candidate volume stays O(m). Buckets ≤ max_bucket keep
+    exact all-pairs candidates. max_bucket=0 disables the guard."""
+    from wrangler_spark.pipeline.dedup import _bucket_pairs
+
     cand = None
     for t in range(n_tables):
         planes = _hyperplanes(dim, n_planes, seed=seed + 31 * t)
         sig = lsh_signature_expr(F.col(vec_col), planes).alias("__bucket")
-        b_t = df.select(F.col(id_col), F.col(vec_col), sig)
-        a, b = b_t.alias("a"), b_t.alias("b")
-        p = a.join(
-            b,
-            (F.col("a.__bucket") == F.col("b.__bucket"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        ).select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            F.col(f"a.{vec_col}").alias("va"),
-            F.col(f"b.{vec_col}").alias("vb"),
-        )
+        banded = df.select(F.col(id_col), sig)
+        p = _bucket_pairs(banded, id_col, ["__bucket"], max_bucket)
         cand = p if cand is None else cand.unionByName(p)
     cand = cand.dropDuplicates(["id_a", "id_b"])
+    # re-attach vectors for the exact verify (id-keyed joins; the pair
+    # stream is bounded by the star guard, so this never amplifies)
+    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
     return (
-        cand.withColumn(
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn(
             "cos_sim",
             cosine_similarity_expr(F.col("va").cast("array<double>"), F.col("vb").cast("array<double>")),
         )
