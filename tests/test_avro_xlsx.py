@@ -194,3 +194,63 @@ def test_avro_logical_types(spark):
     assert r["body_ts"] == datetime.datetime(1970, 1, 1) + datetime.timedelta(
         microseconds=micros
     )
+
+
+def test_xlsx_reordered_sheets_rid_resolution():
+    """A workbook whose sheet ORDER differs from the numeric worksheet
+    file order (S_first → sheet2.xml, S_second → sheet1.xml) must
+    resolve each sheet through xl/_rels/workbook.xml.rels, not numeric
+    file order."""
+    from wrangler_spark.directives.advanced import _xlsx_rows
+
+    ns = 'xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"'
+    rns = 'xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships"'
+    relns = 'xmlns="http://schemas.openxmlformats.org/package/2006/relationships"'
+
+    def ws(text):
+        return (
+            f'<worksheet {ns}><sheetData><row r="1">'
+            f'<c r="A1" t="inlineStr"><is><t>{text}</t></is></c>'
+            "</row></sheetData></worksheet>"
+        )
+
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as z:
+        z.writestr(
+            "xl/workbook.xml",
+            f'<workbook {ns} {rns}><sheets>'
+            '<sheet name="S_first" sheetId="1" r:id="rId2"/>'
+            '<sheet name="S_second" sheetId="2" r:id="rId1"/>'
+            "</sheets></workbook>",
+        )
+        z.writestr(
+            "xl/_rels/workbook.xml.rels",
+            f'<Relationships {relns}>'
+            '<Relationship Id="rId1" Target="worksheets/sheet1.xml"/>'
+            '<Relationship Id="rId2" Target="worksheets/sheet2.xml"/>'
+            "</Relationships>",
+        )
+        z.writestr("xl/worksheets/sheet1.xml", ws("in-file-1"))
+        z.writestr("xl/worksheets/sheet2.xml", ws("in-file-2"))
+    payload = buf.getvalue()
+    # S_first maps through rId2 → sheet2.xml; numeric order would
+    # wrongly hand it sheet1.xml
+    assert _xlsx_rows(payload, "S_first")[0] == ["in-file-2"]
+    assert _xlsx_rows(payload, "S_second")[0] == ["in-file-1"]
+    assert _xlsx_rows(payload, "0")[0] == ["in-file-2"]  # index = workbook order
+
+
+def test_connector_fallback_narrow_catch(spark, tmp_path):
+    """Genuine errors with the probe machinery present must SURFACE
+    instead of silently switching to the pure-Python decode engine:
+    a nonexistent descriptor path raises, it does not fall back."""
+    import pytest as _pytest
+
+    from wrangler_spark import execute
+
+    df = spark.createDataFrame([(b"\x08\x01",)], "c binary")
+    with _pytest.raises(Exception, match="missing.desc|No such file"):
+        ok, _ = execute(
+            spark, [f"parse-as-protobuf :c {tmp_path}/missing.desc M"], df
+        )
+        ok.collect()

@@ -147,3 +147,38 @@ def test_set_type_decimal_unnecessary(spark):
     import pytest as _pytest
     with _pytest.raises(Exception, match="rounding necessary"):
         ok2.collect()
+
+
+def test_set_type_decimal_rounding_big_digits(spark):
+    """Rounding stays in DECIMAL space: values past double's 2^53
+    mantissa (>16 significant digits) must round exactly — the old
+    signum-multiply / bare-0.5-literal forms promoted the operand to
+    double and could mis-round these."""
+    from decimal import Decimal
+
+    from wrangler_spark import execute
+
+    rows = [
+        (Decimal("12345678901234567.895"),),
+        (Decimal("-12345678901234567.895"),),
+        (Decimal("98765432109876543.211"),),
+        (Decimal("-98765432109876543.219"),),
+    ]
+    df = spark.createDataFrame(rows, "v decimal(21,3)")
+
+    def run(mode):
+        ok, _ = execute(spark, [f"set-type :v decimal 2 {mode}"], df)
+        return sorted(r["v"] for r in ok.collect())
+
+    assert run("HALF_DOWN") == sorted([
+        Decimal("12345678901234567.89"), Decimal("-12345678901234567.89"),
+        Decimal("98765432109876543.21"), Decimal("-98765432109876543.22"),
+    ])
+    assert run("DOWN") == sorted([
+        Decimal("12345678901234567.89"), Decimal("-12345678901234567.89"),
+        Decimal("98765432109876543.21"), Decimal("-98765432109876543.21"),
+    ])
+    assert run("UP") == sorted([
+        Decimal("12345678901234567.90"), Decimal("-12345678901234567.90"),
+        Decimal("98765432109876543.22"), Decimal("-98765432109876543.22"),
+    ])

@@ -193,3 +193,116 @@ def test_windowed_watermark_counts(spark, tmp_path):
     emitted_windows = {ws for ws, _ in got}
     all_windows = {ws for ws, _ in exp_all}
     assert len(emitted_windows) >= len(all_windows) - 2
+
+
+def test_windowed_late_epoch_fully_dropped(spark, tmp_path):
+    """Late-data edge: a file whose events all lie BEHIND the final
+    watermark must contribute nothing — its windows never appear in the
+    append output (they are filtered before aggregation, not emitted as
+    spurious closed windows)."""
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from wrangler_spark.streaming.stateful import windowed_event_counts
+
+    t0 = 1_700_000_000
+    src = str(tmp_path / "late_src")
+    ck = str(tmp_path / "late_ck")
+    # run 1: RECENT events advance the watermark (persisted in the
+    # checkpoint — the deterministic way to order "recent before late")
+    recent = spark.createDataFrame(
+        [(s, "r1", "a.py") for s in range(600)], "seq long, repo string, path string"
+    ).withColumn("event_ts", F.timestamp_seconds(F.lit(t0 + 100_000) + F.col("seq")))
+    recent.coalesce(1).write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    rows = []
+
+    def run_once():
+        agg = windowed_event_counts(
+            spark.readStream.schema(schema).parquet(src),
+            window_duration="1 minute", watermark_delay="1 minute",
+        )
+        q = (
+            agg.writeStream.outputMode("append")
+            .foreachBatch(lambda b, i: rows.extend(b.collect()))
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    run_once()
+    # run 2: a whole epoch entirely BEHIND the restored watermark
+    late = spark.createDataFrame(
+        [(s, "r1", "a.py") for s in range(600, 700)], "seq long, repo string, path string"
+    ).withColumn("event_ts", F.timestamp_seconds(F.lit(t0) + F.col("seq")))
+    late.coalesce(1).write.mode("append").parquet(src)
+    _time.sleep(0.1)
+    run_once()
+
+    assert rows, "recent windows should have closed"
+    import datetime as _dt
+
+    cutoff = _dt.datetime.fromtimestamp(t0 + 100_000, _dt.timezone.utc).replace(tzinfo=None)
+    for r in rows:
+        ws = r["window_start"]
+        if ws.tzinfo is not None:
+            ws = ws.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+        assert ws >= cutoff, f"late window {ws} leaked into the append output"
+    # the recent windows that did close must match batch truth
+    batch = (
+        recent.groupBy(F.window("event_ts", "1 minute"))
+        .agg(F.count(F.lit(1)).alias("events"))
+        .select(F.col("window.start").alias("ws"), "events")
+    )
+    truth = {r["ws"]: r["events"] for r in batch.collect()}
+    for r in rows:
+        assert truth.get(r["window_start"]) == r["events"]
+
+
+def test_sessionize_closure_across_checkpoint_restart(spark, tmp_path):
+    """Stateful session state must survive a checkpoint restart: run a
+    query over burst 1 to completion, stop, append burst 2 far past the
+    gap, start a FRESH query on the same checkpoint — the closure of
+    burst 1 must be emitted by the restarted query (state recovered,
+    not recomputed from history)."""
+    from wrangler_spark.streaming.stateful import sessionize
+
+    src = str(tmp_path / "sr_src")
+    ck = str(tmp_path / "sr_ck")
+    burst1 = spark.createDataFrame(
+        [(s, "r1", "a.py") for s in range(40)], "seq long, repo string, path string"
+    )
+    burst1.coalesce(1).write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    def run_once():
+        out = []
+        q = (
+            sessionize(spark.readStream.schema(schema).parquet(src))
+            .writeStream.foreachBatch(lambda b, i: out.extend(b.collect()))
+            .option("checkpointLocation", ck)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return out
+
+    first = run_once()
+    assert [r for r in first if not r["closed"]], "open session expected"
+    assert not [r for r in first if r["closed"]]
+
+    burst2 = spark.createDataFrame(
+        [(s, "r1", "a.py") for s in range(9000, 9010)], "seq long, repo string, path string"
+    )
+    burst2.coalesce(1).write.mode("append").parquet(src)
+    second = run_once()
+    closed = [r for r in second if r["closed"]]
+    assert len(closed) == 1
+    assert closed[0]["session_events"] == 40
+    assert closed[0]["first_seq"] == 0 and closed[0]["last_seq"] == 39
+    open_ = [r for r in second if not r["closed"]]
+    assert open_ and open_[0]["session_events"] == 10 and open_[0]["first_seq"] == 9000

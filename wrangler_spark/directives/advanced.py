@@ -133,6 +133,27 @@ _AVRO_PRIMITIVES = {
 }
 
 
+def _connector_missing(e: Exception) -> bool:
+    """True iff the error is the connector-jar-absent signature (the
+    only condition under which the pure-Python decode fallbacks should
+    engage). Genuine errors with the jar present — bad schema, wrong
+    descriptor path, malformed path list — must SURFACE, not silently
+    switch decode engines with an undisclosed perf cliff."""
+    if isinstance(e, ImportError):
+        return True
+    msg = str(e)
+    return any(
+        marker in msg
+        for marker in (
+            "NOT_LOADED_SQL_FUNCTIONS_UNUSABLE",   # AVRO_/PROTOBUF_ error class
+            "Failed to find data source",           # .format("avro") without jar
+            "DATA_SOURCE_NOT_FOUND",
+            "ClassNotFoundException",
+            "NoClassDefFoundError",
+        )
+    )
+
+
 def avro_to_spark_type(avro) -> T.DataType:
     if isinstance(avro, str):
         return _AVRO_PRIMITIVES.get(avro, T.StringType())
@@ -202,7 +223,9 @@ def parse_as_avro(call: DirectiveCall):
 
                 parsed = from_avro(F.col(c), schema_json)
                 df.limit(0).withColumn("__wr_probe", parsed)  # eager analysis probe
-            except Exception:  # noqa: BLE001
+            except Exception as probe_err:  # noqa: BLE001
+                if not _connector_missing(probe_err):
+                    raise  # jar present — a real error, don't mask it
                 # no spark-avro jar → pure-Python Avro binary decoder
                 # (directives/_avro_binary.py), Arrow-batched: decode to a
                 # JSON string per row (schema-aware conversion — logical
@@ -270,7 +293,9 @@ def parse_as_avro_file(call: DirectiveCall):
         paths = [r[0] for r in path_rows]
         try:
             return ctx.spark.read.format("avro").load(paths)
-        except Exception:  # noqa: BLE001
+        except Exception as probe_err:  # noqa: BLE001
+            if not _connector_missing(probe_err):
+                raise  # jar present — bad paths etc. must surface
             # no spark-avro jar → binaryFile scan + pure-Python Avro OCF
             # decode (directives/_avro_binary.py), Arrow-batched. One
             # file's header is fetched driver-side for the schema (pure
@@ -322,7 +347,9 @@ def parse_as_protobuf(call: DirectiveCall):
             parsed = from_protobuf(F.col(c), message, descFilePath=desc)
             df.limit(0).withColumn("__wr_probe", parsed)  # eager analysis probe
             return df.withColumn(c, parsed)
-        except Exception:  # noqa: BLE001
+        except Exception as probe_err:  # noqa: BLE001
+            if not _connector_missing(probe_err):
+                raise  # jar present — bad descriptor/message must surface
             import base64 as _b64
 
             from wrangler_spark.directives._protobuf import (
@@ -379,15 +406,33 @@ def _xlsx_rows(payload: bytes, sheet: str) -> list[list[str | None]]:
     import xml.etree.ElementTree as ET
 
     NS = "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}"
+    RELNS = "{http://schemas.openxmlformats.org/officeDocument/2006/relationships}"
     zf = zipfile.ZipFile(io.BytesIO(payload))
-    # sheet order from workbook.xml (r:id order == sheetN.xml order for
-    # files written by common writers; fall back to numeric file order)
     wb = ET.fromstring(zf.read("xl/workbook.xml"))
     names = [s.get("name") for s in wb.iter(f"{NS}sheet")]
-    sheet_files = sorted(
-        (n for n in zf.namelist() if _re.fullmatch(r"xl/worksheets/sheet\d+\.xml", n)),
-        key=lambda n: int(_re.search(r"(\d+)", n).group(1)),
-    )
+    # resolve each sheet's r:id through the workbook rels to its
+    # worksheet part — workbook.xml sheet ORDER is not guaranteed to
+    # match the numeric order of xl/worksheets/sheetN.xml (a workbook
+    # with reordered sheets maps rId≠fileN), so numeric file order is
+    # only the fallback when the rels part is absent
+    rel_targets: dict[str, str] = {}
+    if "xl/_rels/workbook.xml.rels" in zf.namelist():
+        rels = ET.fromstring(zf.read("xl/_rels/workbook.xml.rels"))
+        for rel in rels.iter():
+            rid, target = rel.get("Id"), rel.get("Target")
+            if rid and target:
+                t = target.lstrip("/")
+                rel_targets[rid] = t if t.startswith("xl/") else f"xl/{t}"
+    sheet_files = []
+    for s in wb.iter(f"{NS}sheet"):
+        rid = s.get(f"{RELNS}id")
+        if rid and rid in rel_targets:
+            sheet_files.append(rel_targets[rid])
+    if not sheet_files:  # no rels part — numeric file order fallback
+        sheet_files = sorted(
+            (n for n in zf.namelist() if _re.fullmatch(r"xl/worksheets/sheet\d+\.xml", n)),
+            key=lambda n: int(_re.search(r"(\d+)", n).group(1)),
+        )
     if sheet.isdigit():
         idx = int(sheet)
     else:
@@ -637,6 +682,7 @@ def invoke_http(call: DirectiveCall):
                     return sess.post(url, json=payload, timeout=10).text
 
             except ImportError:
+                import urllib.error
                 import urllib.request
 
                 def post(payload: dict) -> str:
@@ -646,14 +692,23 @@ def invoke_http(call: DirectiveCall):
                         headers={"Content-Type": "application/json", **headers},
                         method="POST",
                     )
-                    with urllib.request.urlopen(req, timeout=10) as r:
-                        return r.read().decode("utf-8")
+                    try:
+                        with urllib.request.urlopen(req, timeout=10) as r:
+                            return r.read().decode("utf-8")
+                    except urllib.error.HTTPError as e:
+                        # parity with the requests path: a non-2xx status
+                        # returns the response BODY (requests doesn't
+                        # raise on status) — same recipe, same output,
+                        # whichever client is installed
+                        return e.read().decode("utf-8")
 
             for pdf in batches:
                 responses = []
-                for _, row in pdf[resolved].iterrows():
+                # to_dict('records') converts the batch once (vectorized
+                # C path) instead of per-row iterrows Series construction
+                for payload in pdf[resolved].to_dict("records"):
                     try:
-                        responses.append(post(row.to_dict()))
+                        responses.append(post(payload))
                     except Exception as e:  # noqa: BLE001
                         responses.append(json.dumps({"error": str(e)}))
                 pdf = pdf.copy()

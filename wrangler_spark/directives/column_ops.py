@@ -221,20 +221,34 @@ def set_type(call: DirectiveCall):
             # float-scaling artifact that breaks tie rounding.
             x = F.col(c).cast(T.DecimalType(38, 18))
             p = 10 ** sc
+            # sign handling via when() branches, NOT signum-multiply:
+            # F.signum returns DoubleType and a bare 0.5 literal is a
+            # double, either of which would promote the decimal operand
+            # to double and mis-round values past 2^53 (~15-16
+            # significant digits). Every branch below stays in decimal.
+            from decimal import Decimal as _D
+
+            half = F.lit(_D("0.5"))
             if rounding == "HALF_UP":  # ties away from zero (= Spark round)
                 expr = F.round(x, sc)
             elif rounding == "HALF_EVEN":
                 expr = F.bround(x, sc)
             elif rounding == "HALF_DOWN":  # ties toward zero
-                expr = F.signum(x) * F.ceil(F.abs(x) * p - 0.5) / p
+                expr = F.when(
+                    x < 0, -F.ceil(F.abs(x) * p - half) / p
+                ).otherwise(F.ceil(x * p - half) / p)
             elif rounding == "FLOOR":  # toward -inf
                 expr = F.floor(x * p) / p
             elif rounding == "CEILING":  # toward +inf
                 expr = F.ceil(x * p) / p
             elif rounding == "DOWN":  # toward zero
-                expr = F.signum(x) * F.floor(F.abs(x) * p) / p
+                expr = F.when(
+                    x < 0, -F.floor(F.abs(x) * p) / p
+                ).otherwise(F.floor(x * p) / p)
             elif rounding == "UP":  # away from zero
-                expr = F.signum(x) * F.ceil(F.abs(x) * p) / p
+                expr = F.when(
+                    x < 0, -F.ceil(F.abs(x) * p) / p
+                ).otherwise(F.ceil(x * p) / p)
             elif rounding == "UNNECESSARY":
                 # reference throws when rounding would be needed
                 expr = F.when(F.round(x, sc) == x, x).otherwise(
