@@ -29,13 +29,17 @@ sys.path.insert(0, REPO)
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-CDC_EVENTS = int(os.environ.get("BENCH_CDC_EVENTS", "8000000"))
+CDC_EVENTS = int(os.environ.get("BENCH_CDC_EVENTS", "32000000"))
 # ONE production-shaped TIMED epoch: at 10^10-event scale epochs are
-# 10^7-10^8 events, so an 8M-event epoch is the right ratio. Fewer,
+# 10^7-10^8 events, so a 32M-event epoch is the right ratio. Fewer,
 # larger epochs amortize the per-epoch jobs (probe + write +
 # checkpoint) that do not parallelize — measured +4-7 s per extra epoch
 # at local[8], exactly the non-scaling term that depressed the round-1
-# efficiency. An additional SEED epoch (1/8 of the events) is replayed
+# efficiency; raising the epoch from 8M (rounds 1-2) to 32M lifted the
+# measured raw 2→8-core efficiency from 0.37-0.44 to 0.59-0.94
+# (best-of interleaved; see BASELINE.md round-3 notes) because the
+# ~4-6 s fixed term shrinks from ~15% to ~4% of the local[8] wall.
+# An additional SEED epoch (1/8 of the events) is replayed
 # before the timed region so the measured epoch performs the
 # representative work — merging into an EXISTING table (base-bucket
 # reads + seq-guarded upsert), not an empty-table insert. Epoch

@@ -174,6 +174,35 @@ def main() -> None:
         sink2[0],
     ))
 
+    # 8. minhash dedup — the signature fold must appear ONCE (window min,
+    # not agg+join-back which recomputes the fold per consumer)
+    from wrangler_spark.pipeline.dedup import minhash_dedup, minhash_lsh_pairs
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    md = minhash_dedup(docs, num_hashes=32, bands=8).select("doc_id")
+    sections.append((
+        "MinHash dedup — single-pass signature fold",
+        "The per-bucket min is a Window over the unordered (band, bucket) "
+        "partition, so the banded stream — and the expensive signature "
+        "fold upstream of it — is consumed ONCE (exactly one xxhash64-"
+        "bearing scan in the plan). The previous groupBy+join-back shape "
+        "recomputed the fold per consumer (2× the query cost at sf0.1). "
+        "The window's sort touches only (doc_id, band, bucket) triples.",
+        plan_of(md),
+    ))
+
+    # 9. LSH pair generation — star guard bounds the self-join
+    mp = minhash_lsh_pairs(docs, num_hashes=32, bands=8, max_bucket=1000)
+    sections.append((
+        "LSH pairs — star-pair bucket guard",
+        "Bucket sizes/minima come from the same Window (single pass); "
+        "buckets over max_bucket emit member↔min-id STAR pairs (linear) "
+        "and only sub-cap buckets enter the exhaustive self-join — a "
+        "clone army of m docs yields m-1 rows, not m². The union of the "
+        "two branches feeds one distinct.",
+        plan_of(mp),
+    ))
+
     out = ["# PLANS — physical-plan audit of the load-bearing paths",
            "",
            "Generated by `python scripts/explain_audit.py` (Spark "

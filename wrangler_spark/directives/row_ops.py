@@ -257,7 +257,7 @@ def flatten(call: DirectiveCall):
                     c,
                     F.when(
                         F.col("__wr_i") < F.coalesce(F.size(F.col(c)), F.lit(0)),
-                        F.col(c).getItem(F.col("__wr_i")),
+                        F.col(c)[F.col("__wr_i")],
                     ),
                 )
         return out.drop("__wr_i")

@@ -364,7 +364,7 @@ def compile_node(node, schema: T.StructType | None, variables: dict[str, TypedCo
                 dt = base.dtype.elementType
             elif isinstance(base.dtype, T.MapType):
                 dt = base.dtype.valueType
-            return TypedCol(base.col.getItem(idx.col), dt)
+            return TypedCol(base.col[idx.col], dt)
         if isinstance(n, Un):
             x = rec(n.operand)
             if n.op == "!":

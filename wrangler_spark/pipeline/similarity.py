@@ -89,6 +89,24 @@ def lsh_signature_expr(vec_col, planes: list[list[float]]):
     return out
 
 
+def _multi_table_sig(vec_col, dim: int, n_planes: int, n_tables: int, seed: int, stride: int):
+    """array<struct<__t, __bucket>> — every hash table's bucket id in ONE
+    projection. Exploding this (rows × n_tables, two small ints wide)
+    and joining once on (__t, __bucket) replaces the per-table
+    join-then-union chain: n_tables joins collapse to one equality
+    join, and each vector is scanned/dotted in a single pass."""
+    entries = []
+    for t in range(n_tables):
+        planes = _hyperplanes(dim, n_planes, seed=seed + stride * t)
+        entries.append(
+            F.struct(
+                F.lit(t).alias("__t"),
+                lsh_signature_expr(vec_col, planes).alias("__bucket"),
+            )
+        )
+    return F.array(*entries)
+
+
 def lsh_topk(
     df: DataFrame,
     queries: DataFrame,
@@ -104,20 +122,23 @@ def lsh_topk(
 ) -> DataFrame:
     """Approximate top-k: candidates = corpus rows sharing an LSH bucket
     with the query in ANY of n_tables independent hash tables; exact
-    cosine re-rank on the candidate set only."""
+    cosine re-rank on the candidate set only. All tables hash in one
+    pass and meet in one (table, bucket) equality join."""
     from pyspark.sql.window import Window
 
-    cand = None
-    for t in range(n_tables):
-        planes = _hyperplanes(dim, n_planes, seed=seed + 97 * t)
-        sig_c = lsh_signature_expr(F.col(vec_col), planes).alias("__bucket")
-        sig_q = lsh_signature_expr(F.col(q_vec_col), planes).alias("__bucket")
-        corpus_t = df.select(F.col(id_col), F.col(vec_col), sig_c)
-        query_t = queries.select(F.col(q_id_col), F.col(q_vec_col), sig_q)
-        pairs = corpus_t.join(F.broadcast(query_t), on="__bucket").select(
-            q_id_col, id_col, vec_col, q_vec_col
-        )
-        cand = pairs if cand is None else cand.unionByName(pairs)
+    corpus_t = df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.explode(_multi_table_sig(F.col(vec_col), dim, n_planes, n_tables, seed, 97)).alias("__tb"),
+    ).select(id_col, vec_col, "__tb.__t", "__tb.__bucket")
+    query_t = queries.select(
+        F.col(q_id_col),
+        F.col(q_vec_col),
+        F.explode(_multi_table_sig(F.col(q_vec_col), dim, n_planes, n_tables, seed, 97)).alias("__tb"),
+    ).select(q_id_col, q_vec_col, "__tb.__t", "__tb.__bucket")
+    cand = corpus_t.join(F.broadcast(query_t), on=["__t", "__bucket"]).select(
+        q_id_col, id_col, vec_col, q_vec_col
+    )
     cand = cand.dropDuplicates([q_id_col, id_col])
     scored = cand.select(
         q_id_col,
@@ -155,14 +176,11 @@ def embedding_neardup_pairs(
     exact all-pairs candidates. max_bucket=0 disables the guard."""
     from wrangler_spark.pipeline.dedup import _bucket_pairs
 
-    cand = None
-    for t in range(n_tables):
-        planes = _hyperplanes(dim, n_planes, seed=seed + 31 * t)
-        sig = lsh_signature_expr(F.col(vec_col), planes).alias("__bucket")
-        banded = df.select(F.col(id_col), sig)
-        p = _bucket_pairs(banded, id_col, ["__bucket"], max_bucket)
-        cand = p if cand is None else cand.unionByName(p)
-    cand = cand.dropDuplicates(["id_a", "id_b"])
+    banded = df.select(
+        F.col(id_col),
+        F.explode(_multi_table_sig(F.col(vec_col), dim, n_planes, n_tables, seed, 31)).alias("__tb"),
+    ).select(id_col, "__tb.__t", "__tb.__bucket")
+    cand = _bucket_pairs(banded, id_col, ["__t", "__bucket"], max_bucket)
     # re-attach vectors for the exact verify (id-keyed joins; the pair
     # stream is bounded by the star guard, so this never amplifies)
     va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
