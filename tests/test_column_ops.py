@@ -182,3 +182,45 @@ def test_set_type_decimal_rounding_big_digits(spark):
         Decimal("12345678901234567.90"), Decimal("-12345678901234567.90"),
         Decimal("98765432109876543.22"), Decimal("-98765432109876543.22"),
     ])
+
+
+def test_set_type_decimal_rounding_parity_sweep(spark):
+    """Seeded random sweep: every rounding mode must agree with Python's
+    decimal.quantize (whose ROUND_* modes match java.math.RoundingMode —
+    the reference's utils/ColumnConverter.java semantics) on 200 values
+    per mode, including forced .5 ties and negative values."""
+    import decimal as pydec
+    import random
+
+    from wrangler_spark import execute
+
+    mode_map = {
+        "HALF_UP": pydec.ROUND_HALF_UP,
+        "HALF_EVEN": pydec.ROUND_HALF_EVEN,
+        "HALF_DOWN": pydec.ROUND_HALF_DOWN,
+        "FLOOR": pydec.ROUND_FLOOR,
+        "CEILING": pydec.ROUND_CEILING,
+        "DOWN": pydec.ROUND_DOWN,
+        "UP": pydec.ROUND_UP,
+    }
+    rnd = random.Random(20260817)
+    vals = []
+    for i in range(150):
+        digits = rnd.randint(1, 12)
+        frac = rnd.randint(0, 4)
+        n = rnd.randint(0, 10**digits - 1)
+        v = pydec.Decimal(n) / (10**frac)
+        vals.append(-v if rnd.random() < 0.5 else v)
+    # forced ties at scale 2 (the discriminating cases)
+    for i in range(50):
+        n = rnd.randint(0, 10**6)
+        v = pydec.Decimal(n) / 100 + pydec.Decimal("0.005")
+        vals.append(-v if i % 2 else v)
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(vals)], "i long, v decimal(20,4)")
+    for mode, pymode in mode_map.items():
+        ok, _ = execute(spark, [f"set-type :v decimal 2 {mode}"], df)
+        got = {r["i"]: r["v"] for r in ok.collect()}
+        q = pydec.Decimal("0.01")
+        for i, v in enumerate(vals):
+            want = v.quantize(q, rounding=pymode)
+            assert got[i] == want, f"{mode}: {v} → {got[i]}, want {want}"
