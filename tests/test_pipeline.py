@@ -435,3 +435,51 @@ def test_minhash_planted_copy_invariants(spark, docs):
         assert sigs[i] == sigs[i + 1000]
     survivors = {r["doc_id"] for r in minhash_dedup(u, num_hashes=32, bands=8).collect()}
     assert all(i + 1000 not in survivors for i in range(5))
+
+
+def test_ivf_topk_recall(spark):
+    """IVF ANN (k-means coarse quantizer + inverted-list probe): on a
+    clustered corpus, probing 2 of 8 lists must recover the exact
+    top-5 with recall ≥ 0.8 per query (the true neighbors share the
+    query's cluster by construction)."""
+    import math
+    import random
+
+    from wrangler_spark.pipeline.similarity import ivf_topk
+
+    rnd = random.Random(11)
+    rows = []
+    centers = [[math.sin(c * 1.3 + j) * 2 for j in range(16)] for c in range(5)]
+    for i in range(400):
+        c = centers[i % 5]
+        rows.append((i, [float(x + rnd.uniform(-0.05, 0.05)) for x in c]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    exact = {(r["q_id"], r["vec_id"]) for r in brute_force_topk(emb, q, k=5).collect()}
+    approx = {(r["q_id"], r["vec_id"])
+              for r in ivf_topk(emb, q, dim=16, k=5, n_centroids=8, n_probe=2).collect()}
+    for qid in range(3):
+        truth = {v for (qq, v) in exact if qq == qid}
+        hit = truth & {v for (qq, v) in approx if qq == qid}
+        assert len(hit) / len(truth) >= 0.8, f"IVF recall@5 for q{qid} = {len(hit)/len(truth)}"
+
+
+def test_ivf_reuse_trained_centroids(spark):
+    """The trained quantizer is reusable across query batches (the
+    100 TB shape: train once, assign once, probe many)."""
+    import math
+
+    from wrangler_spark.pipeline.similarity import ivf_topk, kmeans_centroids
+
+    rows = [(i, [float(math.sin(i % 4 + j * 0.5)) for j in range(8)]) for i in range(100)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = kmeans_centroids(emb, dim=8, k=4, n_iter=3)
+    assert len(cents) == 4 and all(len(c) == 8 for c in cents)
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    top = ivf_topk(emb, q, dim=8, k=3, centroids=cents, n_probe=1).collect()
+    assert top and {r["q_id"] for r in top} == {0}
+    assert any(r["vec_id"] == 0 for r in top)  # self is in the probed list

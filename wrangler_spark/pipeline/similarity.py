@@ -4,11 +4,14 @@ Baseline: brute-force cosine top-k — a cross join bounded by
 broadcasting the (small) query set, with the dot product as a native
 F.zip_with/F.aggregate expression (JVM-side, codegen'd; no UDF).
 
-Scale path: LSH-bucketed ANN — random-hyperplane signatures restrict
-candidates to matching buckets, turning the n×q cross join into an
-equality join on (bucket), the same banding trick as MinHash. An IVF
-variant (k-means coarse quantizer) would slot in the same join shape;
-hyperplane LSH is chosen because it needs no training pass.
+Scale paths: (a) LSH-bucketed ANN — random-hyperplane signatures
+restrict candidates to matching buckets, turning the n×q cross join
+into an equality join on (table, bucket), the same banding trick as
+MinHash; needs no training pass. (b) IVF — a k-means coarse quantizer
+(DataFrame-native Lloyd's iteration) partitions the corpus into
+inverted lists and queries probe their n_probe nearest lists; same
+equality-join shape, trained, better candidate selectivity on
+clustered corpora.
 """
 
 from __future__ import annotations
@@ -140,6 +143,128 @@ def lsh_topk(
         q_id_col, id_col, vec_col, q_vec_col
     )
     cand = cand.dropDuplicates([q_id_col, id_col])
+    scored = cand.select(
+        q_id_col,
+        id_col,
+        cosine_similarity_expr(
+            F.col(vec_col).cast("array<double>"), F.col(q_vec_col).cast("array<double>")
+        ).alias("cos_sim"),
+    )
+    w = Window.partitionBy(q_id_col).orderBy(F.desc("cos_sim"), F.asc(id_col))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def _nearest_centroid_expr(vec_col, centroids: list[list[float]]):
+    """(cluster_id, sq_dist) of the nearest centroid — an array_min over
+    literal (dist, idx) structs; pure Column math, broadcast-free (the
+    centroids ride in the plan as literals, k × dim doubles)."""
+    entries = []
+    for i, cvec in enumerate(centroids):
+        c = F.array(*[F.lit(float(x)) for x in cvec])
+        d = F.aggregate(
+            F.zip_with(vec_col.cast("array<double>"), c, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        entries.append(F.struct(d.alias("dist"), F.lit(i).alias("cid")))
+    return F.array_min(F.array(*entries))
+
+
+def kmeans_centroids(
+    df: DataFrame,
+    dim: int,
+    k: int = 16,
+    n_iter: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[list[float]]:
+    """Coarse k-means quantizer for IVF: Lloyd's iteration expressed as
+    DataFrame ops. Seeding is deterministic (the k rows with the
+    smallest xxhash64(id) — a data-derived sample needing no RNG state);
+    each iteration is one assignment pass (nearest-centroid argmin over
+    literal centroids) plus a groupBy mean (dim per-component sums —
+    a k-row collect per iteration, the only driver transfer).
+
+    Scale shape: every pass is a single scan + one k-group aggregate;
+    no pairwise joins, no per-row Python. Float-sum reduction order
+    makes centroids bit-nondeterministic across cluster layouts (like
+    every distributed k-means); consumers assert recall floors, not
+    exact equality."""
+    seeds = (
+        df.select(F.col(id_col), F.col(vec_col))
+        .orderBy(F.xxhash64(F.col(id_col).cast("string")))
+        .limit(k)
+        .collect()
+    )
+    centroids = [[float(x) for x in r[vec_col]] for r in seeds]
+    for _ in range(n_iter):
+        assigned = df.select(
+            F.col(vec_col),
+            _nearest_centroid_expr(F.col(vec_col), centroids)["cid"].alias("__cid"),
+        )
+        sums = assigned.groupBy("__cid").agg(
+            F.count(F.lit(1)).alias("__n"),
+            *[F.sum(F.col(vec_col)[i].cast("double")).alias(f"s{i}") for i in range(dim)],
+        )
+        rows = sums.collect()  # ≤ k rows
+        for r in rows:
+            n = r["__n"]
+            if n:
+                centroids[r["__cid"]] = [r[f"s{i}"] / n for i in range(dim)]
+    return centroids
+
+
+def ivf_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 3,
+    n_iter: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    q_id_col: str = "q_id",
+    q_vec_col: str = "q_vec",
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """IVF approximate top-k: a k-means coarse quantizer partitions the
+    corpus into inverted lists; each query probes its n_probe nearest
+    centroids and exact-cosine re-ranks only those lists — the trained
+    alternative to hyperplane LSH (same join shape: equality on the
+    list id; candidate volume ≈ n_probe/n_centroids of the corpus).
+    Pass `centroids` to reuse a trained quantizer across query batches
+    (at 100 TB the train pass runs once and the assignment column is
+    materialized with the table)."""
+    from pyspark.sql.window import Window
+
+    if centroids is None:
+        centroids = kmeans_centroids(df, dim, n_centroids, n_iter, vec_col, id_col)
+    corpus = df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        _nearest_centroid_expr(F.col(vec_col), centroids)["cid"].alias("__cid"),
+    )
+    # per-query n_probe nearest lists: sort the literal (dist, cid)
+    # structs and slice — no shuffle, queries are small
+    q_entries = []
+    for i, cvec in enumerate(centroids):
+        c = F.array(*[F.lit(float(x)) for x in cvec])
+        d = F.aggregate(
+            F.zip_with(F.col(q_vec_col).cast("array<double>"), c, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        q_entries.append(F.struct(d.alias("dist"), F.lit(i).alias("cid")))
+    probe = F.slice(F.array_sort(F.array(*q_entries)), 1, n_probe)
+    q = queries.select(
+        F.col(q_id_col),
+        F.col(q_vec_col),
+        F.explode(F.transform(probe, lambda s: s["cid"])).alias("__cid"),
+    )
+    cand = corpus.join(F.broadcast(q), on="__cid").select(
+        q_id_col, id_col, vec_col, q_vec_col
+    )
     scored = cand.select(
         q_id_col,
         id_col,
