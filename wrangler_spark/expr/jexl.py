@@ -446,3 +446,47 @@ def compile_expr(
 ) -> Column:
     """Compile a JEXL-subset expression string to a Column."""
     return compile_node(parse_expr(src), schema, variables).col
+
+
+def predicate_refs(src: str) -> tuple[set[str], set[str]]:
+    """(value_refs, nulltest_refs) of a JEXL boolean expression — the
+    identifier-usage analysis behind recipe-level filter hoisting
+    (recipe/compiler.py): an identifier whose ONLY appearance in a
+    subtree is `x == null` / `null != x` etc. depends solely on the
+    column's NULLNESS there; any other appearance depends on its value.
+    Identifiers in both kinds of position land in both sets."""
+    ast = parse_expr(src)
+    vrefs: set[str] = set()
+    nrefs: set[str] = set()
+
+    def walk(n) -> None:
+        if isinstance(n, Bin):
+            if n.op in ("==", "!="):
+                ln, rn = n.left, n.right
+                if isinstance(ln, Var) and isinstance(rn, Lit) and rn.value is None:
+                    nrefs.add(ln.name.lower())
+                    return
+                if isinstance(rn, Var) and isinstance(ln, Lit) and ln.value is None:
+                    nrefs.add(rn.name.lower())
+                    return
+            walk(n.left)
+            walk(n.right)
+        elif isinstance(n, Un):
+            walk(n.operand)
+        elif isinstance(n, Ternary):
+            walk(n.cond)
+            walk(n.then)
+            walk(n.other)
+        elif isinstance(n, Call):
+            for a in n.args:
+                walk(a)
+        elif isinstance(n, Attr):
+            walk(n.obj)
+        elif isinstance(n, Index):
+            walk(n.obj)
+            walk(n.index)
+        elif isinstance(n, Var):
+            vrefs.add(n.name.lower())
+
+    walk(ast)
+    return vrefs, nrefs
