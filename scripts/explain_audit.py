@@ -203,6 +203,31 @@ def main() -> None:
         plan_of(mp),
     ))
 
+    # 10. recipe-level filter hoisting — the probe predicate reaches the scan
+    from wrangler_spark.recipe.compiler import compile_recipe
+    from wrangler_spark.recipe.registry import RecipeContext as _Ctx
+
+    ev_small = spark.read.parquet(f"{SF}/events.parquet")
+    hoist_recipe = [
+        r"find-and-replace :props 's/error/ERR/g'",
+        "hash :props SHA-256",
+        "filter-row exp:{props == null && event_type != 'signup'} true",
+    ]
+    okh, _ = compile_recipe(hoist_recipe).apply(ev_small, _Ctx(spark=spark))
+    probe_h = okh.select("user_id", "event_id").groupBy("user_id").agg(
+        F.max("event_id").alias("hwm")
+    )
+    sections.append((
+        "Recipe-level filter hoist — probe predicate at the scan",
+        "The compiler bubbles the pure filter ahead of the null-preserving "
+        "in-place transforms (find-and-replace, hash), so the null test "
+        "evaluates against the RAW column — no regex in this path — and "
+        "the predicate appears in PushedFilters (Or(IsNotNull(props), "
+        "EqualNullSafe(event_type,signup))). Catalyst alone cannot do "
+        "this: it does not exploit regexp_replace's null-intolerance.",
+        plan_of(probe_h),
+    ))
+
     out = ["# PLANS — physical-plan audit of the load-bearing paths",
            "",
            "Generated by `python scripts/explain_audit.py` (Spark "
