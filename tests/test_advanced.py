@@ -167,3 +167,37 @@ def test_avro_binary_mode_pure_python_fallback(spark):
     df = spark.createDataFrame([(payload,)], "body binary")
     ok, _ = execute(spark, [f"parse-as-avro :body '{schema}' binary"], df)
     assert ok.collect()[0]["body_n"] == 41
+
+
+def test_invoke_http_non_2xx_returns_body(spark):
+    """Status-code parity contract: a non-2xx response contributes its
+    BODY to http_response (requests never raises on status; the urllib
+    fallback catches HTTPError and reads the error body — same recipe,
+    same output, whichever client is installed)."""
+    import http.server
+    import threading
+
+    class Reject(http.server.BaseHTTPRequestHandler):
+        def do_POST(self):
+            out = json.dumps({"error": "quota", "retry": False}).encode()
+            self.send_response(429)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(out)))
+            self.end_headers()
+            self.wfile.write(out)
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Reject)
+    port = srv.server_address[1]
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        df = spark.createDataFrame([(1,)], "id int")
+        ok, _ = execute(
+            spark, [f"invoke-http 'http://127.0.0.1:{port}/enrich' :id"], df
+        )
+        resp = json.loads(ok.first()["http_response"])
+        assert resp == {"error": "quota", "retry": False}
+    finally:
+        srv.shutdown()
