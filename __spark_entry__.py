@@ -105,9 +105,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["profile"] = q_profile
 
     def q_columns_replace(spark, d):
+        """folds: columns-replace + change-column-case +
+        cleanse-column-names — each step visibly rewrites the names
+        (l_orderkey → X-orderkey → x-orderkey → x_orderkey)."""
         return _run(
             spark, _t(spark, d, "lineitem"),
-            ["columns-replace 's/^l_/x_/'", "keep :x_orderkey,:x_linenumber,:x_quantity"],
+            ["columns-replace 's/^l_/X-/'", "change-column-case lower",
+             "cleanse-column-names",
+             "keep :x_orderkey,:x_linenumber,:x_quantity"],
         )
     q["columns_replace"] = q_columns_replace
 
@@ -573,12 +578,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["set_column_expr"] = q_set_column_expr
 
     def q_split_to_columns(spark, d):
+        # folds: split-to-columns + create-record + flatten-record
         return _run(
             spark, _t(spark, d, "documents"),
             [
                 "set-column :kv concat(lang, ':', source)",
                 "split-to-columns :kv ':'",
-                "keep :doc_id,:kv_1,:kv_2",
+                "create-record :rec :kv_1,:kv_2",
+                "flatten-record :rec",
+                "keep :doc_id,:rec_kv_1,:rec_kv_2",
             ],
         )
     q["split_to_columns"] = q_split_to_columns
@@ -614,6 +622,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["send_to_error"] = q_send_to_error
 
     def q_parse_csv(spark, d):
+        # folds: parse-as-csv + set-headers (renames the parsed columns)
         return _run(
             spark, _t(spark, d, "lineitem"),
             [
@@ -621,6 +630,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 "keep :line",
                 "parse-as-csv :line ',' false",
                 "keep :line_1,:line_2,:line_3",
+                "set-headers :okey,:rflag,:qty",
             ],
         )
     q["parse_csv"] = q_parse_csv
@@ -1119,7 +1129,7 @@ def oracle_sql() -> dict[str, str]:
             "floor(l_extendedprice * (1 - l_discount) * 100) / 100.0 AS revenue FROM lineitem"
         ),
         "split_to_columns": (
-            "SELECT doc_id, lang AS kv_1, source AS kv_2 FROM documents"
+            "SELECT doc_id, lang AS rec_kv_1, source AS rec_kv_2 FROM documents"
         ),
         "filter_row": (
             "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem WHERE l_quantity > 30"
@@ -1133,8 +1143,8 @@ def oracle_sql() -> dict[str, str]:
             "SELECT l_orderkey, l_linenumber, l_discount FROM lineitem WHERE NOT l_discount > 0.05"
         ),
         "parse_csv": (
-            "SELECT CAST(l_orderkey AS VARCHAR) AS line_1, l_returnflag AS line_2, "
-            "CAST(l_quantity AS VARCHAR) AS line_3 FROM lineitem"
+            "SELECT CAST(l_orderkey AS VARCHAR) AS okey, l_returnflag AS rflag, "
+            "CAST(l_quantity AS VARCHAR) AS qty FROM lineitem"
         ),
         "parse_json": (
             "SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS props_k FROM events"
