@@ -491,7 +491,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             spark, _t(spark, d, "documents"),
             ["fill-null-or-empty :lang 'unknown'",
              "find-and-replace :text 's/table/TABLE/g'",
-             "keep :doc_id,:lang,:text"],
+             "set-column :w doc_id % 4 == 0 ? 'running' : "
+             "(doc_id % 4 == 1 ? 'flies' : "
+             "(doc_id % 4 == 2 ? 'happiness' : 'caresses'))",
+             "stemming :w",
+             "keep :doc_id,:lang,:text,:w_porter"],
         )
     q["fill_null"] = q_fill_null
 
@@ -501,9 +505,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             spark, _t(spark, d, "documents"),
             ["set-column :email concat(source, '@example.com')", "split-email :email",
              "set-column :url concat('https://', source, '/docs/', lang, '?q=', doc_id)",
+             "copy :url :uenc true", "url-encode :uenc", "url-decode :uenc",
              "split-url :url",
              "keep :doc_id,:email_account,:email_domain,"
-             ":url_protocol,:url_host,:url_path,:url_query"],
+             ":url_protocol,:url_host,:url_path,:url_query,:uenc"],
         )
     q["split_email"] = q_split_email
 
@@ -554,7 +559,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return _run(
             spark, _t(spark, d, "documents"),
             ["encode base64 :lang", "encode hex :lang", "hash :text SHA-256",
-             "keep :doc_id,:lang_encode_base64,:lang_encode_hex,:text"],
+             "decode base64 :lang_encode_base64",
+             "keep :doc_id,:lang_encode_base64,:lang_encode_hex,:text,"
+             ":lang_encode_base64_decode_base64"],
         )
     q["encode_base64"] = q_encode_base64
 
@@ -599,9 +606,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["filter_row"] = q_filter_row
 
     def q_filter_regex(spark, d):
+        # folds: filter-empty-or-null (lang has real nulls/empties; the
+        # regex filter then keeps only 'en' — same final row set)
         return _run(
             spark, _t(spark, d, "documents"),
-            ["filter-by-regex if-not-matched :lang 'en'", "keep :doc_id,:lang"],
+            ["filter-empty-or-null :lang",
+             "filter-by-regex if-not-matched :lang 'en'", "keep :doc_id,:lang"],
         )
     q["filter_regex"] = q_filter_regex
 
@@ -617,7 +627,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # error channel: rows routed out of the ok stream
         return _run(
             spark, _t(spark, d, "lineitem"),
-            ["send-to-error exp:{l_discount > 0.05}", "keep :l_orderkey,:l_linenumber,:l_discount"],
+            ["send-to-error exp:{l_discount > 0.05}",
+             "send-to-error-and-continue exp:{l_tax > 0.04}",
+             "keep :l_orderkey,:l_linenumber,:l_discount"],
         )
     q["send_to_error"] = q_send_to_error
 
@@ -650,10 +662,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["json_path"] = q_json_path
 
     def q_fixed_length(spark, d):
+        # folds: parse-as-fixed-length + index-split + split (deprecated
+        # 2-way) + set-charset (binary→string round trip)
+        docs = _t(spark, d, "documents").withColumn(
+            "bin", F.encode(F.substring("text", 1, 9), "utf-8")
+        )
         return _run(
-            spark, _t(spark, d, "documents"),
-            ["cut-character :text :head '1-12'", "keep :doc_id,:head",
-             "parse-as-fixed-length :head 4,4,4", "drop :head"],
+            spark, docs,
+            ["cut-character :text :head '1-12'", "keep :doc_id,:head,:bin",
+             "parse-as-fixed-length :head 4,4,4",
+             "index-split :head 3 8 :mid",
+             "split :head ' ' :s1 :s2",
+             "set-charset :bin 'utf-8'",
+             "drop :head"],
         )
     q["fixed_length"] = q_fixed_length
 
@@ -665,10 +686,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["extract_regex"] = q_extract_regex
 
     def q_uppercase_trim(spark, d):
+        # folds: uppercase + trim + ltrim + rtrim + lowercase + titlecase
         return _run(
             spark, _t(spark, d, "documents"),
-            ["set-column :padded concat('  ', lang, ' ')", "trim :padded",
-             "uppercase :padded", "keep :doc_id,:padded"],
+            ["set-column :padded concat('  ', lang, ' ')",
+             "copy :padded :lt true", "ltrim :lt",
+             "copy :padded :rt true", "rtrim :rt",
+             "trim :padded", "uppercase :padded",
+             "copy :padded :lo true", "lowercase :lo",
+             "set-column :tc lang", "titlecase :tc",
+             "keep :doc_id,:padded,:lt,:rt,:lo,:tc"],
         )
     q["uppercase_trim"] = q_uppercase_trim
 
@@ -676,7 +703,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return _run(
             spark, _t(spark, d, "documents"),
             ["set-column :ssn padAtStart(toString(doc_id), 9, '0')",
-             "mask-number :ssn xxx-xx-####", "keep :doc_id,:ssn"],
+             "mask-number :ssn xxx-xx-####", "keep :doc_id,:ssn",
+             "generate-uuid :uid"],
         )
     q["mask_number"] = q_mask_number
 
@@ -697,10 +725,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["parse_timestamp"] = q_parse_timestamp
 
     def q_table_lookup(spark, d):
+        # folds: table-lookup + catalog-lookup (both broadcast joins)
         cust = _t(spark, d, "customer")
         nation = _t(spark, d, "nation").select("n_nationkey", "n_name")
-        rec = compile_recipe(["table-lookup :c_nationkey nations", "keep :c_custkey,:c_nationkey_lookup"])
-        ok, _ = rec.apply(cust, RecipeContext(spark=spark, lookups={"nations": nation}))
+        rec = compile_recipe([
+            "table-lookup :c_nationkey nations",
+            "catalog-lookup nations2 :c_nationkey",
+            "keep :c_custkey,:c_nationkey_lookup,:c_nationkey_nations2_description",
+        ])
+        ok, _ = rec.apply(
+            cust, RecipeContext(spark=spark, lookups={"nations": nation, "nations2": nation})
+        )
         return ok
     q["table_lookup"] = q_table_lookup
 
@@ -819,8 +854,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             spark, _t(spark, d, "documents"),
             [
                 "set-variable v exp:{n_chars * 2}",
+                "increment-variable w 3 exp:{n_chars % 2 == 0}",
                 "set-column :dbl exp:{v + 1}",
-                "keep :doc_id,:dbl",
+                "set-column :wv exp:{w}",
+                "keep :doc_id,:dbl,:wv",
             ],
         )
     q["set_variable"] = q_set_variable
@@ -1059,14 +1096,18 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, lang AS language, lang || '-' || source AS tag, "
             "source AS lang, lang AS source FROM documents"
         ),
+        # stemming: fixed 4-word vocabulary → closed-form Porter stems
         "fill_null": (
             "SELECT doc_id, CASE WHEN lang IS NULL OR lang = '' THEN 'unknown' ELSE lang END "
-            "AS lang, regexp_replace(text, 'table', 'TABLE', 'g') AS text FROM documents"
+            "AS lang, regexp_replace(text, 'table', 'TABLE', 'g') AS text, "
+            "CASE doc_id % 4 WHEN 0 THEN ['run'] WHEN 1 THEN ['fli'] "
+            "WHEN 2 THEN ['happi'] ELSE ['caress'] END AS w_porter FROM documents"
         ),
         "split_email": (
             "SELECT doc_id, source AS email_account, 'example.com' AS email_domain, "
             "'https' AS url_protocol, source AS url_host, "
-            "'/docs/' || lang AS url_path, 'q=' || CAST(doc_id AS VARCHAR) AS url_query "
+            "'/docs/' || lang AS url_path, 'q=' || CAST(doc_id AS VARCHAR) AS url_query, "
+            "'https://' || source || '/docs/' || lang || '?q=' || CAST(doc_id AS VARCHAR) AS uenc "
             "FROM documents"
         ),
         # millis between o_orderdate and a shifted copy (±3 days,
@@ -1117,7 +1158,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         "encode_base64": (
             "SELECT doc_id, to_base64(CAST(lang AS BLOB)) AS lang_encode_base64, "
-            "lower(hex(lang)) AS lang_encode_hex, sha256(text) AS text FROM documents"
+            "lower(hex(lang)) AS lang_encode_hex, sha256(text) AS text, "
+            "lang AS lang_encode_base64_decode_base64 FROM documents"
         ),
         # ---- round-1 driver-green queries (unchanged)
         "set_type": (
@@ -1151,18 +1193,36 @@ def oracle_sql() -> dict[str, str]:
         ),
         "json_path": "SELECT event_id, json_extract_string(props, '$.k') AS k FROM events",
         "fixed_length": (
-            "SELECT doc_id, substr(substr(text,1,12), 1, 4) AS head_1, "
-            "substr(substr(text,1,12), 5, 4) AS head_2, substr(substr(text,1,12), 9, 4) AS head_3 "
-            "FROM documents"
+            "WITH b AS (SELECT doc_id, substr(text,1,12) AS head, "
+            "substr(text,1,9) AS bin FROM documents) "
+            "SELECT doc_id, bin, substr(head, 1, 4) AS head_1, "
+            "substr(head, 5, 4) AS head_2, substr(head, 9, 4) AS head_3, "
+            "substr(head, 3, 6) AS mid, "
+            "CASE WHEN instr(head, ' ') > 0 THEN substr(head, 1, instr(head, ' ') - 1) "
+            "ELSE head END AS s1, "
+            "CASE WHEN instr(head, ' ') > 0 THEN substr(head, instr(head, ' ') + 1) "
+            "END AS s2 FROM b"
         ),
         "extract_regex": (
             r"SELECT doc_id, regexp_extract(text, '^(\w+) (\w+)', 1) AS text_1, "
             r"regexp_extract(text, '^(\w+) (\w+)', 2) AS text_2 FROM documents"
         ),
-        "uppercase_trim": "SELECT doc_id, upper(trim('  ' || lang || ' ')) AS padded FROM documents",
-        "mask_number": (
-            "SELECT doc_id, 'xxx-xx-' || substr(lpad(CAST(doc_id AS VARCHAR), 9, '0'), 6, 4) AS ssn "
+        "uppercase_trim": (
+            "SELECT doc_id, upper(trim('  ' || lang || ' ')) AS padded, "
+            "ltrim('  ' || lang || ' ') AS lt, rtrim('  ' || lang || ' ') AS rt, "
+            "lower(trim('  ' || lang || ' ')) AS lo, "
+            "upper(substr(lang, 1, 1)) || lower(substr(lang, 2)) AS tc "
             "FROM documents"
+        ),
+        # generate-uuid is the engine's deterministic record-hash variant:
+        # sha256 of to_json(struct(doc_id, ssn)) formatted as a UUID
+        "mask_number": (
+            "WITH m AS (SELECT doc_id, 'xxx-xx-' || "
+            "substr(lpad(CAST(doc_id AS VARCHAR), 9, '0'), 6, 4) AS ssn FROM documents), "
+            "h AS (SELECT doc_id, ssn, sha256("
+            "'{\"doc_id\":' || doc_id || ',\"ssn\":\"' || ssn || '\"}') AS hx FROM m) "
+            "SELECT doc_id, ssn, substr(hx,1,8) || '-' || substr(hx,9,4) || '-' || "
+            "substr(hx,13,4) || '-' || substr(hx,17,4) || '-' || substr(hx,21,12) AS uid FROM h"
         ),
         "quantize": (
             "SELECT l_orderkey, l_linenumber, CASE "
@@ -1175,8 +1235,10 @@ def oracle_sql() -> dict[str, str]:
             "'%Y-%m-%d %H:%M:%S') AS t FROM events"
         ),
         "table_lookup": (
-            "SELECT c_custkey, n_name AS c_nationkey_lookup FROM customer "
-            "LEFT JOIN nation ON CAST(c_nationkey AS VARCHAR) = CAST(n_nationkey AS VARCHAR)"
+            "SELECT c_custkey, n.n_name AS c_nationkey_lookup, "
+            "n2.n_name AS c_nationkey_nations2_description FROM customer c "
+            "LEFT JOIN nation n ON CAST(c.c_nationkey AS VARCHAR) = CAST(n.n_nationkey AS VARCHAR) "
+            "LEFT JOIN nation n2 ON CAST(c.c_nationkey AS VARCHAR) = CAST(n2.n_nationkey AS VARCHAR)"
         ),
         "cdc_lww": (
             "SELECT user_id, event_type, value FROM events "
@@ -1247,7 +1309,11 @@ def oracle_sql() -> dict[str, str]:
             "ELSE len(string_split_regex(trim(text), '\\s+')) END AS INTEGER) AS n_tokens, "
             "CAST(length(text) AS INTEGER) AS len_chars FROM documents"
         ),
-        "set_variable": "SELECT doc_id, n_chars * 2 + 1 AS dbl FROM documents",
+        "set_variable": (
+            "SELECT doc_id, n_chars * 2 + 1 AS dbl, "
+            "CAST(CASE WHEN n_chars % 2 = 0 THEN 3 ELSE 0 END AS BIGINT) AS wv "
+            "FROM documents"
+        ),
         "flatten": (
             "WITH b AS (SELECT doc_id, string_split(lang, '') AS a1, "
             "string_split(source, '') AS a2 FROM documents) "
