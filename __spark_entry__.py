@@ -121,13 +121,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         (round-1 VERDICT: no driver query exercised format parsing)."""
         orders = _t(spark, d, "orders").withColumn(
             "ods", F.date_format("o_orderdate", "MM/dd/yyyy HH:mm:ss")
+        ).withColumn(
+            "ods2", F.date_format("o_orderdate", "MM/dd/yyyy HH:mm:ss")
+        ).withColumn(
+            "ods3", F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss")
         )
         out = _run(
             spark, orders,
             ["parse-as-simple-date :ods 'MM/dd/yyyy HH:mm:ss'",
-             "keep :o_orderkey,:ods"],
+             "parse-as-datetime :ods2 'MM/dd/yyyy HH:mm:ss'",
+             "parse-as-date :ods3 'UTC'",
+             "keep :o_orderkey,:ods,:ods2,:ods3"],
         )
-        return out.select("o_orderkey", F.unix_seconds("ods").alias("epoch_s"))
+        return out.select(
+            "o_orderkey",
+            F.unix_seconds("ods").alias("epoch_s"),
+            F.unix_seconds(F.col("ods2").cast("timestamp")).alias("epoch_s2"),
+            F.unix_seconds("ods3").alias("epoch_s3"),
+        )
     q["parse_simple_date"] = q_parse_simple_date
 
     def q_mask_shuffle(spark, d):
@@ -517,18 +528,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         timestamps, including NEGATIVE diffs and sub-day offsets
         (round-1 VERDICT: a self-copy diff of constant 0 exercised
         nothing); diff-date runs before format-date stringifies."""
-        orders = _t(spark, d, "orders").withColumn(
-            "od2",
-            F.col("o_orderdate")
-            + F.make_interval(
-                days=(F.col("o_orderkey") % 7 - 3).cast("int"),
-                mins=(F.col("o_orderkey") % 1440).cast("int"),
-            ),
+        shifted = F.col("o_orderdate") + F.make_interval(
+            days=(F.col("o_orderkey") % 7 - 3).cast("int"),
+            mins=(F.col("o_orderkey") % 1440).cast("int"),
+        )
+        orders = (
+            _t(spark, d, "orders")
+            .withColumn("od2", shifted)
+            .withColumn("od3", shifted.cast("timestamp_ntz"))
+            .withColumn("ux", F.unix_seconds(F.col("o_orderdate").cast("timestamp")))
         )
         return _run(
             spark, orders,
             ["diff-date :o_orderdate :od2 :d", "format-date :o_orderdate 'yyyy-MM-dd'",
-             "keep :o_orderkey,:o_orderdate,:d"],
+             "format-datetime :od2 'yyyy/MM/dd HH:mm'",
+             "datetime-to-timestamp :od3 'UTC'", "timestamp-to-datetime :od3",
+             "format-unix-timestamp :ux 'yyyy-MM-dd'",
+             "keep :o_orderkey,:o_orderdate,:d,:od2,:od3,:ux"],
         )
     q["format_date"] = q_format_date
 
@@ -592,8 +608,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 "set-column :kv concat(lang, ':', source)",
                 "split-to-columns :kv ':'",
                 "create-record :rec :kv_1,:kv_2",
-                "flatten-record :rec",
-                "keep :doc_id,:rec_kv_1,:rec_kv_2",
+                "set-column :hasf ddl:hasField(rec, 'kv_1')",
+                "set-column :rec2 ddl:drop(rec, 'kv_2')",
+                "flatten-record :rec,:rec2",
+                "keep :doc_id,:rec_kv_1,:rec_kv_2,:rec2_kv_1,:hasf",
             ],
         )
     q["split_to_columns"] = q_split_to_columns
@@ -648,16 +666,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["parse_csv"] = q_parse_csv
 
     def q_parse_json(spark, d):
+        """folds: validate-standard — every 10th row's JSON copy is
+        corrupted pre-recipe; schema validation must route exactly
+        those rows to the error channel before the parse."""
+        import json as _json
+
+        schema = _json.dumps({
+            "type": "object",
+            "properties": {"k": {"type": "number"}},
+            "required": ["k"],
+        })
+        ev = _t(spark, d, "events").withColumn(
+            "props2",
+            F.when(F.col("event_id") % 10 == 0, F.lit("not-json")).otherwise(F.col("props")),
+        )
         return _run(
-            spark, _t(spark, d, "events"),
-            ["parse-as-json :props 1", "keep :event_id,:props_k"],
+            spark, ev,
+            [f"validate-standard :props2 '{schema}'",
+             "parse-as-json :props 1", "keep :event_id,:props_k"],
         )
     q["parse_json"] = q_parse_json
 
     def q_json_path(spark, d):
         return _run(
             spark, _t(spark, d, "events"),
-            ["json-path :props :k '$.k'", "keep :event_id,:k"],
+            ["json-path :props :k '$.k'",
+             "set-column :x concat('<r><k>', toString(event_id), '</k><v a=\"x\">t', "
+             "toString(event_id), '</v></r>')",
+             "parse-xml-to-json :x 2",
+             "keep :event_id,:k,:x_r_k,:x_r_v"],
         )
     q["json_path"] = q_json_path
 
@@ -712,7 +749,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return _run(
             spark, _t(spark, d, "lineitem"),
             ["quantize :l_quantity :qband '0:10=low,10.5:25=mid,25.5:100=high'",
-             "keep :l_orderkey,:l_linenumber,:qband"],
+             "format-as-currency :l_extendedprice :cur 'en_US'",
+             "parse-as-currency :cur :back 'en_US'",
+             "keep :l_orderkey,:l_linenumber,:qband,:back"],
         )
     q["quantize"] = q_quantize
 
@@ -720,7 +759,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return _run(
             spark, _t(spark, d, "events"),
             ["keep :event_id", "set-column :t (event_id + 1600000000) * 1",
-             "parse-timestamp :t seconds", "format-date :t 'yyyy-MM-dd HH:mm:ss'"],
+             "parse-timestamp :t seconds", "format-date :t 'yyyy-MM-dd HH:mm:ss'",
+             "set-column :logline concat('10.0.0.', toString(event_id % 255), "
+             "' - u', toString(event_id), ' [01/Jan/2024:00:00:01 +0000] \"GET /p/', "
+             "toString(event_id), ' HTTP/1.1\" 200 ', toString(event_id % 1000))",
+             "parse-as-log :logline common",
+             "keep :event_id,:t,:remote_host,:remote_user,:request_time,"
+             ":request_line,:status_code,:response_size"],
         )
     q["parse_timestamp"] = q_parse_timestamp
 
@@ -728,13 +773,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # folds: table-lookup + catalog-lookup (both broadcast joins)
         cust = _t(spark, d, "customer")
         nation = _t(spark, d, "nation").select("n_nationkey", "n_name")
+        glossary = spark.createDataFrame([("balance", "double")], "field string, type string")
         rec = compile_recipe([
             "table-lookup :c_nationkey nations",
             "catalog-lookup nations2 :c_nationkey",
-            "keep :c_custkey,:c_nationkey_lookup,:c_nationkey_nations2_description",
+            "data-model-map-column m 1 balance :c_acctbal",
+            "keep :c_custkey,:c_nationkey_lookup,:c_nationkey_nations2_description,:balance",
         ])
         ok, _ = rec.apply(
-            cust, RecipeContext(spark=spark, lookups={"nations": nation, "nations2": nation})
+            cust,
+            RecipeContext(
+                spark=spark,
+                lookups={"nations": nation, "nations2": nation, "datamodel:m": glossary},
+            ),
         )
         return ok
     q["table_lookup"] = q_table_lookup
@@ -1010,7 +1061,9 @@ def oracle_sql() -> dict[str, str]:
             "l_quantity AS x_quantity FROM lineitem"
         ),
         "parse_simple_date": (
-            "SELECT o_orderkey, CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s FROM orders"
+            "SELECT o_orderkey, CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s, "
+            "CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s2, "
+            "CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s3 FROM orders"
         ),
         # category signature of the ORIGINAL equals the signature of the
         # masked value iff mask-shuffle preserved char categories (both
@@ -1113,10 +1166,14 @@ def oracle_sql() -> dict[str, str]:
         # millis between o_orderdate and a shifted copy (±3 days,
         # +minutes), plus the formatted date (diff computed pre-format)
         "format_date": (
-            "SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate, "
-            "CAST(epoch_ms(o_orderdate) - epoch_ms(o_orderdate"
+            "WITH b AS (SELECT o_orderkey, o_orderdate, o_orderdate"
             "   + INTERVAL ((o_orderkey % 7) - 3) DAY"
-            "   + INTERVAL (o_orderkey % 1440) MINUTE) AS BIGINT) AS d FROM orders"
+            "   + INTERVAL (o_orderkey % 1440) MINUTE AS sh FROM orders) "
+            "SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate, "
+            "CAST(epoch_ms(o_orderdate) - epoch_ms(sh) AS BIGINT) AS d, "
+            "strftime(sh, '%Y/%m/%d %H:%M') AS od2, "
+            "CAST(sh AS TIMESTAMP) AS od3, "
+            "strftime(o_orderdate, '%Y-%m-%d') AS ux FROM b"
         ),
         # lang_id folded into quality: stopword-hit language heuristic;
         # Spark's array_max(struct(hits, lang)) tie-breaks to the
@@ -1171,7 +1228,8 @@ def oracle_sql() -> dict[str, str]:
             "floor(l_extendedprice * (1 - l_discount) * 100) / 100.0 AS revenue FROM lineitem"
         ),
         "split_to_columns": (
-            "SELECT doc_id, lang AS rec_kv_1, source AS rec_kv_2 FROM documents"
+            "SELECT doc_id, lang AS rec_kv_1, source AS rec_kv_2, "
+            "lang AS rec2_kv_1, true AS hasf FROM documents"
         ),
         "filter_row": (
             "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem WHERE l_quantity > 30"
@@ -1189,9 +1247,15 @@ def oracle_sql() -> dict[str, str]:
             "CAST(l_quantity AS VARCHAR) AS qty FROM lineitem"
         ),
         "parse_json": (
-            "SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS props_k FROM events"
+            "SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS props_k "
+            "FROM events WHERE event_id % 10 <> 0"
         ),
-        "json_path": "SELECT event_id, json_extract_string(props, '$.k') AS k FROM events",
+        "json_path": (
+            "SELECT event_id, json_extract_string(props, '$.k') AS k, "
+            "CAST(event_id AS VARCHAR) AS x_r_k, "
+            "'{\"@a\":\"x\",\"#text\":\"t' || CAST(event_id AS VARCHAR) || '\"}' AS x_r_v "
+            "FROM events"
+        ),
         "fixed_length": (
             "WITH b AS (SELECT doc_id, substr(text,1,12) AS head, "
             "substr(text,1,9) AS bin FROM documents) "
@@ -1224,19 +1288,28 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, ssn, substr(hx,1,8) || '-' || substr(hx,9,4) || '-' || "
             "substr(hx,13,4) || '-' || substr(hx,17,4) || '-' || substr(hx,21,12) AS uid FROM h"
         ),
+        # currency: format→parse round trip recovers the price exactly
         "quantize": (
             "SELECT l_orderkey, l_linenumber, CASE "
             "WHEN l_quantity BETWEEN 0 AND 10 THEN 'low' "
             "WHEN l_quantity BETWEEN 10.5 AND 25 THEN 'mid' "
-            "WHEN l_quantity BETWEEN 25.5 AND 100 THEN 'high' END AS qband FROM lineitem"
+            "WHEN l_quantity BETWEEN 25.5 AND 100 THEN 'high' END AS qband, "
+            "CAST(l_extendedprice AS DOUBLE) AS back FROM lineitem"
         ),
         "parse_timestamp": (
             "SELECT event_id, strftime(make_timestamp((event_id + 1600000000) * 1000000), "
-            "'%Y-%m-%d %H:%M:%S') AS t FROM events"
+            "'%Y-%m-%d %H:%M:%S') AS t, "
+            "'10.0.0.' || CAST(event_id % 255 AS VARCHAR) AS remote_host, "
+            "'u' || CAST(event_id AS VARCHAR) AS remote_user, "
+            "'01/Jan/2024:00:00:01 +0000' AS request_time, "
+            "'GET /p/' || CAST(event_id AS VARCHAR) || ' HTTP/1.1' AS request_line, "
+            "'200' AS status_code, CAST(event_id % 1000 AS VARCHAR) AS response_size "
+            "FROM events"
         ),
         "table_lookup": (
             "SELECT c_custkey, n.n_name AS c_nationkey_lookup, "
-            "n2.n_name AS c_nationkey_nations2_description FROM customer c "
+            "n2.n_name AS c_nationkey_nations2_description, "
+            "CAST(c.c_acctbal AS DOUBLE) AS balance FROM customer c "
             "LEFT JOIN nation n ON CAST(c.c_nationkey AS VARCHAR) = CAST(n.n_nationkey AS VARCHAR) "
             "LEFT JOIN nation n2 ON CAST(c.c_nationkey AS VARCHAR) = CAST(n2.n_nationkey AS VARCHAR)"
         ),
