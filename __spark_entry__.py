@@ -680,10 +680,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "props2",
             F.when(F.col("event_id") % 10 == 0, F.lit("not-json")).otherwise(F.col("props")),
         )
+        avro_schema = (
+            '{"type":"record","name":"r","fields":'
+            '[{"name":"a","type":"long"},{"name":"b","type":"string"}]}'
+        )
         return _run(
             spark, ev,
             [f"validate-standard :props2 '{schema}'",
-             "parse-as-json :props 1", "keep :event_id,:props_k"],
+             "parse-as-json :props 1",
+             'set-column :av concat(\'{"a":\', toString(event_id), \',"b":"x"}\')',
+             f"parse-as-avro :av '{avro_schema}' json",
+             "keep :event_id,:props_k,:av_a,:av_b"],
         )
     q["parse_json"] = q_parse_json
 
@@ -1246,8 +1253,11 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(l_orderkey AS VARCHAR) AS okey, l_returnflag AS rflag, "
             "CAST(l_quantity AS VARCHAR) AS qty FROM lineitem"
         ),
+        # avro json mode: schema-translated from_json over a constructed
+        # record — av_a/av_b mirror the construction inputs
         "parse_json": (
-            "SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS props_k "
+            "SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS props_k, "
+            "event_id AS av_a, 'x' AS av_b "
             "FROM events WHERE event_id % 10 <> 0"
         ),
         "json_path": (
