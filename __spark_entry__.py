@@ -624,11 +624,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["filter_row"] = q_filter_row
 
     def q_filter_regex(spark, d):
-        # folds: filter-empty-or-null (lang has real nulls/empties; the
-        # regex filter then keeps only 'en' — same final row set)
+        """folds: filter-empty-or-null, with its effect OBSERVABLE: a
+        synthetic column is nulled for doc_id%7==0 and emptied for
+        doc_id%11==0 — rows the later regex filter alone would KEEP, so
+        the final row set proves the null/empty drop actually ran."""
+        docs = _t(spark, d, "documents").withColumn(
+            "flag",
+            F.when(F.col("doc_id") % 7 == 0, F.lit(None).cast("string"))
+            .when(F.col("doc_id") % 11 == 0, F.lit(""))
+            .otherwise(F.lit("ok")),
+        )
         return _run(
-            spark, _t(spark, d, "documents"),
-            ["filter-empty-or-null :lang",
+            spark, docs,
+            ["filter-empty-or-null :flag",
              "filter-by-regex if-not-matched :lang 'en'", "keep :doc_id,:lang"],
         )
     q["filter_regex"] = q_filter_regex
@@ -1241,7 +1249,10 @@ def oracle_sql() -> dict[str, str]:
         "filter_row": (
             "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem WHERE l_quantity > 30"
         ),
-        "filter_regex": "SELECT doc_id, lang FROM documents WHERE lang = 'en'",
+        "filter_regex": (
+            "SELECT doc_id, lang FROM documents WHERE lang = 'en' "
+            "AND doc_id % 7 <> 0 AND doc_id % 11 <> 0"
+        ),
         "split_to_rows": (
             "SELECT doc_id, unnest(string_split(substr(text, 1, 40), ' ')) AS text40 "
             "FROM documents"

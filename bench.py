@@ -71,29 +71,31 @@ def _spark(cpus: int, shuffle: int):
 
 
 def _bench_local_queries():
-    """Round-2-identical bodies for picks whose __spark_entry__ queries
-    were reworked in round 3 (folded composites / invariant oracles), so
-    the per-query timing series stays comparable across BENCH_r{N}."""
+    """Round-2-identical bodies for every pick whose __spark_entry__
+    query was reworked in round 3 (folded composites / invariant
+    oracles), so the per-query timing series stays comparable across
+    BENCH_r{N}. Each body honors the sf-dir argument `d` — the warm-up
+    pass relies on it running at the tiny SF."""
     from pyspark.sql import functions as F
 
     from wrangler_spark import execute
 
-    def _docs(spark):
-        return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    def _docs(spark, d):
+        return spark.read.parquet(f"{d}/documents.parquet")
 
     def hash_sha256(spark, d):
-        ok, _ = execute(spark, ["hash :text SHA-256", "keep :doc_id,:text"], _docs(spark))
+        ok, _ = execute(spark, ["hash :text SHA-256", "keep :doc_id,:text"], _docs(spark, d))
         return ok
 
     def lang_id(spark, d):
         from wrangler_spark.pipeline.text import lang_id_expr
 
-        return _docs(spark).select("doc_id", lang_id_expr(F.col("text")).alias("lang_guess"))
+        return _docs(spark, d).select("doc_id", lang_id_expr(F.col("text")).alias("lang_guess"))
 
     def dedup_minhash(spark, d):
         from wrangler_spark.pipeline.dedup import minhash_dedup
 
-        docs = _docs(spark).select("doc_id", "text").repartition(
+        docs = _docs(spark, d).select("doc_id", "text").repartition(
             spark.sparkContext.defaultParallelism
         )
         return minhash_dedup(docs, num_hashes=32, bands=8).select("doc_id")
@@ -101,15 +103,47 @@ def _bench_local_queries():
     def fingerprint(spark, d):
         from wrangler_spark.pipeline.text import fingerprint_expr
 
-        return _docs(spark).select(
+        return _docs(spark, d).select(
             "doc_id", fingerprint_expr(F.col("text")).alias("fingerprint")
         )
+
+    def parse_json(spark, d):
+        ok, _ = execute(
+            spark,
+            ["parse-as-json :props 1", "keep :event_id,:props_k"],
+            spark.read.parquet(f"{d}/events.parquet"),
+        )
+        return ok
+
+    def mask_number(spark, d):
+        ok, _ = execute(
+            spark,
+            ["set-column :ssn padAtStart(toString(doc_id), 9, '0')",
+             "mask-number :ssn xxx-xx-####", "keep :doc_id,:ssn"],
+            _docs(spark, d),
+        )
+        return ok
+
+    def table_lookup(spark, d):
+        from wrangler_spark.recipe.compiler import compile_recipe
+        from wrangler_spark.recipe.registry import RecipeContext
+
+        cust = spark.read.parquet(f"{d}/customer.parquet")
+        nation = spark.read.parquet(f"{d}/nation.parquet").select("n_nationkey", "n_name")
+        rec = compile_recipe(
+            ["table-lookup :c_nationkey nations", "keep :c_custkey,:c_nationkey_lookup"]
+        )
+        ok, _ = rec.apply(cust, RecipeContext(spark=spark, lookups={"nations": nation}))
+        return ok
 
     return {
         "hash_sha256": hash_sha256,
         "lang_id": lang_id,
         "dedup_minhash": dedup_minhash,
         "fingerprint": fingerprint,
+        "parse_json": parse_json,
+        "mask_number": mask_number,
+        "table_lookup": table_lookup,
     }
 
 

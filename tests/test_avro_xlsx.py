@@ -254,3 +254,46 @@ def test_connector_fallback_narrow_catch(spark, tmp_path):
             spark, [f"parse-as-protobuf :c {tmp_path}/missing.desc M"], df
         )
         ok.collect()
+
+
+def test_xlsx_unresolvable_rid_keeps_sheets_paired():
+    """A sheet whose r:id is missing from the rels part must fall back
+    to the numeric file at ITS OWN workbook position — later sheets must
+    not silently shift onto the wrong files."""
+    from wrangler_spark.directives.advanced import _xlsx_rows
+
+    ns = 'xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"'
+    rns = 'xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships"'
+    relns = 'xmlns="http://schemas.openxmlformats.org/package/2006/relationships"'
+
+    def ws(text):
+        return (
+            f'<worksheet {ns}><sheetData><row r="1">'
+            f'<c r="A1" t="inlineStr"><is><t>{text}</t></is></c>'
+            "</row></sheetData></worksheet>"
+        )
+
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as z:
+        z.writestr(
+            "xl/workbook.xml",
+            f'<workbook {ns} {rns}><sheets>'
+            '<sheet name="A" sheetId="1" r:id="rId1"/>'
+            '<sheet name="B" sheetId="2" r:id="rIdMISSING"/>'
+            '<sheet name="C" sheetId="3" r:id="rId3"/>'
+            "</sheets></workbook>",
+        )
+        z.writestr(
+            "xl/_rels/workbook.xml.rels",
+            f'<Relationships {relns}>'
+            '<Relationship Id="rId1" Target="worksheets/sheet1.xml"/>'
+            '<Relationship Id="rId3" Target="worksheets/sheet3.xml"/>'
+            "</Relationships>",
+        )
+        z.writestr("xl/worksheets/sheet1.xml", ws("one"))
+        z.writestr("xl/worksheets/sheet2.xml", ws("two"))
+        z.writestr("xl/worksheets/sheet3.xml", ws("three"))
+    payload = buf.getvalue()
+    assert _xlsx_rows(payload, "A")[0] == ["one"]
+    assert _xlsx_rows(payload, "B")[0] == ["two"]    # positional fallback
+    assert _xlsx_rows(payload, "C")[0] == ["three"]  # NOT shifted to sheet2

@@ -72,12 +72,11 @@ def test_hoisted_probe_predicate_reaches_scan(spark, tmp_path):
     hoisted = probe_plan(True)
     pushed = [l for l in hoisted.splitlines() if "PushedFilters" in l and "IsNotNull(content)" in l]
     assert pushed, hoisted
-    assert "regexp_replace" not in hoisted.split("Aggregate")[0] or True
-    # the hoisted probe evaluates NO regex (the filter sees the raw column)
-    import re as _re
-    n_regex_hoisted = hoisted.count("regexp_replace")
-    n_regex_plain = probe_plan(False).count("regexp_replace")
-    assert n_regex_hoisted < n_regex_plain
+    # the hoisted probe evaluates NO regex anywhere in its plan (the
+    # filter sees the raw column and the projection prunes the rest);
+    # the plain plan runs regexp_replace just to null-test content
+    assert hoisted.count("regexp_replace") == 0, hoisted
+    assert probe_plan(False).count("regexp_replace") > 0
 
 
 def test_value_test_blocks_hoist(spark):
@@ -132,3 +131,21 @@ def test_regex_filter_hoists_past_untouched_columns(spark):
     ok, _ = rec.apply(df, RecipeContext(spark=spark))
     got = {r["seq"]: r["content"] for r in ok.collect()}
     assert set(got) == {1} and got[1] != "a"  # filtered then hashed
+
+
+def test_bare_column_list_find_replace_blocks_hoist(spark):
+    """find-and-replace accepts a BARE column list ('a,b'); the hoist
+    analysis must see every written column, so a filter value-testing
+    one of them stays put (a col(0)-based extraction would read the
+    literal 'a,b' and wrongly hoist)."""
+    recipe = [
+        "find-and-replace a,b 's/foo/bar/g'",
+        "filter-row exp:{a == 'bar'} true",
+    ]
+    rec = compile_recipe(recipe)
+    assert rec.names == ["find-and-replace", "filter-row"]
+    df = spark.createDataFrame([(1, "foo", "x"), (2, "bar", "y"), (3, "z", "foo")],
+                               "seq long, a string, b string")
+    ok, _ = rec.apply(df, RecipeContext(spark=spark))
+    # rows 1 (foo→bar) and 2 (bar) are dropped AFTER the replace
+    assert {r["seq"] for r in ok.collect()} == {3}

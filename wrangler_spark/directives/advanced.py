@@ -423,21 +423,29 @@ def _xlsx_rows(payload: bytes, sheet: str) -> list[list[str | None]]:
             if rid and target:
                 t = target.lstrip("/")
                 rel_targets[rid] = t if t.startswith("xl/") else f"xl/{t}"
-    sheet_files = []
-    for s in wb.iter(f"{NS}sheet"):
-        rid = s.get(f"{RELNS}id")
+    numeric_files = sorted(
+        (n for n in zf.namelist() if _re.fullmatch(r"xl/worksheets/sheet\d+\.xml", n)),
+        key=lambda n: int(_re.search(r"(\d+)", n).group(1)),
+    )
+    # keep names and files PAIRED: a sheet whose r:id doesn't resolve
+    # falls back to the numeric file at the same workbook position — it
+    # must never silently shift later sheets onto the wrong files
+    sheet_files: list[str | None] = []
+    for pos, sh in enumerate(wb.iter(f"{NS}sheet")):
+        rid = sh.get(f"{RELNS}id")
         if rid and rid in rel_targets:
             sheet_files.append(rel_targets[rid])
-    if not sheet_files:  # no rels part — numeric file order fallback
-        sheet_files = sorted(
-            (n for n in zf.namelist() if _re.fullmatch(r"xl/worksheets/sheet\d+\.xml", n)),
-            key=lambda n: int(_re.search(r"(\d+)", n).group(1)),
-        )
+        elif pos < len(numeric_files):
+            sheet_files.append(numeric_files[pos])
+        else:
+            sheet_files.append(None)
+    if not sheet_files:  # workbook.xml listed no sheets
+        sheet_files = list(numeric_files)
     if sheet.isdigit():
         idx = int(sheet)
     else:
         idx = names.index(sheet) if sheet in names else 0
-    if idx >= len(sheet_files):
+    if idx >= len(sheet_files) or sheet_files[idx] is None:
         raise UsageError(f"parse-as-excel: sheet {sheet!r} not found")
     shared: list[str] = []
     if "xl/sharedStrings.xml" in zf.namelist():

@@ -93,8 +93,11 @@ def _transform_info(call: DirectiveCall) -> tuple[set[str], bool] | None:
     filter; None → blocker."""
     n = call.name
     try:
+        if n == "find-and-replace":
+            # writes a LIST of columns (the bare `a,b` spelling included)
+            return {c.lower() for c in call.cols(0)}, True
         if n in {
-            "find-and-replace", "uppercase", "lowercase", "titlecase",
+            "uppercase", "lowercase", "titlecase",
             "trim", "ltrim", "rtrim", "mask-number", "mask-shuffle", "hash",
         }:
             return {call.col(0).lower()}, True
