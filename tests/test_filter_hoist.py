@@ -149,3 +149,16 @@ def test_bare_column_list_find_replace_blocks_hoist(spark):
     ok, _ = rec.apply(df, RecipeContext(spark=spark))
     # rows 1 (foo→bar) and 2 (bar) are dropped AFTER the replace
     assert {r["seq"] for r in ok.collect()} == {3}
+
+
+def test_unknown_and_udd_directives_block_hoist():
+    """Any directive outside the curated crossable set — including
+    user-defined directives loaded via #pragma — blocks hoisting: the
+    compiler cannot prove their row/write behavior."""
+    recipe = [
+        "#pragma load-directives examples.udd_stars;",
+        "star-rating :lang",
+        "filter-row exp:{lang == null} true",
+    ]
+    rec = compile_recipe(recipe)
+    assert rec.names == ["star-rating", "filter-row"]
