@@ -875,7 +875,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         base = tempfile.mkdtemp(prefix="wr_replay_ev_")
         table = LakeTable.create(spark, f"{base}/tbl", schema, ["user_id"], num_buckets=4)
         Replayer(table, f"{base}/ckpt").replay(ev)
-        return table.read().select("user_id", "event_type", "value", "props")
+        cow = table.read().select("user_id", "event_type", "value", "props")
+        # replay the SAME stream in merge-on-read mode (delta files +
+        # read-time LWW, compaction mid-stream) — round 3. Any
+        # divergence between the modes surfaces as extra rows via the
+        # symmetric difference, which the driver's row-count/hash check
+        # catches; when the engines agree the result is exactly the cow
+        # state, which the SQL LWW oracle already pins.
+        mor_t = LakeTable.create(spark, f"{base}/tbl_mor", schema, ["user_id"], num_buckets=4)
+        Replayer(mor_t, f"{base}/ckpt_mor", mode="mor", compact_every=2).replay(ev)
+        mor = mor_t.read().select("user_id", "event_type", "value", "props")
+        return cow.unionByName(mor.exceptAll(cow)).unionByName(cow.exceptAll(mor))
     q["cdc_replay_events"] = q_cdc_replay_events
 
     def q_dedup_exact(spark, d):
@@ -1040,6 +1050,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "media_id", "kind", "width", "height", "n_frames"
         )
     q["multimodal_features"] = q_legacy_multimodal
+
+    def q_cdc_changelog(spark, d):
+        """Incremental changelog read (LakeTable.table_changes — the
+        lake table as a CDC SOURCE, round 3): replay epoch 0 of the
+        interleaved event stream in merge-on-read mode, snapshot, replay
+        the remaining epochs (deltas left pending, so the diff resolves
+        THROUGH them), then emit the per-key changes between the two
+        snapshots. Oracle: the SQL diff of the two LWW states."""
+        import tempfile
+
+        from pyspark.sql import types as TT
+
+        from wrangler_spark.cdc import Replayer
+        from wrangler_spark.lake import LakeTable
+
+        ev = _t(spark, d, "events").select(
+            F.col("event_id").alias("seq"),
+            (F.col("event_id") % 3).cast("long").alias("epoch"),
+            F.when(F.col("event_type") == "signup", "insert")
+            .when(F.col("event_type") == "error", "delete")
+            .otherwise("update")
+            .alias("op"),
+            "user_id",
+            "event_type",
+            "value",
+            "props",
+        )
+        schema = TT.StructType(
+            [f for f in ev.schema.fields if f.name not in ("seq", "epoch", "op")]
+        )
+        base = tempfile.mkdtemp(prefix="wr_changelog_")
+        table = LakeTable.create(spark, f"{base}/tbl", schema, ["user_id"], num_buckets=4)
+        rep = Replayer(table, f"{base}/ckpt", mode="mor")
+        rep.replay(ev, to_epoch=0)
+        v0 = table.version
+        rep.replay(ev)
+        return table.table_changes(v0).select(
+            "user_id", "event_type", "value", "props",
+            F.col("_change_op").alias("change_op"),
+            F.col("_change_seq").alias("change_seq"),
+        )
+    q["cdc_changelog"] = q_cdc_changelog
 
     return q
 
@@ -1464,4 +1516,47 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, levenshtein(substr(text,1,10), substr(text,3,10)) AS lev FROM documents"
         ),
         # multimodal_features: synthetic stub geometry → rows-only.
+        # incremental changelog (table_changes): the SQL diff of the
+        # LWW state after epoch 0 (event_id % 3 = 0) vs after all
+        # epochs — insert when the key became live, delete when it was
+        # tombstoned, update when a different winner took over;
+        # change_seq is always the final winner's seq (a delete row
+        # carries its tombstone's seq), payload nulled on delete
+        "cdc_changelog": (
+            "WITH d AS ("
+            "  SELECT user_id, event_type, value, props, event_id,"
+            "         event_id % 3 AS epoch,"
+            "         CASE WHEN event_type = 'signup' THEN 'insert'"
+            "              WHEN event_type = 'error' THEN 'delete'"
+            "              ELSE 'update' END AS op"
+            "  FROM events"
+            "), s0 AS ("
+            "  SELECT user_id, event_id, op FROM ("
+            "    SELECT user_id, event_id, op,"
+            "           row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn"
+            "    FROM d WHERE epoch = 0) WHERE rn = 1"
+            "), sf AS ("
+            "  SELECT user_id, event_id, op, event_type, value, props FROM ("
+            "    SELECT user_id, event_id, op, event_type, value, props,"
+            "           row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn"
+            "    FROM d) WHERE rn = 1"
+            "), cl AS ("
+            "  SELECT sf.user_id, sf.event_id AS f_seq, sf.event_type, sf.value, sf.props,"
+            "         (s0.event_id IS NOT NULL AND s0.op <> 'delete') AS live0,"
+            "         (sf.op <> 'delete') AS livef,"
+            "         s0.event_id AS o_seq"
+            "  FROM sf LEFT JOIN s0 ON sf.user_id = s0.user_id"
+            "), ops AS ("
+            "  SELECT *, CASE WHEN livef AND NOT live0 THEN 'insert'"
+            "                 WHEN live0 AND NOT livef THEN 'delete'"
+            "                 WHEN livef AND live0 AND f_seq <> o_seq THEN 'update'"
+            "            END AS change_op"
+            "  FROM cl) "
+            "SELECT user_id,"
+            "       CASE WHEN change_op <> 'delete' THEN event_type END AS event_type,"
+            "       CASE WHEN change_op <> 'delete' THEN value END AS value,"
+            "       CASE WHEN change_op <> 'delete' THEN props END AS props,"
+            "       change_op, f_seq AS change_seq "
+            "FROM ops WHERE change_op IS NOT NULL"
+        ),
     }

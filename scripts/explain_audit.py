@@ -174,6 +174,37 @@ def main() -> None:
         sink2[0],
     ))
 
+    # 7b. merge-on-read: the delta write must not scan base files, and
+    # the resolved read must not shuffle the base payload
+    sink3: list = []
+    upd3 = spark.createDataFrame(
+        [(300 + i, "update", f"r{i}", f"f{i}.py", "c4", "py", f"y{i}") for i in range(10)],
+        ch.schema,
+    )
+    tbl.merge(upd3, epoch=3, mode="mor", explain_sink=sink3)
+    sections.append((
+        "MERGE INTO — merge-on-read (delta) path",
+        "A mor merge writes ONLY the epoch's LWW winners as bucketed "
+        "delta files: the plan scans the change batch alone — zero base-"
+        "table files appear — so merge I/O is O(epoch) even when its "
+        "keys touch every bucket (the sparse-epoch shape that would "
+        "force copy-on-write to rewrite the whole table at 10^10 "
+        "events).",
+        sink3[0],
+    ))
+    resolved, aligned = tbl._resolved()
+    sections.append((
+        "Merge-on-read resolved read — broadcast resolution",
+        "Pending deltas resolve against the base via a BroadcastHashJoin "
+        "on the delta LWW winners (decided by on-disk delta bytes, a "
+        "zero-job heuristic): the base payload is scanned once and never "
+        "shuffles; the union's delta side is bounded by the pending "
+        "delta volume, which compaction caps. Base wins seq ties — the "
+        "same strict guard as the cow merge."
+        + ("" if aligned else " [UNEXPECTED: degraded path taken]"),
+        plan_of(resolved),
+    ))
+
     # 8. minhash dedup — the signature fold must appear ONCE (window min,
     # not agg+join-back which recomputes the fold per consumer)
     from wrangler_spark.pipeline.dedup import minhash_dedup, minhash_lsh_pairs

@@ -48,6 +48,8 @@ class Replayer:
         lookups: dict | None = None,
         precondition: str | None = None,
         precondition_language: str = "jexl",
+        mode: str = "cow",
+        compact_every: int | None = None,
     ):
         self.table = table
         self.checkpoint_dir = checkpoint_dir
@@ -83,6 +85,15 @@ class Replayer:
         # batch is consumed), matching the reference's metric-only skip.
         self.precondition = precondition
         self.precondition_language = precondition_language
+        # merge mode: "cow" rewrites touched buckets per epoch;
+        # "mor" appends delta files (O(epoch) merge I/O — the sparse-
+        # epoch shape at 10^10 events) and compacts every
+        # `compact_every` committed epochs to bound read amplification.
+        if mode not in ("cow", "mor"):
+            raise ValueError(f"unknown replay mode: {mode!r} (cow|mor)")
+        self.mode = mode
+        self.compact_every = compact_every
+        self._commits_since_compact = 0
 
     # ------------------------------------------------------------ checkpoint
     @property
@@ -274,7 +285,14 @@ class Replayer:
             # recipe-declared renames → lake schema renames (Iceberg
             # RENAME COLUMN equivalent; pre-rename files read via alias)
             renames=self.recipe.renames() if self.recipe else None,
+            mode=self.mode,
         )
+        if self.mode == "mor" and self.compact_every:
+            self._commits_since_compact += 1
+            if self._commits_since_compact >= self.compact_every:
+                comp = self.table.compact()
+                self._commits_since_compact = 0
+                res["compacted_buckets"] = comp["compacted_buckets"]
         wm_rows = wm_box.get("rows", [])
         if self.cache_batches:
             batch.unpersist()

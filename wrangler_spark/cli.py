@@ -114,6 +114,8 @@ def cmd_replay(args) -> int:
         lookups=_read_lookups(spark, args.lookup),
         precondition=args.precondition,
         precondition_language=args.precondition_language,
+        mode=args.mode,
+        compact_every=args.compact_every,
     )
     # epoch-partitioned layout → discover epochs from directory names,
     # not a dataset-wide distinct (the scale path)
@@ -185,6 +187,38 @@ def cmd_vacuum(args) -> int:
     return 0
 
 
+def cmd_compact(args) -> int:
+    from wrangler_spark.lake.table import LakeTable
+
+    spark = _spark(args)
+    table = LakeTable.load(spark, args.table)
+    print(json.dumps(table.compact()))
+    return 0
+
+
+def cmd_rescale(args) -> int:
+    from wrangler_spark.lake.table import LakeTable
+
+    spark = _spark(args)
+    table = LakeTable.load(spark, args.table)
+    print(json.dumps(table.rescale(args.buckets)))
+    return 0
+
+
+def cmd_changes(args) -> int:
+    from wrangler_spark.lake.table import LakeTable
+
+    spark = _spark(args)
+    table = LakeTable.load(spark, args.table)
+    ch = table.table_changes(args.from_version, args.to_version)
+    if args.out:
+        ch.write.mode("overwrite").parquet(args.out)
+        print(json.dumps({"rows": spark.read.parquet(args.out).count(), "out": args.out}))
+    else:
+        ch.show(100, truncate=False)
+    return 0
+
+
 def cmd_package(args) -> int:
     print(json.dumps({"zip": package_pyfiles(args.out)}))
     return 0
@@ -246,6 +280,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="plugin-level row filter ahead of the recipe "
                         "(JEXL: skip-if-true; SQL: keep-if-true)")
     r.add_argument("--precondition-language", default="jexl", choices=["jexl", "sql"])
+    r.add_argument("--mode", default="cow", choices=["cow", "mor"],
+                   help="cow: rewrite touched buckets per epoch; "
+                        "mor: append merge-on-read deltas (O(epoch) merge I/O)")
+    r.add_argument("--compact-every", type=int, default=None,
+                   help="mor only: fold deltas into base every K epochs")
     r.set_defaults(fn=cmd_replay)
 
     s = sub.add_parser("stream", help="structured-streaming replay")
@@ -265,6 +304,22 @@ def build_parser() -> argparse.ArgumentParser:
     vac.add_argument("--table", required=True)
     vac.add_argument("--keep-last", type=int, default=2)
     vac.set_defaults(fn=cmd_vacuum)
+
+    c = sub.add_parser("compact", help="fold merge-on-read deltas into base buckets")
+    c.add_argument("--table", required=True)
+    c.set_defaults(fn=cmd_compact)
+
+    rs = sub.add_parser("rescale", help="rewrite under a new hash-bucket count")
+    rs.add_argument("--table", required=True)
+    rs.add_argument("--buckets", type=int, required=True)
+    rs.set_defaults(fn=cmd_rescale)
+
+    cg = sub.add_parser("changes", help="changelog between two snapshots (CDC source)")
+    cg.add_argument("--table", required=True)
+    cg.add_argument("--from-version", type=int, required=True)
+    cg.add_argument("--to-version", type=int, default=None)
+    cg.add_argument("--out", default=None, help="write changelog parquet here")
+    cg.set_defaults(fn=cmd_changes)
 
     z = sub.add_parser("package", help="zip package for --py-files")
     z.add_argument("--out", default=None)

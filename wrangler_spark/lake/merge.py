@@ -106,8 +106,19 @@ def merge_into(
     renames: dict | None = None,
     broadcast_keys_max: int = 500_000,
     explain_sink: list | None = None,
+    mode: str = "cow",
 ) -> dict:
     """Apply a change batch; returns lineage metrics.
+
+    `mode="cow"` (default) rewrites the affected base buckets
+    (copy-on-write). `mode="mor"` (merge-on-read) writes ONLY the
+    epoch's LWW winner rows as bucketed delta files — no base bucket is
+    read or written, so merge I/O is proportional to the epoch size
+    even when its keys touch every bucket; readers resolve deltas per
+    key (LakeTable._resolved) and `LakeTable.compact()` folds them back
+    on a cadence. A cow merge over a table holding pending deltas
+    resolves them in its base read and clears them for the buckets it
+    rewrites.
 
     changes must contain the table key columns, `seq_col`, `op_col`
     (insert|update|delete) and payload columns. Epoch fencing: if this
@@ -219,7 +230,61 @@ def merge_into(
         ],
     )
 
-    # base rows of the affected buckets, with stored metadata
+    if mode not in ("cow", "mor"):
+        raise ValueError(f"unknown merge mode: {mode!r} (cow|mor)")
+    if mode == "mor":
+        # merge-on-read: the winners ARE the commit — write them as
+        # bucketed delta files and stop. No base bucket is read, so the
+        # epoch's cost is O(epoch), not O(touched buckets); the strict
+        # seq guard moves to read time (LakeTable._resolved, base wins
+        # ties), preserving cross-batch out-of-order LWW exactly.
+        new_version = table.version + 1
+        if explain_sink is not None:
+            import io as _io
+            from contextlib import redirect_stdout as _rs
+
+            _buf = _io.StringIO()
+            with _rs(_buf):
+                changes_aligned.explain("formatted")
+            explain_sink.append(_buf.getvalue())
+        _t1 = _time.time()
+        delta_files = table.write_buckets(changes_aligned, new_version)
+        _t_write = _time.time() - _t1
+        if callable(metrics):
+            metrics = metrics()
+        props = {}
+        if epoch is not None:
+            props["last_epoch"] = int(epoch)
+        if metrics["max_seq"] is not None:
+            props["max_seq"] = int(metrics["max_seq"])
+        table.commit(
+            {}, epoch=epoch, properties=props, schema=schema, aliases=aliases,
+            new_delta_files=delta_files,
+        )
+        winners.unpersist()
+        mx.unpersist()
+        return {
+            "skipped": False,
+            "epoch": epoch,
+            "version": table.version,
+            "events": metrics["events"],
+            "inserts": metrics["inserts"],
+            "updates": metrics["updates"],
+            "deletes": metrics["deletes"],
+            "keys": n_winners,
+            "affected_buckets": len(affected),
+            "mode": "mor",
+            "timings": {
+                "probe_sec": round(_t_probe, 3),
+                "write_sec": round(_t_write, 3),
+                "broadcast_path": winners_broadcast,
+            },
+        }
+
+    # base rows of the affected buckets, with stored metadata — if the
+    # table holds pending merge-on-read deltas for these buckets the
+    # read resolves them, and the commit below clears them (the rewrite
+    # absorbs their effect)
     base = table.read(buckets=affected, with_meta=True, schema=schema, aliases=aliases)
     base_aligned = _align(base, [F.col("__seq"), F.col("__deleted")])
     base_aligned = base_aligned.withColumn("__b", table.bucket_expr(base_aligned))
@@ -324,7 +389,10 @@ def merge_into(
         props["last_epoch"] = int(epoch)
     if metrics["max_seq"] is not None:
         props["max_seq"] = int(metrics["max_seq"])
-    table.commit(bucket_files, epoch=epoch, properties=props, schema=schema, aliases=aliases)
+    table.commit(
+        bucket_files, epoch=epoch, properties=props, schema=schema, aliases=aliases,
+        clear_delta_buckets=affected,
+    )
     winners.unpersist()
     mx.unpersist()
 

@@ -25,6 +25,19 @@ environment, so this module implements the same contract natively:
   `expire_snapshots(keep_last)` deletes superseded data files
   (Iceberg expire_snapshots), bounding storage growth under
   copy-on-write merges.
+- merge-on-read (Iceberg v2 equality-delete equivalent): a merge in
+  `mode="mor"` writes only the epoch's LWW winner rows as bucketed
+  DELTA files — no base bucket is read or rewritten, so merge I/O is
+  proportional to the epoch, not to the touched buckets. Readers
+  resolve base-vs-delta per key by highest `__seq` (base wins ties —
+  the same strict `s.seq > t.seq` guard as the copy-on-write merge);
+  while the pending-delta volume is small the resolution is a
+  broadcast join that never shuffles the base payload.
+  `compact()` folds pending deltas back into the base buckets,
+  bounding both read amplification and delta file count. This is the
+  shape that holds at 10^10 events: sparse epochs (0.1% key touch
+  spread over every bucket) would force copy-on-write to rewrite the
+  whole table; merge-on-read writes 0.1% and compacts on a cadence.
 """
 
 from __future__ import annotations
@@ -189,6 +202,32 @@ class LakeTable:
             )
         return out
 
+    def delta_rels(self, buckets: list[int] | None = None) -> list[str]:
+        """Relative paths of pending merge-on-read delta files (optionally
+        bucket-pruned — deltas are tracked per bucket, like Iceberg's
+        partition-scoped delete files, so a pruned read stays pruned)."""
+        deltas = self.snap.get("deltas", {})
+        if buckets is None:
+            return [rel for rels in deltas.values() for rel in rels]
+        out: list[str] = []
+        for b in buckets:
+            out.extend(deltas.get(str(b), []))
+        return out
+
+    def delta_files(self, buckets: list[int] | None = None) -> list[str]:
+        return [os.path.join(self.path, rel) for rel in self.delta_rels(buckets)]
+
+    def delta_bytes(self, buckets: list[int] | None = None) -> int:
+        """On-disk bytes of pending delta files — a zero-job heuristic
+        for the read path's broadcast decision and compaction cadence."""
+        total = 0
+        for f_ in self.delta_files(buckets):
+            try:
+                total += os.path.getsize(f_)
+            except OSError:
+                pass
+        return total
+
     def bucket_expr(self, df: DataFrame) -> F.Column:
         return F.pmod(
             F.xxhash64(*[F.col(k).cast("string") for k in self.key_cols]),
@@ -210,16 +249,33 @@ class LakeTable:
         Rows carry hidden metadata columns `__seq` (commit sequence of the
         last writer — the cross-batch LWW guard) and `__deleted`
         (tombstone flag, so a late lower-seq update cannot resurrect a
-        deleted key). with_meta=True exposes them (merge path)."""
-        files = self.all_files() if buckets is None else self.bucket_files(buckets)
+        deleted key). with_meta=True exposes them (merge path).
+
+        When the snapshot carries pending merge-on-read deltas for the
+        requested buckets, the view is resolved per key against them
+        (highest `__seq` wins; base wins ties) before returning."""
+        df, _bcast = self._resolved(
+            buckets=buckets, schema=schema, aliases=aliases
+        )
+        if with_meta:
+            return df
+        return df.filter(~F.col("__deleted")).drop("__seq", "__deleted")
+
+    def _read_files(
+        self,
+        files: list[str],
+        schema: T.StructType | None = None,
+        aliases: dict | None = None,
+    ) -> DataFrame:
+        """Read a set of data files with the (given or snapshot) schema —
+        missing columns null-filled, renamed columns coalesced through
+        their aliases, `__seq`/`__deleted` metadata always exposed."""
         schema = schema if schema is not None else self.schema
         if not files:
             base = self.spark.createDataFrame([], schema)
-            if with_meta:
-                return base.withColumn("__seq", F.lit(None).cast("long")).withColumn(
-                    "__deleted", F.lit(False)
-                )
-            return base
+            return base.withColumn("__seq", F.lit(None).cast("long")).withColumn(
+                "__deleted", F.lit(False)
+            )
         aliases = aliases if aliases is not None else self.aliases
         # EXPLICIT physical read schema — never footer inference. With
         # default mergeSchema=false Spark takes ONE file's footer, so a
@@ -257,14 +313,88 @@ class LakeTable:
                 if len(cands) > 1
                 else F.col(cands[0]).cast(f_.dataType).alias(f_.name)
             )
-        if with_meta:
-            # files written by merge always carry __seq/__deleted; the -1
-            # fallback covers externally imported files only
-            cols.append(F.coalesce(F.col("__seq"), F.lit(-1)).cast("long").alias("__seq"))
-            cols.append(F.coalesce(F.col("__deleted"), F.lit(False)).alias("__deleted"))
-            return df.select(*cols)
-        out = df.select(*cols, F.coalesce(F.col("__deleted"), F.lit(False)).alias("__deleted"))
-        return out.filter(~F.col("__deleted")).drop("__deleted")
+        # files written by merge always carry __seq/__deleted; the -1
+        # fallback covers externally imported files only
+        cols.append(F.coalesce(F.col("__seq"), F.lit(-1)).cast("long").alias("__seq"))
+        cols.append(F.coalesce(F.col("__deleted"), F.lit(False)).alias("__deleted"))
+        return df.select(*cols)
+
+    def _resolved(
+        self,
+        buckets: list[int] | None = None,
+        schema: T.StructType | None = None,
+        aliases: dict | None = None,
+    ) -> tuple[DataFrame, bool]:
+        """Base ∪ pending deltas, resolved to one row per key (metadata
+        exposed; tombstones kept). Returns (df, base_stayed_unshuffled).
+
+        Two plans, like the merge itself:
+        - Broadcast path (pending delta bytes ≤ `mor.read.broadcast_bytes`
+          property, default 64 MB on disk — the common case under any
+          sane compaction cadence): delta LWW winners are broadcast and
+          the base payload is filtered/unioned WITHOUT shuffling, so the
+          resolved read costs one base scan + a small-side broadcast.
+        - Degraded path (compaction far behind): (keys, seq, src)
+          projection agg + join back — the same skinny-shuffle shape as
+          `lww_dedup`; the payload shuffles once, never sorts.
+        Base wins seq ties (strict `delta.__seq > base.__seq`), matching
+        the copy-on-write merge's `WHEN MATCHED AND s.seq > t.seq`.
+        """
+        files = self.all_files() if buckets is None else self.bucket_files(buckets)
+        base = self._read_files(files, schema=schema, aliases=aliases)
+        dfiles = self.delta_files(buckets)
+        if not dfiles:
+            return base, True
+        keys = self.key_cols
+        delta = self._read_files(dfiles, schema=schema, aliases=aliases)
+        # LWW among the delta rows themselves (several epochs may touch
+        # one key): skinny (keys, seq) max-agg + join back — deltas are
+        # small, this is cheap and map-side-combining
+        dmx = delta.groupBy(*keys).agg(F.max("__seq").alias("__seq"))
+        dwin = delta.join(dmx, on=[*keys, "__seq"], how="inner")
+        limit = int(
+            self.snap.get("properties", {}).get("mor.read.broadcast_bytes", 64 << 20)
+        )
+        if self.delta_bytes(buckets) <= limit:
+            dkeys = F.broadcast(
+                dwin.select(
+                    *[F.col(k).alias(f"__d_{k}") for k in keys],
+                    F.col("__seq").alias("__d_seq"),
+                )
+            )
+            cond = None
+            for k in keys:
+                c = F.col(k).eqNullSafe(F.col(f"__d_{k}"))
+                cond = c if cond is None else (cond & c)
+            bj = base.join(dkeys, cond, "left")
+            newer = F.col("__d_seq").isNotNull() & (F.col("__d_seq") > F.col("__seq"))
+            base_keep = bj.filter(~F.coalesce(newer, F.lit(False))).select(base.columns)
+            # delta keys the base beat (stale cross-batch rows) — bounded
+            # by the broadcast size; Catalyst prunes this second base
+            # scan to keys+__seq only
+            losers = F.broadcast(
+                bj.filter(F.coalesce(F.col("__d_seq") <= F.col("__seq"), F.lit(False))).select(
+                    *[F.col(f"__d_{k}").alias(k) for k in keys]
+                )
+            )
+            dtake = dwin.join(losers, on=keys, how="left_anti").select(base.columns)
+            return base_keep.unionByName(dtake), True
+        # degraded: full-table key resolution; __src=1 for base so the
+        # struct max prefers base on a seq tie
+        allr = base.withColumn("__src", F.lit(1)).unionByName(
+            dwin.withColumn("__src", F.lit(0))
+        )
+        mx = allr.groupBy(*keys).agg(F.max(F.struct("__seq", "__src")).alias("__m"))
+        win = allr.join(
+            mx.select(
+                *keys,
+                F.col("__m.__seq").alias("__seq"),
+                F.col("__m.__src").alias("__src"),
+            ),
+            on=[*keys, "__seq", "__src"],
+            how="inner",
+        )
+        return win.drop("__src"), False
 
     def write_buckets(
         self, df: DataFrame, version: int, pre_partitioned: bool = False
@@ -308,13 +438,27 @@ class LakeTable:
         properties: dict | None = None,
         schema: T.StructType | None = None,
         aliases: dict | None = None,
+        new_delta_files: dict[str, list[str]] | None = None,
+        clear_delta_buckets: list[int] | None = None,
     ) -> None:
+        """Commit a new snapshot. `new_bucket_files` REPLACES the listed
+        buckets' base files (copy-on-write rewrite); `new_delta_files`
+        APPENDS merge-on-read delta files per bucket;
+        `clear_delta_buckets` drops pending deltas the commit absorbed
+        (a copy-on-write rewrite or a compaction of those buckets)."""
         snap = dict(self.snap)
         snap["parent"] = snap["version"]
         snap["version"] = snap["version"] + 1
         files = dict(snap["files"])
         files.update(new_bucket_files)
         snap["files"] = files
+        deltas = dict(snap.get("deltas", {}))
+        for b in clear_delta_buckets or []:
+            deltas.pop(str(b), None)
+        for b, rels in (new_delta_files or {}).items():
+            if rels:
+                deltas[str(b)] = deltas.get(str(b), []) + list(rels)
+        snap["deltas"] = deltas
         if epoch is not None:
             snap["committed_epochs"] = sorted(set(snap["committed_epochs"]) | {int(epoch)})
         if properties:
@@ -340,6 +484,7 @@ class LakeTable:
         renames: dict | None = None,
         broadcast_keys_max: int = 500_000,
         explain_sink: list | None = None,
+        mode: str = "cow",
     ) -> dict:
         from wrangler_spark.lake.merge import merge_into
 
@@ -348,6 +493,7 @@ class LakeTable:
             evolve=evolve, salted=salted, metrics=metrics,
             broadcast_hint_keys=broadcast_hint_keys, renames=renames,
             broadcast_keys_max=broadcast_keys_max, explain_sink=explain_sink,
+            mode=mode,
         )
 
     # ------------------------------------------------------------ maintenance
@@ -379,6 +525,8 @@ class LakeTable:
                 snap = json.load(f)
             for rels in snap["files"].values():
                 live.update(rels)
+            for rels in snap.get("deltas", {}).values():
+                live.update(rels)
         removed_files = 0
         data_dir = os.path.join(self.path, _DATA)
         for root, _dirs, files in os.walk(data_dir, topdown=False):
@@ -402,3 +550,118 @@ class LakeTable:
             "removed_data_files": removed_files,
             "removed_snapshots": removed_meta,
         }
+
+    def compact(self, buckets: list[int] | None = None) -> dict:
+        """Fold pending merge-on-read deltas into the base buckets
+        (Iceberg `rewrite_data_files` over partitions with delete
+        files). Only buckets that actually hold deltas are rewritten;
+        the resolved view is byte-identical before and after — compaction
+        changes cost, never answers.
+
+        Run this on a cadence (the Replayer's `compact_every` does it
+        every K epochs): it bounds the delta volume the broadcast
+        read-resolution carries AND the per-bucket small-file count
+        (each MoR epoch adds one delta file per touched bucket)."""
+        pending = self.snap.get("deltas", {})
+        targets = sorted(
+            int(b) for b in pending if pending[b] and (buckets is None or int(b) in buckets)
+        )
+        if not targets:
+            return {"compacted_buckets": 0, "version": self.version}
+        resolved, aligned = self._resolved(buckets=targets)
+        resolved = resolved.withColumn("__b", self.bucket_expr(resolved))
+        new_version = self.version + 1
+        # broadcast-resolved rows are still bucket-aligned (the base side
+        # never shuffled); the degraded path re-clusters before writing
+        bucket_files = self.write_buckets(resolved, new_version, pre_partitioned=aligned)
+        for b in targets:
+            bucket_files.setdefault(str(b), [])
+        self.commit(bucket_files, clear_delta_buckets=targets)
+        return {"compacted_buckets": len(targets), "version": self.version}
+
+    def rescale(self, num_buckets: int) -> dict:
+        """Change the hash-bucket count (Iceberg partition-spec
+        evolution, done eagerly): full resolved rewrite under the new
+        bucketing. At 100 TB this is the once-a-quarter job you run when
+        the table outgrows its bucket count — per-epoch merges stay
+        pruned and balanced in between."""
+        if num_buckets < 1:
+            raise ValueError("num_buckets must be >= 1")
+        resolved, _ = self._resolved()
+        old_files = dict(self.snap["files"])
+        self.snap = {**self.snap, "num_buckets": int(num_buckets)}
+        resolved = resolved.withColumn("__b", self.bucket_expr(resolved))
+        new_version = self.version + 1
+        bucket_files = self.write_buckets(resolved, new_version, pre_partitioned=False)
+        snap = dict(self.snap)
+        snap["parent"] = snap["version"]
+        snap["version"] = new_version
+        # full replace: every bucket list is rebuilt under the new count
+        snap["files"] = {
+            str(b): bucket_files.get(str(b), []) for b in range(int(num_buckets))
+        }
+        snap["deltas"] = {}
+        self.snap = snap
+        self._write_snapshot()
+        return {"num_buckets": int(num_buckets), "version": self.version}
+
+    def table_changes(self, from_version: int, to_version: int | None = None) -> DataFrame:
+        """Changelog between two retained snapshots (Iceberg
+        `table_changes` / incremental read — the table as a CDC SOURCE,
+        closing the loop with the merge's CDC sink).
+
+        Emits one row per key whose resolved state differs between the
+        snapshots: payload columns at the `to` state (null for deletes),
+        `_change_op` ∈ insert|update|delete, and `_change_seq` (the
+        winning commit sequence at `to`). Implementation is a snapshot
+        diff on the co-bucketed key columns — both sides share the
+        bucket layout, and the join projects (keys, seq, deleted) from
+        the old side only, so the old snapshot contributes a skinny
+        column-pruned scan, not a second payload read."""
+        if to_version is None:
+            to_version = self.version
+        old = LakeTable.load(self.spark, self.path, version=from_version)
+        new = LakeTable.load(self.spark, self.path, version=to_version)
+        keys = self.key_cols
+        # read through the NEW schema so evolved columns align; old files
+        # null-fill columns they predate (same rule as any read)
+        schema, aliases = new.schema, new.aliases
+        old_df, _ = old._resolved(schema=schema, aliases=aliases)
+        new_df, _ = new._resolved(schema=schema, aliases=aliases)
+        o = old_df.select(
+            *[F.col(k).alias(f"__o_{k}") for k in keys],
+            F.col("__seq").alias("__o_seq"),
+            F.col("__deleted").alias("__o_del"),
+        )
+        cond = None
+        for k in keys:
+            c = F.col(k).eqNullSafe(F.col(f"__o_{k}"))
+            cond = c if cond is None else (cond & c)
+        j = new_df.join(o, cond, "full_outer")
+        in_new = F.col("__seq").isNotNull()
+        in_old = F.col("__o_seq").isNotNull()
+        was_live = in_old & ~F.col("__o_del")
+        is_live = in_new & ~F.col("__deleted")
+        changed_seq = in_new & in_old & (F.col("__seq") != F.col("__o_seq"))
+        op = (
+            F.when(is_live & ~was_live, F.lit("insert"))
+            .when(~is_live & was_live, F.lit("delete"))
+            .when(is_live & was_live & changed_seq, F.lit("update"))
+        )
+        payload = [f.name for f in schema.fields if f.name not in keys]
+        out_keys = [
+            F.coalesce(F.col(k), F.col(f"__o_{k}")).alias(k) for k in keys
+        ]
+        return (
+            j.withColumn("_change_op", op)
+            .filter(F.col("_change_op").isNotNull())
+            .select(
+                *out_keys,
+                *[
+                    F.when(F.col("_change_op") != "delete", F.col(c)).alias(c)
+                    for c in payload
+                ],
+                "_change_op",
+                F.col("__seq").alias("_change_seq"),
+            )
+        )
