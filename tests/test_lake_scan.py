@@ -1,0 +1,188 @@
+"""File-level stats + data-skipping scans (Iceberg manifest-stats
+equivalent): stats collected from parquet footers at commit, scan()
+pruning buckets/files driver-side, equivalence with read().filter().
+
+Reference parity: the reference engine is transform-only; these
+semantics come from the north rule's Iceberg sink (manifest min/max
+stats, partition pruning, `scan` planning from metadata).
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from wrangler_spark.cdc.events import repo_files_schema
+from wrangler_spark.lake.table import LakeTable
+
+
+@pytest.fixture()
+def mk_table(spark, tmp_path):
+    def _mk(name, **kw):
+        kw.setdefault("num_buckets", 8)
+        return LakeTable.create(
+            spark, str(tmp_path / name), repo_files_schema(), ["repo", "path"], **kw
+        )
+
+    return _mk
+
+
+def ch(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        "seq long, op string, repo string, path string, commit string, lang string, content string",
+    )
+
+
+def seed(spark, table, n=40, mode="cow"):
+    rows = [
+        (i, "insert", f"repo{i % 10}", f"f{i}.py", f"c{i}", "python", f"body{i:03d}")
+        for i in range(n)
+    ]
+    table.merge(ch(spark, rows), epoch=0, mode=mode)
+    return rows
+
+
+def test_stats_collected_on_commit(spark, mk_table):
+    t = mk_table("t1")
+    seed(spark, t)
+    stats = t.snap.get("stats", {})
+    # every committed base file has stats for the tracked columns
+    all_rels = [rel for rels in t.snap["files"].values() for rel in rels]
+    assert all_rels and set(stats) == set(all_rels)
+    one = stats[all_rels[0]]
+    for col in ("repo", "path", "commit", "lang", "content"):
+        assert col in one
+        mn, mx, nulls = one[col]
+        assert mn is not None and mx is not None and mn <= mx
+
+
+def test_scan_equals_read_filter(spark, mk_table):
+    t = mk_table("t2")
+    seed(spark, t)
+    for filters in (
+        [("repo", "=", "repo3")],
+        [("content", ">=", "body020"), ("content", "<", "body030")],
+        [("lang", "=", "nosuch")],
+    ):
+        plan = {}
+        got = sorted(map(tuple, t.scan(filters, plan_out=plan).collect()))
+        cond = t._filters_to_column(filters)
+        want = sorted(map(tuple, t.read().filter(cond).collect()))
+        assert got == want, filters
+
+
+def test_scan_skips_files_on_range(spark, mk_table):
+    t = mk_table("t3")
+    # two epochs with disjoint content ranges → per-version files are
+    # range-separable and a range scan must skip the other version's
+    rows_lo = [
+        (i, "insert", "rA", f"lo{i}.py", "c", "python", f"aaa{i:03d}") for i in range(20)
+    ]
+    rows_hi = [
+        (100 + i, "insert", "rA", f"hi{i}.py", "c", "python", f"zzz{i:03d}")
+        for i in range(20)
+    ]
+    t.merge(ch(spark, rows_lo), epoch=0)
+    t.merge(ch(spark, rows_hi), epoch=1)
+    plan = {}
+    got = t.scan([("content", ">=", "zzz")], plan_out=plan).collect()
+    assert len(got) == 20
+    assert plan["skipped_files"] > 0
+    # sanity: no filter → nothing skipped
+    plan2 = {}
+    assert t.scan(plan_out=plan2).count() == 40
+    assert plan2["skipped_files"] == 0
+
+
+def test_point_lookup_prunes_to_one_bucket(spark, mk_table):
+    t = mk_table("t4")
+    rows = seed(spark, t)
+    plan = {}
+    got = t.scan(
+        [("repo", "=", "repo7"), ("path", "=", "f7.py")], plan_out=plan
+    ).collect()
+    assert plan["point_lookup"] and len(plan["buckets"]) == 1
+    assert len(got) == 1 and got[0]["content"] == "body007"
+    # the pinned bucket agrees with the table's own bucket hash
+    b = (
+        t.read()
+        .filter((F.col("repo") == "repo7") & (F.col("path") == "f7.py"))
+        .select(t.bucket_expr(t.read()).alias("b"))
+        .first()["b"]
+    )
+    assert plan["buckets"] == [b]
+
+
+def test_scan_never_stat_prunes_through_pending_deltas(spark, mk_table):
+    """The stale-delta trap: base (seq 10, content high) beats a pending
+    stale delta (seq 7, content low). Stats-pruning the base file on a
+    low-range predicate would let the stale delta row win resolution and
+    surface a row read() would never show. Buckets with pending deltas
+    must scan their base fully."""
+    t = mk_table("t5", num_buckets=1)
+    t.merge(ch(spark, [(10, "insert", "rA", "k.py", "c1", "python", "zzz")]), epoch=0)
+    # stale MoR delta, lower seq, content in a disjoint low range
+    t.merge(
+        ch(spark, [(7, "update", "rA", "k.py", "c0", "python", "aaa")]),
+        epoch=1,
+        mode="mor",
+    )
+    assert t.delta_rels(), "delta must be pending for this test"
+    plan = {}
+    got = t.scan([("content", "<", "mmm")], plan_out=plan).collect()
+    assert got == []  # resolved winner is zzz; nothing below mmm
+    assert plan["skipped_files"] == 0 and plan["delta_buckets"] == [0]
+    # after compaction the same predicate CAN skip files again
+    t.compact()
+    plan = {}
+    assert t.scan([("content", "<", "mmm")], plan_out=plan).collect() == []
+    assert plan["skipped_files"] > 0
+
+
+def test_scan_through_rename_alias(spark, mk_table):
+    """Stats recorded under a pre-rename column name still prune when
+    scanning by the current name (Iceberg field-id-mapping shape)."""
+    t = mk_table("t6", num_buckets=1)
+    t.merge(ch(spark, [(1, "insert", "rA", "a.py", "c1", "python", "aaa")]), epoch=0)
+    # rename content -> body; old file keeps stats under 'content'
+    t.merge(
+        spark.createDataFrame(
+            [(2, "insert", "rB", "b.py", "c1", "python", "zzz")],
+            "seq long, op string, repo string, path string, commit string, lang string, body string",
+        ),
+        epoch=1,
+        renames={"content": "body"},
+    )
+    plan = {}
+    got = sorted(r["body"] for r in t.scan([("body", ">=", "zzz")], plan_out=plan).collect())
+    assert got == ["zzz"]
+    cond = F.col("body") >= "zzz"
+    want = sorted(r["body"] for r in t.read().filter(cond).collect())
+    assert got == want
+
+
+def test_stats_disabled_property(spark, mk_table):
+    t = mk_table("t7", properties={"stats.enabled": "false"})
+    seed(spark, t)
+    assert "stats" not in t.snap or not t.snap["stats"]
+    # scan still works, just without file skipping
+    plan = {}
+    assert t.scan([("repo", "=", "repo1")], plan_out=plan).count() == 4
+    assert plan["skipped_files"] == 0
+
+
+def test_stats_pruned_to_live_files(spark, mk_table):
+    t = mk_table("t8")
+    seed(spark, t)
+    t.merge(
+        ch(spark, [(1000, "update", "repo1", "f1.py", "cX", "python", "new")]), epoch=1
+    )
+    live = {rel for rels in t.snap["files"].values() for rel in rels} | {
+        rel for rels in t.snap.get("deltas", {}).values() for rel in rels
+    }
+    assert set(t.snap["stats"]) <= live
+
+
+def test_bad_filter_rejected(spark, mk_table):
+    t = mk_table("t9")
+    with pytest.raises(ValueError):
+        t.scan_plan([("repo", "like", "x")])

@@ -306,3 +306,54 @@ def test_sessionize_closure_across_checkpoint_restart(spark, tmp_path):
     assert closed[0]["first_seq"] == 0 and closed[0]["last_seq"] == 39
     open_ = [r for r in second if not r["closed"]]
     assert open_ and open_[0]["session_events"] == 10 and open_[0]["first_seq"] == 9000
+
+
+def test_stream_replay_mor_mode(spark, tmp_path):
+    """Streaming front-end in merge-on-read mode: per-batch delta
+    commits + compaction cadence converge to the same final state as
+    the batch oracle; some batches must actually have taken the delta
+    path (pending deltas existed mid-stream or compaction ran)."""
+    from wrangler_spark.cdc import generate_events, repo_files_schema
+    from wrangler_spark.cdc.events import expected_final_state
+    from wrangler_spark.cdc.replay import final_state_sha256
+    from wrangler_spark.lake import LakeTable
+    from wrangler_spark.streaming import stream_replay
+
+    events = generate_events(spark, 1500, n_repos=6, n_paths_per_repo=10, epoch_size=500)
+    src_dir = str(tmp_path / "events_src_mor")
+    events.write.mode("overwrite").parquet(src_dir)
+
+    table = LakeTable.create(
+        spark, str(tmp_path / "tbl_mor"), repo_files_schema(), ["repo", "path"], num_buckets=4
+    )
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src_dir)
+    )
+    q = stream_replay(
+        stream, table, str(tmp_path / "ckpt_mor"), mode="mor", compact_every=2
+    )
+    q.awaitTermination(120)
+
+    # MoR commits happened: the version log shows delta-bearing snapshots
+    import json as _json
+    import os as _os
+
+    meta = _os.path.join(table.path, "_meta")
+    had_deltas = any(
+        _json.load(open(_os.path.join(meta, fn))).get("deltas")
+        for fn in sorted(_os.listdir(meta))
+        if fn.startswith("version-")
+    )
+    assert had_deltas, "no snapshot ever carried pending deltas"
+
+    got = sorted(
+        (r["repo"], r["path"], r["content_sha256"])
+        for r in final_state_sha256(table.read()).collect()
+    )
+    want = sorted(
+        (r["repo"], r["path"], r["content_sha256"])
+        for r in final_state_sha256(expected_final_state(events)).collect()
+    )
+    assert got == want

@@ -205,6 +205,43 @@ def cmd_rescale(args) -> int:
     return 0
 
 
+def cmd_scan(args) -> int:
+    """Metadata-pruned scan: filters are col<op>value strings
+    (op ∈ =, <, <=, >, >=; values are strings — parquet stats compare
+    strings lexicographically, numbers numerically after int/float
+    coercion). Prints the scan plan (buckets, files skipped) to stderr
+    and rows (or a parquet write with --out) from the pruned read."""
+    import re
+    import sys
+
+    from wrangler_spark.lake.table import LakeTable
+
+    spark = _spark(args)
+    table = LakeTable.load(spark, args.table)
+    filters = []
+    for raw in args.filter or []:
+        m = re.match(r"^([A-Za-z_][\w]*)(<=|>=|=|<|>)(.*)$", raw)
+        if not m:
+            raise SystemExit(f"bad --filter {raw!r}; want col<op>value")
+        col, op, val = m.groups()
+        for cast in (int, float):
+            try:
+                val = cast(val)
+                break
+            except ValueError:
+                continue
+        filters.append((col, op, val))
+    plan: dict = {}
+    df = table.scan(filters, plan_out=plan)
+    print(json.dumps(plan), file=sys.stderr)
+    if args.out:
+        df.write.mode("overwrite").parquet(args.out)
+    else:
+        for row in df.limit(args.limit).collect():
+            print(json.dumps(row.asDict(), default=str))
+    return 0
+
+
 def cmd_changes(args) -> int:
     from wrangler_spark.lake.table import LakeTable
 
@@ -313,6 +350,13 @@ def build_parser() -> argparse.ArgumentParser:
     rs.add_argument("--table", required=True)
     rs.add_argument("--buckets", type=int, required=True)
     rs.set_defaults(fn=cmd_rescale)
+
+    sc = sub.add_parser("scan", help="stats-pruned filtered read (data skipping)")
+    sc.add_argument("--table", required=True)
+    sc.add_argument("--filter", action="append", help="col<op>value, repeatable (AND)")
+    sc.add_argument("--out", default=None, help="write result parquet here")
+    sc.add_argument("--limit", type=int, default=100)
+    sc.set_defaults(fn=cmd_scan)
 
     cg = sub.add_parser("changes", help="changelog between two snapshots (CDC source)")
     cg.add_argument("--table", required=True)

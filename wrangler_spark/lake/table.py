@@ -38,10 +38,21 @@ environment, so this module implements the same contract natively:
   shape that holds at 10^10 events: sparse epochs (0.1% key touch
   spread over every bucket) would force copy-on-write to rewrite the
   whole table; merge-on-read writes 0.1% and compacts on a cadence.
+- file-level stats + data skipping (Iceberg manifest stats): every
+  commit reads the new parquet files' FOOTERS (driver-side metadata IO)
+  and records per-file [min, max, null_count] for the tracked columns
+  in the snapshot. `scan(filters)` prunes from that metadata before
+  Spark lists a single file: point lookups pinning the full key hash to
+  one bucket; range/equality conjuncts drop files whose stats provably
+  exclude them. At millions of files this is the difference between
+  planning from the manifest and opening 10^6 footers per query. The
+  predicate is always ALSO applied as a real Spark filter, so stats can
+  only remove work, never change answers.
 """
 
 from __future__ import annotations
 
+import datetime as _dt
 import json
 import os
 import uuid
@@ -52,6 +63,148 @@ from pyspark.sql import types as T
 
 _META = "_meta"
 _DATA = "data"
+
+# file-stats collection cap: one footer read per file regardless of
+# column count, but the snapshot JSON (the manifest) stores one
+# [min, max, nulls] triple per (file, column) — cap the tracked columns
+# so manifest size stays bounded at high file counts
+_STATS_MAX_COLS = 16
+_STATS_MAX_STRLEN = 256
+
+
+def _stat_norm(v):
+    """Normalize a stats/filter value into the JSON-storable, totally
+    ordered domain used for pruning: numbers stay numbers, strings stay
+    strings, date/datetime become ISO-8601 strings (lexicographic order
+    == chronological order within one kind). Anything else → None
+    (no stats recorded / no pruning — always conservative)."""
+    if isinstance(v, bool):
+        return None  # bool min/max never prunes anything useful
+    if isinstance(v, (int, float)):
+        return v
+    if isinstance(v, str):
+        return v
+    if isinstance(v, bytes):
+        try:
+            return v.decode("utf-8")
+        except UnicodeDecodeError:
+            return None
+    if isinstance(v, _dt.datetime):
+        return v.isoformat(sep=" ")
+    if isinstance(v, _dt.date):
+        return v.isoformat()
+    return None
+
+
+def _stat_comparable(a, b) -> bool:
+    num = (int, float)
+    if isinstance(a, num) and isinstance(b, num):
+        return True
+    return isinstance(a, str) and isinstance(b, str)
+
+
+_STATS_TYPES = (
+    T.StringType, T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+    T.FloatType, T.DoubleType, T.DateType, T.TimestampType, T.TimestampNTZType,
+)
+
+
+def _snap_stats_cols(snap: dict) -> list[str]:
+    """Columns tracked in per-file min/max stats for this snapshot:
+    `stats.cols` property if set, else key columns + primitive payload
+    columns up to the cap (keys first — they drive point lookups)."""
+    prop = snap.get("properties", {}).get("stats.cols")
+    if prop is not None:
+        names = prop if isinstance(prop, list) else str(prop).split(",")
+        return [c.strip() for c in names if c.strip()][:_STATS_MAX_COLS]
+    cols = list(snap["key_cols"])
+    schema = T.StructType.fromJson(snap["schema"])
+    lower = {c.lower() for c in cols}
+    for f_ in schema.fields:
+        if len(cols) >= _STATS_MAX_COLS:
+            break
+        if f_.name.lower() not in lower and isinstance(f_.dataType, _STATS_TYPES):
+            cols.append(f_.name)
+    return cols
+
+
+def _collect_file_stats(path: str, snap: dict, rels: list[str]) -> dict[str, dict]:
+    """Per-file [min, max, null_count] per tracked column, read from the
+    parquet FOOTERS only (driver-side metadata IO — the Iceberg manifest
+    model: stats ride with the table metadata so scan planning never
+    opens data files). Missing/unusable stats are simply absent —
+    pruning treats absence as 'may match' (always conservative)."""
+    import pyarrow.parquet as pq
+
+    want = {c.lower() for c in _snap_stats_cols(snap)}
+    # old (pre-rename) files carry the column under its alias name:
+    # collect those too so renamed columns stay prunable through aliases
+    for cur, olds in snap.get("aliases", {}).items():
+        if cur in want:
+            want.update(olds)
+    out: dict[str, dict] = {}
+    for rel in rels:
+        try:
+            md = pq.ParquetFile(os.path.join(path, rel)).metadata
+        except Exception:
+            continue
+        per: dict[str, list] = {}
+        for i in range(md.num_columns):
+            name = md.schema.column(i).name
+            if name.lower() not in want:
+                continue
+            mn = mx = None
+            nulls: int | None = 0
+            usable = True
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(i).statistics
+                if st is None or not st.has_min_max:
+                    usable = False
+                    break
+                a, b = _stat_norm(st.min), _stat_norm(st.max)
+                if a is None or b is None or not _stat_comparable(a, b):
+                    usable = False
+                    break
+                mn = a if mn is None or a < mn else mn
+                mx = b if mx is None or b > mx else mx
+                if st.has_null_count and nulls is not None:
+                    nulls += st.null_count
+                else:
+                    nulls = None
+            if not usable or mn is None:
+                continue
+            # bound stored string length: a PREFIX of min is still a valid
+            # lower bound; a prefix of max is NOT an upper bound → drop it
+            if isinstance(mn, str) and len(mn) > _STATS_MAX_STRLEN:
+                mn = mn[:_STATS_MAX_STRLEN]
+            if isinstance(mx, str) and len(mx) > _STATS_MAX_STRLEN:
+                mx = None
+            per[name.lower()] = [mn, mx, nulls]
+        if per:
+            out[rel] = per
+    return out
+
+
+def _refresh_stats(path: str, snap: dict) -> None:
+    """Update snap['stats'] in place: collect footer stats for newly
+    referenced files, drop entries for files no longer referenced by
+    this snapshot (manifest size stays proportional to live files)."""
+    if str(snap.get("properties", {}).get("stats.enabled", "true")).lower() == "false":
+        snap.pop("stats", None)
+        return
+    stats = dict(snap.get("stats", {}))
+    live: set[str] = set()
+    for rels in snap["files"].values():
+        live.update(rels)
+    for rels in snap.get("deltas", {}).values():
+        live.update(rels)
+    fresh = [r for r in live if r not in stats]
+    if fresh:
+        stats.update(_collect_file_stats(path, snap, fresh))
+    snap["stats"] = {r: s for r, s in stats.items() if r in live}
+
+
+_SCAN_OPS = ("=", "<", "<=", ">", ">=")
 
 # numeric widening lattice for schema evolution (set-type widen →
 # ALTER TABLE ... TYPE; reference column/SetType.java:126-176)
@@ -261,6 +414,158 @@ class LakeTable:
             return df
         return df.filter(~F.col("__deleted")).drop("__seq", "__deleted")
 
+    # ------------------------------------------------------------ scan (data skipping)
+    def _bucket_of(self, key_values: dict) -> int:
+        """Bucket of one fully-pinned key — the same xxhash64 Spark uses
+        (bucket_expr), evaluated over a single literal row. One
+        constant-folded 1-row job; the point-lookup planning cost."""
+        row = (
+            self.spark.range(1)
+            .select(
+                F.pmod(
+                    F.xxhash64(
+                        *[F.lit(key_values[k]).cast("string") for k in self.key_cols]
+                    ),
+                    F.lit(self.num_buckets),
+                )
+                .cast("int")
+                .alias("b")
+            )
+            .first()
+        )
+        return int(row["b"])
+
+    def _file_can_match(self, fstats: dict | None, filters: list) -> bool:
+        """Conservative footer-stats check: False only when the file's
+        [min, max] provably excludes EVERY row for some conjunct."""
+        if not fstats:
+            return True
+        for col, op, val in filters:
+            v = _stat_norm(val)
+            if v is None:
+                continue
+            names = [col.lower()] + [
+                a for a in self.aliases.get(col.lower(), [])
+            ]
+            st = next((fstats[n] for n in names if n in fstats), None)
+            if st is None:
+                continue
+            mn, mx, _nulls = st
+            if mn is not None and not _stat_comparable(mn, v):
+                continue
+            if op == "=":
+                if (mn is not None and v < mn) or (mx is not None and v > mx):
+                    return False
+            elif op == "<":
+                if mn is not None and mn >= v:
+                    return False
+            elif op == "<=":
+                if mn is not None and mn > v:
+                    return False
+            elif op == ">":
+                if mx is not None and mx <= v:
+                    return False
+            elif op == ">=":
+                if mx is not None and mx < v:
+                    return False
+        return True
+
+    def scan_plan(self, filters: list | None = None, buckets: list[int] | None = None) -> dict:
+        """Driver-side metadata pruning for `scan` — no Spark job except
+        the optional 1-row point-lookup hash. Returns the kept base file
+        relpaths, the buckets still in play, and skip counts.
+
+        Two pruning layers, both pure metadata (the 100 TB property: at
+        millions of files, scan PLANNING must prune from the manifest —
+        this snapshot's `stats` — not by listing/opening data files):
+        - bucket pruning: filters pinning every key column by equality
+          resolve to exactly one hash bucket;
+        - file skipping: a file whose footer [min, max] range provably
+          excludes a conjunct is dropped before Spark sees it.
+
+        Correctness: pruning a base file only ever drops whole keys (the
+        base holds exactly one row per key), and a dropped key's row
+        provably fails the residual filter, so results equal
+        read().filter(...). Buckets holding pending merge-on-read deltas
+        are exempt from file skipping — dropping a base row there could
+        let a STALE lower-seq delta row win read-time LWW resolution —
+        so they scan fully and rely on the residual filter."""
+        filters = list(filters or [])
+        for f_ in filters:
+            if len(f_) != 3 or f_[1] not in _SCAN_OPS:
+                raise ValueError(f"bad scan filter {f_!r}; want (col, op, value), op in {_SCAN_OPS}")
+        cand = list(range(self.num_buckets)) if buckets is None else list(buckets)
+        keys_l = [k.lower() for k in self.key_cols]
+        eq = {c.lower(): v for c, op, v in filters if op == "=" and v is not None}
+        point = bool(keys_l) and all(k in eq for k in keys_l)
+        if point:
+            b = self._bucket_of({k: eq[k.lower()] for k in self.key_cols})
+            cand = [x for x in cand if x == b]
+        stats = self.snap.get("stats", {})
+        deltas = self.snap.get("deltas", {})
+        kept: list[str] = []
+        skipped = 0
+        delta_buckets: list[int] = []
+        for b in cand:
+            rels = self.snap["files"].get(str(b), [])
+            if deltas.get(str(b)):
+                delta_buckets.append(b)
+                kept.extend(rels)
+                continue
+            for rel in rels:
+                if self._file_can_match(stats.get(rel), filters):
+                    kept.append(rel)
+                else:
+                    skipped += 1
+        return {
+            "buckets": cand,
+            "base_rels": kept,
+            "skipped_files": skipped,
+            "delta_buckets": delta_buckets,
+            "point_lookup": point,
+        }
+
+    def _filters_to_column(self, filters: list | None):
+        cond = None
+        for col, op, val in filters or []:
+            c = F.col(col)
+            expr = {
+                "=": c == F.lit(val),
+                "<": c < F.lit(val),
+                "<=": c <= F.lit(val),
+                ">": c > F.lit(val),
+                ">=": c >= F.lit(val),
+            }[op]
+            cond = expr if cond is None else (cond & expr)
+        return cond
+
+    def scan(
+        self,
+        filters: list | None = None,
+        buckets: list[int] | None = None,
+        with_meta: bool = False,
+        plan_out: dict | None = None,
+    ) -> DataFrame:
+        """`read()` + a conjunctive filter, with metadata pruning first:
+        `filters` is a list of (column, op, value), op ∈ =, <, <=, >, >=.
+        Semantically identical to `read(buckets).filter(...)` — stats
+        only remove files that provably cannot contribute; the same
+        predicate is ALSO applied as a real Spark filter (and pushed into
+        the parquet scan by Catalyst for row-group-level skipping).
+        `plan_out` (optional dict) receives the scan_plan for
+        observability/tests."""
+        plan = self.scan_plan(filters, buckets)
+        if plan_out is not None:
+            plan_out.update(plan)
+        base_files = [os.path.join(self.path, r) for r in plan["base_rels"]]
+        df, _ = self._resolved(buckets=plan["buckets"], base_files=base_files)
+        cond = self._filters_to_column(filters)
+        if cond is not None:
+            df = df.filter(cond)
+        if with_meta:
+            return df
+        return df.filter(~F.col("__deleted")).drop("__seq", "__deleted")
+
     def _read_files(
         self,
         files: list[str],
@@ -324,6 +629,7 @@ class LakeTable:
         buckets: list[int] | None = None,
         schema: T.StructType | None = None,
         aliases: dict | None = None,
+        base_files: list[str] | None = None,
     ) -> tuple[DataFrame, bool]:
         """Base ∪ pending deltas, resolved to one row per key (metadata
         exposed; tombstones kept). Returns (df, base_stayed_unshuffled).
@@ -340,7 +646,10 @@ class LakeTable:
         Base wins seq ties (strict `delta.__seq > base.__seq`), matching
         the copy-on-write merge's `WHEN MATCHED AND s.seq > t.seq`.
         """
-        files = self.all_files() if buckets is None else self.bucket_files(buckets)
+        if base_files is not None:
+            files = base_files  # scan path: stats-pruned file list
+        else:
+            files = self.all_files() if buckets is None else self.bucket_files(buckets)
         base = self._read_files(files, schema=schema, aliases=aliases)
         dfiles = self.delta_files(buckets)
         if not dfiles:
@@ -467,6 +776,7 @@ class LakeTable:
             snap["schema"] = json.loads(schema.json())
         if aliases is not None:
             snap["aliases"] = aliases
+        _refresh_stats(self.path, snap)
         self.snap = snap
         self._write_snapshot()
 
@@ -601,6 +911,7 @@ class LakeTable:
             str(b): bucket_files.get(str(b), []) for b in range(int(num_buckets))
         }
         snap["deltas"] = {}
+        _refresh_stats(self.path, snap)
         self.snap = snap
         self._write_snapshot()
         return {"num_buckets": int(num_buckets), "version": self.version}

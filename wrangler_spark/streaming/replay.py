@@ -26,16 +26,31 @@ def stream_replay(
     trigger_available_now: bool = True,
     seq_col: str = "seq",
     op_col: str = "op",
+    mode: str = "cow",
+    compact_every: int | None = None,
 ):
     """Start a streaming query that upserts each micro-batch into the
-    table. Returns the StreamingQuery (caller awaits/stops it)."""
+    table. Returns the StreamingQuery (caller awaits/stops it).
+
+    `mode="mor"` merges each micro-batch as merge-on-read delta files
+    (the low-latency shape for a continuously tailed binlog — per-batch
+    cost is O(batch), not O(touched buckets)), compacting every
+    `compact_every` batches; identical resolved state either way."""
     rp = Replayer(table, checkpoint_dir, recipe=recipe, seq_col=seq_col, op_col=op_col)
+    since_compact = {"n": 0}
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         transformed, _err = rp._apply_recipe(batch_df)
         if rp.epoch_col in transformed.columns:
             transformed = transformed.drop(rp.epoch_col)
-        table.merge(transformed, seq_col=seq_col, op_col=op_col, epoch=int(batch_id))
+        res = table.merge(
+            transformed, seq_col=seq_col, op_col=op_col, epoch=int(batch_id), mode=mode
+        )
+        if mode == "mor" and compact_every and not res.get("skipped"):
+            since_compact["n"] += 1
+            if since_compact["n"] >= compact_every:
+                table.compact()
+                since_compact["n"] = 0
 
     writer = stream.writeStream.foreachBatch(apply_batch).option(
         "checkpointLocation", f"{checkpoint_dir}/spark"
