@@ -1093,6 +1093,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["cdc_changelog"] = q_cdc_changelog
 
+    def q_lake_scan(spark, d):
+        """Stats-pruned scan (data skipping + point-lookup bucket
+        pruning, round 3): replay the event stream into a lake table,
+        then (a) point-scan one key — the plan must pin exactly one
+        hash bucket — and (b) scan an impossible value range — footer
+        stats must skip EVERY base file driver-side. Both pruning facts
+        are emitted as boolean columns the SQL oracle pins to TRUE, so
+        a silent pruning regression (not just a wrong answer) fails the
+        driver's value-hash check."""
+        import tempfile
+
+        from pyspark.sql import types as TT
+
+        from wrangler_spark.cdc import Replayer
+        from wrangler_spark.lake import LakeTable
+
+        ev = _t(spark, d, "events").select(
+            F.col("event_id").alias("seq"),
+            (F.col("event_id") % 3).cast("long").alias("epoch"),
+            F.when(F.col("event_type") == "signup", "insert")
+            .when(F.col("event_type") == "error", "delete")
+            .otherwise("update")
+            .alias("op"),
+            "user_id",
+            "event_type",
+            "value",
+            "props",
+        )
+        schema = TT.StructType(
+            [f for f in ev.schema.fields if f.name not in ("seq", "epoch", "op")]
+        )
+        base = tempfile.mkdtemp(prefix="wr_scan_")
+        table = LakeTable.create(spark, f"{base}/tbl", schema, ["user_id"], num_buckets=4)
+        Replayer(table, f"{base}/ckpt").replay(ev)
+        p1: dict = {}
+        point = table.scan([("user_id", "=", 7)], plan_out=p1)
+        point_pruned = bool(p1["point_lookup"]) and len(p1["buckets"]) == 1
+        p2: dict = {}
+        none = table.scan([("value", ">", 1e18)], plan_out=p2)
+        skipped_all = (
+            p2["skipped_files"] > 0 and not p2["base_rels"] and none.count() == 0
+        )
+        return point.select(
+            "user_id",
+            "event_type",
+            "value",
+            F.lit(point_pruned).alias("point_pruned"),
+            F.lit(skipped_all).alias("skipped_all"),
+        )
+    q["lake_scan"] = q_lake_scan
+
     return q
 
 
@@ -1558,5 +1609,19 @@ def oracle_sql() -> dict[str, str]:
             "       CASE WHEN change_op <> 'delete' THEN props END AS props,"
             "       change_op, f_seq AS change_seq "
             "FROM ops WHERE change_op IS NOT NULL"
+        ),
+        # lake_scan: the LWW survivor row for key 7 (deletes drop the
+        # key), plus the two pruning invariants pinned TRUE — the Spark
+        # side computes them from the actual scan plan (one bucket for a
+        # full-key point lookup; all files footer-skipped for an
+        # impossible range), so a pruning regression hash-mismatches
+        "lake_scan": (
+            "WITH d AS (SELECT user_id, event_type, value, "
+            "CASE WHEN event_type = 'signup' THEN 'insert' "
+            "WHEN event_type = 'error' THEN 'delete' ELSE 'update' END AS op, "
+            "row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn "
+            "FROM events) "
+            "SELECT user_id, event_type, value, TRUE AS point_pruned, TRUE AS skipped_all "
+            "FROM d WHERE rn = 1 AND op <> 'delete' AND user_id = 7"
         ),
     }

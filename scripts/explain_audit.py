@@ -234,6 +234,24 @@ def main() -> None:
         plan_of(mp),
     ))
 
+    # 9b. stats-pruned scan: fewer files in the plan + pushed residual
+    tbl.compact()  # clear pending deltas so stats pruning is in play
+    plan_out: dict = {}
+    sc = tbl.scan([("content", ">=", "v4"), ("content", "<", "v5")], plan_out=plan_out)
+    n_base = len([rel for rels in tbl.snap["files"].values() for rel in rels])
+    sections.append((
+        "Stats-pruned scan (data skipping)",
+        "scan() plans from the snapshot's per-file footer stats before "
+        "Spark lists anything: of the table's "
+        f"{n_base} base files, {plan_out['skipped_files']} are skipped "
+        f"driver-side and only {len(plan_out['base_rels'])} reach the "
+        "FileScan (the file list below is the pruned one). The residual "
+        "predicate still appears in PushedFilters, so Spark's row-group "
+        "pruning stacks on top. At millions of files this keeps scan "
+        "planning metadata-only — the Iceberg manifest-stats property.",
+        plan_of(sc),
+    ))
+
     # 10. recipe-level filter hoisting — the probe predicate reaches the scan
     from wrangler_spark.recipe.compiler import compile_recipe
     from wrangler_spark.recipe.registry import RecipeContext as _Ctx
