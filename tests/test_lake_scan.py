@@ -186,3 +186,81 @@ def test_bad_filter_rejected(spark, mk_table):
     t = mk_table("t9")
     with pytest.raises(ValueError):
         t.scan_plan([("repo", "like", "x")])
+
+
+def test_sorted_write_makes_range_skipping_fire(spark, mk_table):
+    """write.sort.cols + write.max-records-per-file turn one bucket into
+    a sequence of disjoint-range files — a range scan must skip most of
+    them. Without the sort, every file spans the whole domain and
+    nothing can skip (the 100 TB reason the property exists)."""
+    t = mk_table(
+        "ts1",
+        num_buckets=1,
+        properties={"write.sort.cols": "content", "write.max-records-per-file": 10},
+    )
+    rows = [
+        (i, "insert", "rA", f"f{i}.py", "c", "python", f"v{i:03d}") for i in range(50)
+    ]
+    t.merge(ch(spark, rows), epoch=0)
+    files = t.snap["files"]["0"]
+    assert len(files) >= 5, files  # maxRecordsPerFile split the bucket
+    plan = {}
+    got = sorted(
+        r["content"]
+        for r in t.scan(
+            [("content", ">=", "v040"), ("content", "<", "v045")], plan_out=plan
+        ).collect()
+    )
+    assert got == [f"v{i:03d}" for i in range(40, 45)]
+    assert plan["skipped_files"] >= len(files) - 2, plan
+
+
+def test_commit_conflict_between_two_handles(spark, mk_table, tmp_path):
+    """Optimistic concurrency: two handles loaded at the same version
+    both try to commit — exactly one wins the version-file CAS; the
+    loser gets CommitConflictError, reloads, and its re-merge of an
+    already-committed epoch is a fenced no-op (the safe retry)."""
+    from wrangler_spark.lake.table import CommitConflictError
+
+    t = mk_table("tc1", num_buckets=2)
+    t.merge(ch(spark, [(1, "insert", "rA", "a.py", "c", "py", "x")]), epoch=0)
+    h1 = LakeTable.load(spark, t.path)
+    h2 = LakeTable.load(spark, t.path)
+    h1.merge(ch(spark, [(2, "update", "rA", "a.py", "c2", "py", "y")]), epoch=1)
+    with pytest.raises(CommitConflictError):
+        h2.merge(ch(spark, [(3, "update", "rA", "a.py", "c3", "py", "z")]), epoch=2)
+    # retry protocol: reload, re-merge — applies cleanly on the new base
+    h3 = LakeTable.load(spark, t.path)
+    h3.merge(ch(spark, [(3, "update", "rA", "a.py", "c3", "py", "z")]), epoch=2)
+    assert [r["content"] for r in h3.read().collect()] == ["z"]
+    # and re-merging h1's already-committed epoch is a no-op
+    res = h3.merge(ch(spark, [(2, "update", "rA", "a.py", "c2", "py", "y")]), epoch=1)
+    assert res["skipped"]
+
+
+def test_stale_handle_cannot_roll_back(spark, mk_table):
+    """A handle many versions behind must not move the table backwards
+    even when its target version file was expired (guard on the VERSION
+    pointer, not just the version-file CAS)."""
+    from wrangler_spark.lake.table import CommitConflictError
+
+    t = mk_table("tc2", num_buckets=2)
+    stale = None
+    for e in range(4):
+        t.merge(
+            ch(spark, [(10 + e, "update", "rA", "a.py", f"c{e}", "py", f"v{e}")]),
+            epoch=e,
+        )
+        if e == 0:
+            stale = LakeTable.load(spark, t.path)
+    t.expire_snapshots(keep_last=2)  # stale's next version file is gone
+    # a mor merge reads no base files, so WITHOUT the VERSION-pointer
+    # guard the stale handle would win the (expired) version-file CAS
+    # and move the pointer backwards — the guard must refuse
+    with pytest.raises(CommitConflictError):
+        stale.merge(
+            ch(spark, [(99, "update", "rA", "a.py", "cX", "py", "ROLLBACK")]),
+            epoch=9,
+            mode="mor",
+        )
+    assert [r["content"] for r in t.read().collect()] == ["v3"]

@@ -211,6 +211,13 @@ _SCAN_OPS = ("=", "<", "<=", ">", ">=")
 _WIDEN_ORDER = ["tinyint", "smallint", "int", "bigint", "float", "double"]
 
 
+class CommitConflictError(RuntimeError):
+    """Another writer committed this snapshot version first (Iceberg
+    optimistic-concurrency commit conflict). The caller should reload
+    the table and re-apply — epoch fencing makes a re-merge of an
+    already-committed epoch a no-op, so CDC replayers retry safely."""
+
+
 def _atomic_write(path: str, text: str) -> None:
     tmp = f"{path}.tmp.{uuid.uuid4().hex[:8]}"
     with open(tmp, "w") as f:
@@ -218,6 +225,26 @@ def _atomic_write(path: str, text: str) -> None:
         f.flush()
         os.fsync(f.fileno())
     os.rename(tmp, path)
+
+
+def _atomic_create(path: str, text: str) -> None:
+    """Like _atomic_write but FAILS if `path` already exists — the
+    commit CAS: version-N.json is the lock, so two writers racing to
+    commit version N cannot both win (os.link is atomic-exclusive on
+    POSIX; rename would silently last-writer-win)."""
+    tmp = f"{path}.tmp.{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w") as f:
+        f.write(text)
+        f.flush()
+        os.fsync(f.fileno())
+    try:
+        os.link(tmp, path)
+    except FileExistsError:
+        raise CommitConflictError(
+            f"snapshot {os.path.basename(path)} already committed by another writer"
+        )
+    finally:
+        os.remove(tmp)
 
 
 def evolve_schema(
@@ -309,11 +336,25 @@ class LakeTable:
 
     def _write_snapshot(self) -> None:
         v = self.snap["version"]
-        _atomic_write(
+        vfile = os.path.join(self.path, _META, "VERSION")
+        if v > 0 and os.path.exists(vfile):
+            # optimistic-concurrency guard #1: a stale handle (loaded at
+            # an older version) must not roll the table back — its next
+            # version number would be ≤ the current pointer
+            with open(vfile) as f:
+                current = int(f.read().strip())
+            if current >= v:
+                raise CommitConflictError(
+                    f"table moved to version {current} since this handle "
+                    f"loaded (attempted commit: {v}); reload and retry"
+                )
+        # guard #2: two writers racing from the SAME base version — the
+        # exclusive create of version-N.json is the CAS; exactly one wins
+        _atomic_create(
             os.path.join(self.path, _META, f"version-{v:06d}.json"),
             json.dumps(self.snap, indent=1),
         )
-        _atomic_write(os.path.join(self.path, _META, "VERSION"), str(v))
+        _atomic_write(vfile, str(v))
 
     # ------------------------------------------------------------ accessors
     @property
@@ -716,15 +757,37 @@ class LakeTable:
         path — base-bucket reads are aligned by construction), so each
         task writes at most a few bucket files via the dynamic-partition
         writer's local sort. The rewritten bucket payload — the dominant
-        data volume of a merge — then never shuffles at all."""
-        staging_rel = os.path.join(_DATA, f"v{version:06d}")
+        data volume of a merge — then never shuffles at all.
+
+        Two table properties shape the files (Iceberg write-order
+        equivalent, applied by EVERY writer — merge, compact, rescale):
+        - `write.sort.cols`: sort rows within each bucket by these
+          columns before writing (a task-local sortWithinPartitions — no
+          extra shuffle). Sorted files have TIGHT per-file min/max
+          stats, which is what makes `scan` data skipping fire on
+          payload columns: unsorted, every file spans the whole value
+          domain and no range predicate can skip anything.
+        - `write.max-records-per-file`: split bucket output into
+          bounded files, so a sorted bucket becomes a sequence of
+          disjoint-range files (the skippable unit)."""
+        # unique suffix: two writers racing toward the same version must
+        # not share a staging directory (the commit CAS decides the
+        # winner AFTER data lands; the loser's files become orphans that
+        # expire_snapshots removes)
+        staging_rel = os.path.join(_DATA, f"v{version:06d}-{uuid.uuid4().hex[:8]}")
         staging = os.path.join(self.path, staging_rel)
+        props = self.snap.get("properties", {})
+        sort_cols = props.get("write.sort.cols")
+        if isinstance(sort_cols, str):
+            sort_cols = [c.strip() for c in sort_cols.split(",") if c.strip()]
         out_df = df if pre_partitioned else df.repartition(F.col("__b"))
-        (
-            out_df.write.mode("overwrite")
-            .partitionBy("__b")
-            .parquet(staging)
-        )
+        if sort_cols:
+            out_df = out_df.sortWithinPartitions("__b", *sort_cols)
+        writer = out_df.write.mode("overwrite").partitionBy("__b")
+        mrpf = props.get("write.max-records-per-file")
+        if mrpf:
+            writer = writer.option("maxRecordsPerFile", int(mrpf))
+        writer.parquet(staging)
         out: dict[str, list[str]] = {}
         for entry in os.listdir(staging):
             if not entry.startswith("__b="):
