@@ -271,6 +271,78 @@ def run_cdc_replay(spark, cpus: int, ev_path: str) -> dict:
         shutil.rmtree(base, ignore_errors=True)
 
 
+def run_mor_sparse_epoch(spark) -> dict:
+    """Sparse-epoch merge cost, copy-on-write vs merge-on-read — the
+    scale argument behind the MoR mode measured, not asserted. Seed ~2M
+    keys into 64 buckets, then apply ONE sparse epoch (~64K events whose
+    keys scatter across every bucket: ~0.5% key touch, the production
+    steady state at 10^10 events). Copy-on-write must rewrite every
+    touched bucket (≈ the whole table); merge-on-read writes only the
+    epoch's winners as deltas. Reports bytes written and seconds per
+    mode, plus the MoR read-resolution and compaction cost — the full
+    tradeoff, so the write-amplification number cannot hide a read-side
+    regression."""
+    from wrangler_spark.cdc import Replayer, generate_events, repo_files_schema
+    from wrangler_spark.lake import LakeTable
+
+    seed_n = int(os.environ.get("BENCH_MOR_SEED", "2000000"))
+    sparse_n = int(os.environ.get("BENCH_MOR_SPARSE", "64000"))
+    base = tempfile.mkdtemp(prefix="bench_mor_")
+    out: dict = {"seed_events": seed_n, "sparse_events": sparse_n}
+    try:
+        ev = generate_events(
+            spark, seed_n + sparse_n, n_repos=200, n_paths_per_repo=500,
+            epoch_size=seed_n, parallelism=64,
+        )
+
+        def _live_rels(tbl):
+            rels = {r for rs in tbl.snap["files"].values() for r in rs}
+            rels |= {r for rs in tbl.snap.get("deltas", {}).values() for r in rs}
+            return rels
+
+        def _bytes(tbl, rels):
+            return sum(
+                os.path.getsize(os.path.join(tbl.path, r))
+                for r in rels
+                if os.path.exists(os.path.join(tbl.path, r))
+            )
+
+        for mode in ("cow", "mor"):
+            tbl = LakeTable.create(
+                spark, os.path.join(base, mode), repo_files_schema(),
+                ["repo", "path"], num_buckets=64,
+            )
+            rp = Replayer(tbl, os.path.join(base, f"ck_{mode}"), mode=mode)
+            rp.replay(ev, epochs=[0])  # untimed seed
+            before = _live_rels(tbl)
+            t0 = time.time()
+            rp.replay(ev, epochs=[1])
+            sec = time.time() - t0
+            written = _bytes(tbl, _live_rels(tbl) - before)
+            t1 = time.time()
+            n_rows = tbl.read().count()  # mor: resolves pending deltas
+            read_sec = time.time() - t1
+            m = {
+                "epoch_sec": round(sec, 3),
+                "bytes_written": written,
+                "resolved_read_sec": round(read_sec, 3),
+                "rows": n_rows,
+            }
+            if mode == "mor":
+                t2 = time.time()
+                m["compact"] = tbl.compact()
+                m["compact_sec"] = round(time.time() - t2, 3)
+            out[mode] = m
+        if out["mor"]["bytes_written"]:
+            out["write_amplification_cow_over_mor"] = round(
+                out["cow"]["bytes_written"] / out["mor"]["bytes_written"], 1
+            )
+        out["rows_match"] = out["cow"]["rows"] == out["mor"]["rows"]
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return out
+
+
 def run_compute_scaling(cpus: int) -> dict:
     """Engine-side compute scaling probe: iterated sha256 over in-memory
     generated rows — no scan, no sink, no shuffle payload. Isolates the
@@ -486,6 +558,11 @@ def main() -> None:
     # measurements — the 32-thread query sweep drains burst credits)
     spark = _spark(CPUS, shuffle=CPUS * 2)
     queries = run_queries(spark)
+    mor = (
+        run_mor_sparse_epoch(spark)
+        if os.environ.get("BENCH_MOR", "1") != "0"
+        else None
+    )
     spark.stop()
 
     total = round(time.time() - t_all, 3)
@@ -532,6 +609,8 @@ def main() -> None:
             },
         },
     }
+    if mor is not None:
+        result["cdc"]["mor_sparse_epoch"] = mor
     print(json.dumps(result))
 
 
