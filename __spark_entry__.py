@@ -1144,6 +1144,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["lake_scan"] = q_lake_scan
 
+    def q_cdc_replicate(spark, d):
+        """Changelog replication end-to-end (round 3): replay the event
+        stream into a SOURCE table epoch by epoch, syncing a REPLICA off
+        `table_changes` after each epoch (so deletes, updates and
+        cross-epoch LWW all flow through the changelog path). The
+        replica's final state must equal the direct-LWW oracle."""
+        import tempfile
+
+        from pyspark.sql import types as TT
+
+        from wrangler_spark.cdc import Replayer, Replicator
+        from wrangler_spark.lake import LakeTable
+
+        ev = _t(spark, d, "events").select(
+            F.col("event_id").alias("seq"),
+            (F.col("event_id") % 3).cast("long").alias("epoch"),
+            F.when(F.col("event_type") == "signup", "insert")
+            .when(F.col("event_type") == "error", "delete")
+            .otherwise("update")
+            .alias("op"),
+            "user_id",
+            "event_type",
+            "value",
+            "props",
+        )
+        schema = TT.StructType(
+            [f for f in ev.schema.fields if f.name not in ("seq", "epoch", "op")]
+        )
+        base = tempfile.mkdtemp(prefix="wr_replicate_")
+        src = LakeTable.create(spark, f"{base}/src", schema, ["user_id"], num_buckets=4)
+        dst = LakeTable.create(spark, f"{base}/dst", schema, ["user_id"], num_buckets=4)
+        rp = Replayer(src, f"{base}/ckpt")
+        rep = Replicator(src, dst)
+        for e in (0, 1, 2):
+            rp.replay(ev, to_epoch=e)
+            rep.sync()
+        return LakeTable.load(spark, dst.path).read().select(
+            "user_id", "event_type", "value", "props"
+        )
+    q["cdc_replicate"] = q_cdc_replicate
+
     return q
 
 
@@ -1623,5 +1664,16 @@ def oracle_sql() -> dict[str, str]:
             "FROM events) "
             "SELECT user_id, event_type, value, TRUE AS point_pruned, TRUE AS skipped_all "
             "FROM d WHERE rn = 1 AND op <> 'delete' AND user_id = 7"
+        ),
+        # cdc_replicate: the replica synced off the changelog must hold
+        # exactly the direct-LWW state of the full stream
+        "cdc_replicate": (
+            "WITH d AS (SELECT user_id, event_type, value, props, "
+            "CASE WHEN event_type = 'signup' THEN 'insert' "
+            "WHEN event_type = 'error' THEN 'delete' ELSE 'update' END AS op, "
+            "row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn "
+            "FROM events) "
+            "SELECT user_id, event_type, value, props FROM d "
+            "WHERE rn = 1 AND op <> 'delete'"
         ),
     }

@@ -1,0 +1,137 @@
+"""Incremental table-to-table replication off the changelog: the lake
+table as a CDC source feeding a downstream materialized replica
+(Delta readChangeFeed / Iceberg incremental-read shape, applied).
+
+Reference parity: the reference is transform-only; these semantics
+derive from the north rule's Iceberg sink + CDC loop.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from wrangler_spark.cdc import Replicator
+from wrangler_spark.cdc.events import repo_files_schema
+from wrangler_spark.lake.table import LakeTable
+
+
+@pytest.fixture()
+def mk_table(spark, tmp_path):
+    def _mk(name, **kw):
+        kw.setdefault("num_buckets", 4)
+        return LakeTable.create(
+            spark, str(tmp_path / name), repo_files_schema(), ["repo", "path"], **kw
+        )
+
+    return _mk
+
+
+def ch(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        "seq long, op string, repo string, path string, commit string, lang string, content string",
+    )
+
+
+def state(table):
+    return sorted(
+        (r["repo"], r["path"], r["content"]) for r in table.read().collect()
+    )
+
+
+EPOCH0 = [
+    (10, "insert", "r1", "a.py", "c1", "py", "a0"),
+    (11, "insert", "r1", "b.py", "c1", "py", "b0"),
+    (12, "insert", "r2", "x.go", "c1", "go", "x0"),
+]
+EPOCH1 = [
+    (20, "update", "r1", "a.py", "c2", "py", "a1"),
+    (21, "delete", "r2", "x.go", None, None, None),
+    (22, "insert", "r3", "y.rs", "c1", "rust", "y0"),
+]
+
+
+def test_replica_converges_and_is_incremental(spark, mk_table):
+    src, dst = mk_table("src1"), mk_table("dst1")
+    rep = Replicator(src, dst)
+    src.merge(ch(spark, EPOCH0), epoch=0)
+    r1 = rep.sync()
+    assert not r1["skipped"] and state(dst) == state(src)
+    # nothing new → metadata-only skip, replica version untouched
+    v = dst.version
+    assert rep.sync()["skipped"] and dst.version == v
+    # next source epoch (update + delete + insert) flows through,
+    # including the tombstone
+    src.merge(ch(spark, EPOCH1), epoch=1)
+    r2 = rep.sync()
+    assert not r2["skipped"]
+    assert state(dst) == state(src)
+    assert ("r2", "x.go", "x0") not in state(dst)
+    # window accounting: second sync started where the first ended
+    assert r2["from_version"] >= r1["source_version"]
+
+
+def test_sync_idempotent_after_crash_between_merge_and_stamp(spark, mk_table):
+    """If a prior sync's merge committed but its watermark stamp did
+    not (crash), the retry must fence the duplicate merge AND still
+    advance the watermark instead of wedging forever."""
+    src, dst = mk_table("src2"), mk_table("dst2")
+    src.merge(ch(spark, EPOCH0), epoch=0)
+    rep = Replicator(src, dst)
+    rep.sync()
+    # simulate the crash: strip the stamp (fresh handle, stale property)
+    dst.commit({}, properties={"replicated_source_version": -1})
+    rep2 = Replicator(src, LakeTable.load(spark, dst.path))
+    r = rep2.sync()
+    assert r["skipped"]  # merge fenced by the replica's committed epoch
+    assert (
+        int(rep2.replica.snap["properties"]["replicated_source_version"])
+        == r["source_version"]
+    )
+    # and the replica still matches
+    assert state(rep2.replica) == state(src)
+
+
+def test_replication_with_recipe_materialized_view(spark, mk_table):
+    """A recipe on the change stream = incremental materialized view:
+    the replica holds the TRANSFORMED state, deletes still propagate."""
+    src, dst = mk_table("src3"), mk_table("dst3")
+    rep = Replicator(src, dst, recipe=["uppercase :lang"])
+    src.merge(ch(spark, EPOCH0), epoch=0)
+    rep.sync()
+    src.merge(ch(spark, EPOCH1), epoch=1)
+    rep.sync()
+    got = sorted((r["repo"], r["path"], r["lang"]) for r in dst.read().collect())
+    want = sorted(
+        (r["repo"], r["path"], (r["lang"] or "").upper() or None)
+        for r in src.read().collect()
+    )
+    assert got == want
+
+
+def test_mor_replica_converges(spark, mk_table):
+    src, dst = mk_table("src4"), mk_table("dst4")
+    rep = Replicator(src, dst, mode="mor")
+    src.merge(ch(spark, EPOCH0), epoch=0)
+    rep.sync()
+    src.merge(ch(spark, EPOCH1), epoch=1)
+    rep.sync()
+    assert dst.delta_rels() or True  # deltas may exist pre-compaction
+    assert state(LakeTable.load(spark, dst.path)) == state(src)
+
+
+def test_bootstrap_after_changelog_retention_expired(spark, mk_table):
+    """When expire_snapshots dropped the last-synced version's metadata,
+    sync falls back to a full-state bootstrap (inserts + tombstone
+    deletes with stored seqs) and still converges."""
+    src, dst = mk_table("src5"), mk_table("dst5")
+    rep = Replicator(src, dst)
+    src.merge(ch(spark, EPOCH0), epoch=0)
+    rep.sync()
+    for e, rows in enumerate([EPOCH1] * 3, start=1):
+        rows = [(100 * e + i, op, a, b, c, d, f"{v}@{e}" if v else v)
+                for i, (_, op, a, b, c, d, v) in enumerate(rows)]
+        src.merge(ch(spark, rows), epoch=e)
+    src.expire_snapshots(keep_last=1)  # the synced version's metadata is gone
+    r = rep.sync()
+    assert not r["skipped"]
+    assert state(LakeTable.load(spark, dst.path)) == state(src)

@@ -1,0 +1,124 @@
+"""Incremental table-to-table replication off the changelog — the lake
+table as a CDC *source* feeding a downstream materialized replica.
+
+The loop this closes: binlog → `Replayer` → source table → (this
+module) → replica table. `table_changes(v0, v1)` already emits per-key
+insert/update/delete rows with the winning commit sequence; replication
+maps those straight back into the replica's LWW merge — change rows ARE
+change events (`_change_seq` → seq, `_change_op` → op), so the replica
+inherits every guarantee the primary merge path has (seq-guarded LWW,
+tombstones, epoch fencing, bucket pruning / MoR deltas).
+
+Scale shape: each cycle processes only the version window since the
+last replicated version (metadata read — no source-table diff job runs
+when the version pointer hasn't moved), and the diff itself is the
+skinny-old-side snapshot join documented in `table_changes`. The
+replica's epoch = the source version window upper bound, so replaying a
+window twice is a fenced no-op — crash-safe without a checkpoint file
+(the replica's own snapshot IS the checkpoint).
+
+A recipe can be applied to the change stream (downstream view ≠ 1:1
+copy), turning this into an incremental materialized VIEW maintainer
+for any recipe whose directives are row-local (every directive in the
+registry — the reference's pipeline model is per-record, SURVEY.md
+§2.6: no aggregations exist).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from wrangler_spark.lake.table import LakeTable
+from wrangler_spark.recipe.compiler import CompiledRecipe, compile_recipe
+
+
+class Replicator:
+    """Keep `replica` incrementally in sync with `source` via changelog
+    windows. `sync()` applies everything new and returns metrics; call
+    it on any cadence (cron, foreachBatch heartbeat, post-commit hook).
+    """
+
+    def __init__(
+        self,
+        source: LakeTable,
+        replica: LakeTable,
+        recipe: str | list[str] | CompiledRecipe | None = None,
+        mode: str = "cow",
+    ):
+        self.source = source
+        self.replica = replica
+        self.mode = mode
+        if recipe is not None and not isinstance(recipe, CompiledRecipe):
+            recipe = compile_recipe(recipe)
+        self.recipe = recipe
+
+    def _replicated_version(self) -> int:
+        """High-watermark: the source version the replica reflects —
+        stored as a replica snapshot property, committed atomically WITH
+        the data (no separate checkpoint to drift)."""
+        return int(
+            self.replica.snap.get("properties", {}).get("replicated_source_version", -1)
+        )
+
+    def sync(self, to_version: int | None = None) -> dict:
+        """Apply all source changes since the last sync. Metadata-only
+        when nothing changed (no Spark job)."""
+        # reload the source pointer: a long-lived Replicator must see
+        # new commits, and LakeTable handles pin their load version
+        src = LakeTable.load(self.source.spark, self.source.path)
+        self.source = src
+        v1 = src.version if to_version is None else int(to_version)
+        v0 = self._replicated_version()
+        if v0 < 0:
+            v0 = 0  # replicate from the beginning (version 0 is empty)
+        if v1 <= v0:
+            return {"skipped": True, "source_version": v1, "events": 0}
+        try:
+            changes = src.table_changes(v0, v1)
+            ev = changes.select(
+                F.col("_change_seq").alias("seq"),
+                F.col("_change_op").alias("op"),
+                *[c for c in changes.columns if not c.startswith("_change_")],
+            )
+        except FileNotFoundError:
+            # changelog retention expired past v0 (expire_snapshots
+            # dropped that version's metadata): bootstrap from the full
+            # current state instead — inserts + tombstone deletes with
+            # their stored seqs, so the replica's LWW guard still
+            # resolves correctly against anything it already holds
+            full = src.read(with_meta=True)
+            ev = full.select(
+                F.col("__seq").alias("seq"),
+                F.when(F.col("__deleted"), "delete").otherwise("insert").alias("op"),
+                *[f.name for f in src.schema.fields],
+            )
+        if self.recipe is not None:
+            from wrangler_spark.recipe.registry import RecipeContext
+
+            ev, _err = self.recipe.apply(ev, RecipeContext(spark=src.spark))
+            missing = [c for c in ("seq", "op") if c not in ev.columns]
+            if missing:
+                raise ValueError(f"replication recipe dropped control columns {missing}")
+        # epoch = the window's upper bound: re-running the same window
+        # (crash between merge and caller's bookkeeping) is a fenced
+        # no-op inside the replica's own committed_epochs
+        res = self.replica.merge(
+            ev,
+            seq_col="seq",
+            op_col="op",
+            epoch=v1,
+            mode=self.mode,
+        )
+        # stamp the watermark — also when the merge was FENCED (a crash
+        # between a prior sync's merge and its stamp would otherwise
+        # wedge every future sync on a permanently-skipping epoch)
+        if v1 > self._replicated_version():
+            self.replica.commit({}, properties={"replicated_source_version": int(v1)})
+        return {
+            "skipped": bool(res.get("skipped")),
+            "source_version": v1,
+            "from_version": v0,
+            "events": res.get("events", 0),
+            "replica_version": self.replica.version,
+        }

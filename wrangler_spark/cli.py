@@ -205,6 +205,22 @@ def cmd_rescale(args) -> int:
     return 0
 
 
+def cmd_replicate(args) -> int:
+    """One replication cycle: apply all source changes since the last
+    sync to the replica (run on any cadence; fenced + watermarked, so
+    re-running is always safe)."""
+    from wrangler_spark.cdc.replicate import Replicator
+    from wrangler_spark.lake.table import LakeTable
+
+    spark = _spark(args)
+    src = LakeTable.load(spark, args.source)
+    dst = LakeTable.load(spark, args.replica)
+    recipe = _read_recipe(args.recipe) if args.recipe else None
+    rep = Replicator(src, dst, recipe=recipe, mode=args.mode)
+    print(json.dumps(rep.sync()))
+    return 0
+
+
 def cmd_scan(args) -> int:
     """Metadata-pruned scan: filters are col<op>value strings
     (op ∈ =, <, <=, >, >=; values are strings — parquet stats compare
@@ -350,6 +366,13 @@ def build_parser() -> argparse.ArgumentParser:
     rs.add_argument("--table", required=True)
     rs.add_argument("--buckets", type=int, required=True)
     rs.set_defaults(fn=cmd_rescale)
+
+    rp2 = sub.add_parser("replicate", help="incremental changelog replication to a replica table")
+    rp2.add_argument("--source", required=True)
+    rp2.add_argument("--replica", required=True)
+    rp2.add_argument("--recipe", default=None, help="recipe file applied to the change stream")
+    rp2.add_argument("--mode", default="cow", choices=["cow", "mor"])
+    rp2.set_defaults(fn=cmd_replicate)
 
     sc = sub.add_parser("scan", help="stats-pruned filtered read (data skipping)")
     sc.add_argument("--table", required=True)
