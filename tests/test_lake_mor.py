@@ -295,3 +295,43 @@ def test_replayer_mor_with_compaction_matches_oracle(spark, tmp_path):
     assert got == want
     # compaction ran on the 3-epoch cadence (6 epochs → at least once)
     assert len(table.delta_files()) == 0 or table.version > 6
+
+
+def test_bytes_based_compaction_trigger(spark, mk_table):
+    """mor.compact.bytes bounds read amplification independent of the
+    commit-count cadence: with no compact_every set, a replayed stream
+    must still compact once pending delta bytes exceed the cap."""
+    from wrangler_spark.cdc import Replayer
+
+    t = mk_table("tbytes", properties={"mor.compact.bytes": 1})  # any delta trips it
+    rp = Replayer(t, str(t.path) + "_ck", mode="mor", compact_every=None)
+    for e, rows in enumerate(EPOCHS):
+        t.merge(ch(spark, rows), epoch=e, mode="mor")
+        # emulate the replayer's post-commit check path directly
+    # drive through the replayer proper on a fresh table for the real path
+    t2 = mk_table("tbytes2", properties={"mor.compact.bytes": 1})
+    import pyspark.sql.functions as F
+
+    ev = (
+        ch(spark, [r for rows in EPOCHS for r in rows])
+        .withColumn("epoch", (F.col("seq") / 20).cast("long"))
+    )
+    rp2 = Replayer(t2, str(t2.path) + "_ck", mode="mor", compact_every=None)
+    rp2.replay(ev)
+    assert not t2.delta_rels(), "bytes trigger should have compacted"
+    assert snap_rows(t2) == snap_rows(_cow_reference(spark))
+
+
+def _cow_reference(spark):
+    import tempfile
+
+    from wrangler_spark.lake.table import LakeTable
+    from wrangler_spark.cdc.events import repo_files_schema
+
+    ref = LakeTable.create(
+        spark, tempfile.mkdtemp(prefix="ref_cow_"), repo_files_schema(),
+        ["repo", "path"], num_buckets=8,
+    )
+    for e, rows in enumerate(EPOCHS):
+        ref.merge(ch(spark, rows), epoch=e)
+    return ref

@@ -287,9 +287,23 @@ class Replayer:
             renames=self.recipe.renames() if self.recipe else None,
             mode=self.mode,
         )
-        if self.mode == "mor" and self.compact_every:
+        if self.mode == "mor" and not res.get("skipped"):
+            # two compaction triggers, either sufficient:
+            # - every K commits (compact_every) — the simple cadence;
+            # - pending delta bytes past `mor.compact.bytes` (table
+            #   property) — bounds read amplification even when epoch
+            #   sizes vary wildly (a count cadence cannot: K huge epochs
+            #   pile up K× the broadcast-resolution volume). The check
+            #   is a zero-job metadata stat (delta_bytes).
             self._commits_since_compact += 1
-            if self._commits_since_compact >= self.compact_every:
+            byte_cap = int(
+                self.table.snap.get("properties", {}).get("mor.compact.bytes", 0)
+            )
+            due = (
+                self.compact_every
+                and self._commits_since_compact >= self.compact_every
+            ) or (byte_cap and self.table.delta_bytes() > byte_cap)
+            if due:
                 comp = self.table.compact()
                 self._commits_since_compact = 0
                 res["compacted_buckets"] = comp["compacted_buckets"]
