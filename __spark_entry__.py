@@ -1201,18 +1201,18 @@ def oracle_sql() -> dict[str, str]:
         "profile": (
             "SELECT 'doc_id' AS column, 'bigint' AS dtype, count(*) AS total,"
             " count(doc_id) AS non_null, count(*) - count(doc_id) AS nulls,"
-            " 0 AS empty, count(DISTINCT doc_id) AS distinct,"
+            " CAST(0 AS BIGINT) AS empty, count(DISTINCT doc_id) AS distinct,"
             " CAST(min(doc_id) AS VARCHAR) AS min_value,"
             " CAST(max(doc_id) AS VARCHAR) AS max_value FROM documents"
             " UNION ALL "
             "SELECT 'lang', 'string', count(*), count(lang),"
             " count(*) - count(lang),"
-            " sum(CASE WHEN lang = '' THEN 1 ELSE 0 END),"
+            " CAST(sum(CASE WHEN lang = '' THEN 1 ELSE 0 END) AS BIGINT),"
             " count(DISTINCT lang), min(lang), max(lang) FROM documents"
             " UNION ALL "
             "SELECT 'source', 'string', count(*), count(source),"
             " count(*) - count(source),"
-            " sum(CASE WHEN source = '' THEN 1 ELSE 0 END),"
+            " CAST(sum(CASE WHEN source = '' THEN 1 ELSE 0 END) AS BIGINT),"
             " count(DISTINCT source), min(source), max(source) FROM documents"
         ),
         "columns_replace": (
