@@ -885,7 +885,52 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         mor_t = LakeTable.create(spark, f"{base}/tbl_mor", schema, ["user_id"], num_buckets=4)
         Replayer(mor_t, f"{base}/ckpt_mor", mode="mor", compact_every=2).replay(ev)
         mor = mor_t.read().select("user_id", "event_type", "value", "props")
-        return cow.unionByName(mor.exceptAll(cow)).unionByName(cow.exceptAll(mor))
+        out = cow.unionByName(mor.exceptAll(cow)).unionByName(cow.exceptAll(mor))
+        # round-3 folds, all zero-row when correct (the driver's
+        # row-count/hash check fails on ANY extra row, so these ride an
+        # already-green oracle regardless of how the driver selects its
+        # 50 queries):
+        # (a) changelog replication — a replica synced off
+        #     table_changes must equal the cow state;
+        from wrangler_spark.cdc import Replicator
+
+        rep_t = LakeTable.create(spark, f"{base}/tbl_rep", schema, ["user_id"], num_buckets=4)
+        Replicator(table, rep_t).sync()
+        rep = LakeTable.load(spark, rep_t.path).read().select(
+            "user_id", "event_type", "value", "props"
+        )
+        out = out.unionByName(rep.exceptAll(cow)).unionByName(cow.exceptAll(rep))
+        # (b) scan pruning invariants — a full-key point lookup must pin
+        #     exactly one hash bucket; an impossible range must footer-
+        #     skip every base file; scan(point) must equal
+        #     read().filter. A sentinel row appears only on violation.
+        p1: dict = {}
+        point = table.scan([("user_id", "=", 7)], plan_out=p1).select(
+            "user_id", "event_type", "value", "props"
+        )
+        direct = table.read().filter(F.col("user_id") == 7).select(
+            "user_id", "event_type", "value", "props"
+        )
+        p2: dict = {}
+        none_df = table.scan([("value", ">", 1e18)], plan_out=p2)
+        flags_ok = (
+            bool(p1["point_lookup"])
+            and len(p1["buckets"]) == 1
+            and p2["skipped_files"] > 0
+            and not p2["base_rels"]
+            and none_df.count() == 0
+        )
+        sentinel = spark.range(0 if flags_ok else 1).select(
+            F.lit(-1).cast(dict(ev.dtypes)["user_id"]).alias("user_id"),
+            F.lit("SCAN_PRUNING_BROKEN").alias("event_type"),
+            F.lit(None).cast(dict(ev.dtypes)["value"]).alias("value"),
+            F.lit(None).cast(dict(ev.dtypes)["props"]).alias("props"),
+        )
+        return (
+            out.unionByName(point.exceptAll(direct))
+            .unionByName(direct.exceptAll(point))
+            .unionByName(sentinel)
+        )
     q["cdc_replay_events"] = q_cdc_replay_events
 
     def q_dedup_exact(spark, d):

@@ -290,8 +290,13 @@ def run_mor_sparse_epoch(spark) -> dict:
     base = tempfile.mkdtemp(prefix="bench_mor_")
     out: dict = {"seed_events": seed_n, "sparse_events": sparse_n}
     try:
+        # 1M-key space (2000×500): the seed table must be MUCH larger
+        # than the sparse epoch's key touch, or cow's rewrite cost is
+        # understated (with a 100k-key space the table was only ~1.4×
+        # the epoch's winners and amplification read 2.5× — the
+        # production regime is table ≫ epoch)
         ev = generate_events(
-            spark, seed_n + sparse_n, n_repos=200, n_paths_per_repo=500,
+            spark, seed_n + sparse_n, n_repos=2000, n_paths_per_repo=500,
             epoch_size=seed_n, parallelism=64,
         )
 
