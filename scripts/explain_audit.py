@@ -234,6 +234,20 @@ def main() -> None:
         plan_of(mp),
     ))
 
+    # 9a2. changelog read — the old snapshot contributes a column-pruned
+    # skinny scan, not a second payload read
+    ch_df = tbl.table_changes(1)
+    sections.append((
+        "Changelog (table_changes) — skinny old-side scan",
+        "The snapshot diff joins the NEW resolved state against only "
+        "(keys, __seq, __deleted) of the OLD snapshot: the old side's "
+        "FileScan ReadSchema below carries no payload columns (content "
+        "never read twice), so an incremental read costs one full scan "
+        "+ one key-width scan regardless of payload width. Both sides "
+        "share the bucket layout.",
+        plan_of(ch_df),
+    ))
+
     # 9b. stats-pruned scan: fewer files in the plan + pushed residual
     tbl.compact()  # clear pending deltas so stats pruning is in play
     plan_out: dict = {}
