@@ -264,3 +264,69 @@ def test_stale_handle_cannot_roll_back(spark, mk_table):
             mode="mor",
         )
     assert [r["content"] for r in t.read().collect()] == ["v3"]
+
+
+def test_zorder_compaction_multi_column_skipping(spark, tmp_path):
+    """OPTIMIZE ZORDER equivalent: after a z-order compact on (x, y),
+    range scans on EITHER column must skip files (a lexicographic sort
+    only tightens the leading column), and results stay identical to
+    read().filter()."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("x", T.LongType()),
+            T.StructField("y", T.LongType()),
+        ]
+    )
+    t = LakeTable.create(
+        spark,
+        str(tmp_path / "tz"),
+        schema,
+        ["id"],
+        num_buckets=1,
+        properties={"write.max-records-per-file": 64},
+    )
+    n = 1024
+    rows = [(i, (i * 37) % n, (i * 101) % n) for i in range(n)]
+    t.merge(
+        spark.createDataFrame(
+            [(i, "insert", a, b, c) for i, (a, b, c) in enumerate(rows, 1)],
+            "seq long, op string, id long, x long, y long",
+        ),
+        epoch=0,
+    )
+    res = t.compact(zorder=["x", "y"])
+    assert res["compacted_buckets"] == 1
+    files = t.snap["files"]["0"]
+    assert len(files) >= 8, files
+    for col in ("x", "y"):
+        plan = {}
+        got = sorted(
+            r["id"] for r in t.scan([(col, "<", 64)], plan_out=plan).collect()
+        )
+        want = sorted(
+            r["id"] for r in t.read().filter(F.col(col) < 64).collect()
+        )
+        assert got == want and len(got) == 64
+        assert plan["skipped_files"] > 0, (col, plan)
+    # whole-table content unchanged by the layout rewrite
+    assert t.read().count() == n
+
+
+def test_zorder_rejects_string_column(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("s", T.StringType())]
+    )
+    t = LakeTable.create(spark, str(tmp_path / "tz2"), schema, ["id"], num_buckets=1)
+    t.merge(
+        spark.createDataFrame(
+            [(1, "insert", 1, "a")], "seq long, op string, id long, s string"
+        ),
+        epoch=0,
+    )
+    with pytest.raises(ValueError):
+        t.compact(zorder=["s"])

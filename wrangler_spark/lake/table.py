@@ -747,7 +747,11 @@ class LakeTable:
         return win.drop("__src"), False
 
     def write_buckets(
-        self, df: DataFrame, version: int, pre_partitioned: bool = False
+        self,
+        df: DataFrame,
+        version: int,
+        pre_partitioned: bool = False,
+        sort_override: list | None = None,
     ) -> dict[str, list[str]]:
         """Write df (which must carry an int `__b` bucket column) under
         data/v<version>/, one directory per bucket; returns bucket→relpaths.
@@ -781,7 +785,11 @@ class LakeTable:
         if isinstance(sort_cols, str):
             sort_cols = [c.strip() for c in sort_cols.split(",") if c.strip()]
         out_df = df if pre_partitioned else df.repartition(F.col("__b"))
-        if sort_cols:
+        if sort_override is not None:
+            # caller-supplied sort expressions (zorder compaction) — may
+            # be Column objects, so the sort key never lands in the files
+            out_df = out_df.sortWithinPartitions("__b", *sort_override)
+        elif sort_cols:
             out_df = out_df.sortWithinPartitions("__b", *sort_cols)
         writer = out_df.write.mode("overwrite").partitionBy("__b")
         mrpf = props.get("write.max-records-per-file")
@@ -924,7 +932,59 @@ class LakeTable:
             "removed_snapshots": removed_meta,
         }
 
-    def compact(self, buckets: list[int] | None = None) -> dict:
+    def _zorder_column(self, df: DataFrame, cols: list[str], bits: int = 8) -> F.Column:
+        """Interleaved-bit Z-value over numeric/date/timestamp columns
+        (Iceberg/Delta OPTIMIZE ZORDER BY equivalent). Each column maps
+        to a 2^bits-bucket rank via approx-quantile boundaries (one
+        driver-side approxQuantile pass per column — metadata-scale),
+        then ranks interleave bitwise. 2^bits ranks per column (default 256 — far
+        finer than any realistic per-bucket file count, and the rank
+        fold costs 2^bits comparisons per row, so keep bits modest). Sorting by the Z-value clusters
+        rows so that EVERY participating column's per-file [min, max]
+        range is tight — a lexicographic multi-column sort only tightens
+        the leading column. Null ranks as 0 (sorts first)."""
+        n = len(cols)
+        ranks = []
+        for c in cols:
+            f_ = next(f for f in df.schema.fields if f.name.lower() == c.lower())
+            col = F.col(f_.name)
+            if isinstance(f_.dataType, (T.DateType, T.TimestampType, T.TimestampNTZType)):
+                col = col.cast("timestamp").cast("long")
+            elif not isinstance(
+                f_.dataType,
+                (T.ByteType, T.ShortType, T.IntegerType, T.LongType, T.FloatType, T.DoubleType),
+            ):
+                raise ValueError(
+                    f"zorder column {c!r} must be numeric/date/timestamp, got "
+                    f"{f_.dataType.simpleString()}"
+                )
+            col = col.cast("double")
+            probe = df.select(col.alias("__z"))
+            qs = [i / (1 << bits) for i in range(1, 1 << bits)]
+            bounds = probe.approxQuantile("__z", qs, 0.01)
+            # rank = count of boundaries below the value; boundaries ride
+            # as ONE literal array and the count is an aggregate fold —
+            # O(2^bits) comparisons inside codegen, no join, no shuffle
+            barr = F.array(*[F.lit(b) for b in bounds])
+            rank = F.aggregate(
+                barr,
+                F.lit(0),
+                lambda acc, b: acc + F.when(col > b, 1).otherwise(0),
+            )
+            ranks.append(F.coalesce(rank, F.lit(0)))
+        z = F.lit(0).cast("long")
+        for i in range(bits):
+            for j, r in enumerate(ranks):
+                bit = F.shiftright(r, i).bitwiseAND(F.lit(1)).cast("long")
+                z = z.bitwiseOR(F.shiftleft(bit, i * n + j))
+        return z
+
+    def compact(
+        self,
+        buckets: list[int] | None = None,
+        zorder: list[str] | None = None,
+        zorder_bits: int = 8,
+    ) -> dict:
         """Fold pending merge-on-read deltas into the base buckets
         (Iceberg `rewrite_data_files` over partitions with delete
         files). Only buckets that actually hold deltas are rewritten;
@@ -934,19 +994,39 @@ class LakeTable:
         Run this on a cadence (the Replayer's `compact_every` does it
         every K epochs): it bounds the delta volume the broadcast
         read-resolution carries AND the per-bucket small-file count
-        (each MoR epoch adds one delta file per touched bucket)."""
+        (each MoR epoch adds one delta file per touched bucket).
+
+        `zorder=[cols]` additionally rewrites the targeted buckets (ALL
+        requested buckets then, delta-bearing or not — it is a layout
+        rewrite, Delta/Iceberg `OPTIMIZE ... ZORDER BY`) sorted by an
+        interleaved-bit Z-value, so per-file stats are tight on EVERY
+        listed column and multi-predicate scans skip files on any of
+        them. Combine with `write.max-records-per-file` to bound the
+        skippable unit."""
         pending = self.snap.get("deltas", {})
-        targets = sorted(
-            int(b) for b in pending if pending[b] and (buckets is None or int(b) in buckets)
-        )
+        if zorder:
+            targets = sorted(
+                b for b in (range(self.num_buckets) if buckets is None else buckets)
+                if self.snap["files"].get(str(b)) or pending.get(str(b))
+            )
+        else:
+            targets = sorted(
+                int(b) for b in pending
+                if pending[b] and (buckets is None or int(b) in buckets)
+            )
         if not targets:
             return {"compacted_buckets": 0, "version": self.version}
         resolved, aligned = self._resolved(buckets=targets)
         resolved = resolved.withColumn("__b", self.bucket_expr(resolved))
         new_version = self.version + 1
+        sort_override = (
+            [self._zorder_column(resolved, zorder, zorder_bits)] if zorder else None
+        )
         # broadcast-resolved rows are still bucket-aligned (the base side
         # never shuffled); the degraded path re-clusters before writing
-        bucket_files = self.write_buckets(resolved, new_version, pre_partitioned=aligned)
+        bucket_files = self.write_buckets(
+            resolved, new_version, pre_partitioned=aligned, sort_override=sort_override
+        )
         for b in targets:
             bucket_files.setdefault(str(b), [])
         self.commit(bucket_files, clear_delta_buckets=targets)
