@@ -497,8 +497,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["rename_copy"] = q_rename_copy
 
     def q_fill_null(spark, d):
-        # folds: fill-null-or-empty + find-and-replace
-        return _run(
+        # folds: fill-null-or-empty + find-and-replace + stemming.
+        # w_porter is array<string> (one stem per word); the driver's
+        # canonicalizer can't hash list cells (r03 red row), so join it
+        # to a space-separated string — the stem list order is the word
+        # order, nothing is lost.
+        out = _run(
             spark, _t(spark, d, "documents"),
             ["fill-null-or-empty :lang 'unknown'",
              "find-and-replace :text 's/table/TABLE/g'",
@@ -508,6 +512,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
              "stemming :w",
              "keep :doc_id,:lang,:text,:w_porter"],
         )
+        return out.withColumn("w_porter", F.array_join("w_porter", " "))
     q["fill_null"] = q_fill_null
 
     def q_split_email(spark, d):
@@ -1357,8 +1362,8 @@ def oracle_sql() -> dict[str, str]:
         "fill_null": (
             "SELECT doc_id, CASE WHEN lang IS NULL OR lang = '' THEN 'unknown' ELSE lang END "
             "AS lang, regexp_replace(text, 'table', 'TABLE', 'g') AS text, "
-            "CASE doc_id % 4 WHEN 0 THEN ['run'] WHEN 1 THEN ['fli'] "
-            "WHEN 2 THEN ['happi'] ELSE ['caress'] END AS w_porter FROM documents"
+            "CASE doc_id % 4 WHEN 0 THEN 'run' WHEN 1 THEN 'fli' "
+            "WHEN 2 THEN 'happi' ELSE 'caress' END AS w_porter FROM documents"
         ),
         "split_email": (
             "SELECT doc_id, source AS email_account, 'example.com' AS email_domain, "

@@ -66,8 +66,21 @@ def main() -> None:
             print(f"FAIL  {name}: rows {len(sdf)} vs {len(odf)}")
             n_fail += 1
             continue
-        s1 = sdf.astype(str).apply("|".join, axis=1).sort_values().reset_index(drop=True)
-        s2 = odf.astype(str).apply("|".join, axis=1).sort_values().reset_index(drop=True)
+        # Faithful to the driver: sort ROWS by all columns with pandas
+        # sort_values (factorizes object cells — unhashable list/dict
+        # cells raise TypeError here exactly like the driver's
+        # canonicalizer; r03's fill_null red row passed the old
+        # stringify-first sweep while failing the driver).
+        try:
+            sdf = sdf.sort_values(list(sdf.columns)).reset_index(drop=True)
+            odf = odf.sort_values(list(odf.columns)).reset_index(drop=True)
+        except TypeError as e:
+            print(f"FAIL  {name}: driver-style row sort raised {e!r} "
+                  f"(unhashable cell type — emit scalars, not lists)")
+            n_fail += 1
+            continue
+        s1 = sdf.astype(str).apply("|".join, axis=1).reset_index(drop=True)
+        s2 = odf.astype(str).apply("|".join, axis=1).reset_index(drop=True)
         if not (s1 == s2).all():
             bad = (s1 != s2).idxmax()
             print(f"FAIL  {name}: value mismatch at sorted row {bad}:\n"

@@ -45,10 +45,14 @@ class Replicator:
         replica: LakeTable,
         recipe: str | list[str] | CompiledRecipe | None = None,
         mode: str = "cow",
+        on_error: str = "fail",
     ):
+        if on_error not in ("fail", "skip"):
+            raise ValueError(f"on_error must be 'fail' or 'skip', got {on_error!r}")
         self.source = source
         self.replica = replica
         self.mode = mode
+        self.on_error = on_error
         if recipe is not None and not isinstance(recipe, CompiledRecipe):
             recipe = compile_recipe(recipe)
         self.recipe = recipe
@@ -93,6 +97,7 @@ class Replicator:
                 F.when(F.col("__deleted"), "delete").otherwise("insert").alias("op"),
                 *[f.name for f in src.schema.fields],
             )
+        recipe_errors = 0
         if self.recipe is not None:
             from wrangler_spark.recipe.registry import RecipeContext
 
@@ -100,6 +105,20 @@ class Replicator:
             missing = [c for c in ("seq", "op") if c not in ev.columns]
             if missing:
                 raise ValueError(f"replication recipe dropped control columns {missing}")
+            # rows the recipe routed to the error port would otherwise
+            # vanish from the replica with the watermark still advancing
+            # past their window — never retried, silent divergence.
+            # Count them and surface the count; by default refuse to
+            # advance past them (on_error='fail'). 'skip' keeps the old
+            # drop-but-now-visible behavior for lossy views.
+            if _err is not None:
+                recipe_errors = _err.count()
+                if recipe_errors and self.on_error == "fail":
+                    raise RuntimeError(
+                        f"replication recipe errored on {recipe_errors} change "
+                        f"rows in window ({v0}, {v1}]; watermark NOT advanced "
+                        "(pass on_error='skip' to drop them and continue)"
+                    )
         # epoch = the window's upper bound: re-running the same window
         # (crash between merge and caller's bookkeeping) is a fenced
         # no-op inside the replica's own committed_epochs
@@ -114,11 +133,15 @@ class Replicator:
         # between a prior sync's merge and its stamp would otherwise
         # wedge every future sync on a permanently-skipping epoch)
         if v1 > self._replicated_version():
-            self.replica.commit({}, properties={"replicated_source_version": int(v1)})
+            self.replica.commit(
+                {}, properties={"replicated_source_version": int(v1)},
+                change_files=[],  # property stamp: no data change
+            )
         return {
             "skipped": bool(res.get("skipped")),
             "source_version": v1,
             "from_version": v0,
             "events": res.get("events", 0),
+            "recipe_errors": recipe_errors,
             "replica_version": self.replica.version,
         }

@@ -216,7 +216,7 @@ def cmd_replicate(args) -> int:
     src = LakeTable.load(spark, args.source)
     dst = LakeTable.load(spark, args.replica)
     recipe = _read_recipe(args.recipe) if args.recipe else None
-    rep = Replicator(src, dst, recipe=recipe, mode=args.mode)
+    rep = Replicator(src, dst, recipe=recipe, mode=args.mode, on_error=args.on_error)
     print(json.dumps(rep.sync()))
     return 0
 
@@ -230,6 +230,8 @@ def cmd_scan(args) -> int:
     import re
     import sys
 
+    from pyspark.sql import types as T
+
     from wrangler_spark.lake.table import LakeTable
 
     spark = _spark(args)
@@ -240,12 +242,24 @@ def cmd_scan(args) -> int:
         if not m:
             raise SystemExit(f"bad --filter {raw!r}; want col<op>value")
         col, op, val = m.groups()
-        for cast in (int, float):
-            try:
-                val = cast(val)
-                break
-            except ValueError:
-                continue
+        # Coerce numeric-looking values ONLY when the table column is
+        # numeric — '00123' on a string key must stay '00123', else the
+        # point-lookup bucket pin hashes '123' and silently misses.
+        fld = next(
+            (f for f in table.schema.fields if f.name.lower() == col.lower()), None
+        )
+        numeric = fld is not None and isinstance(
+            fld.dataType,
+            (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+             T.FloatType, T.DoubleType, T.DecimalType),
+        )
+        if numeric:
+            for cast in (int, float):
+                try:
+                    val = cast(val)
+                    break
+                except ValueError:
+                    continue
         filters.append((col, op, val))
     plan: dict = {}
     df = table.scan(filters, plan_out=plan)
@@ -372,6 +386,10 @@ def build_parser() -> argparse.ArgumentParser:
     rp2.add_argument("--replica", required=True)
     rp2.add_argument("--recipe", default=None, help="recipe file applied to the change stream")
     rp2.add_argument("--mode", default="cow", choices=["cow", "mor"])
+    rp2.add_argument(
+        "--on-error", dest="on_error", default="fail", choices=["fail", "skip"],
+        help="recipe error rows: fail the sync (watermark not advanced) or drop visibly",
+    )
     rp2.set_defaults(fn=cmd_replicate)
 
     sc = sub.add_parser("scan", help="stats-pruned filtered read (data skipping)")

@@ -257,9 +257,13 @@ def merge_into(
             props["last_epoch"] = int(epoch)
         if metrics["max_seq"] is not None:
             props["max_seq"] = int(metrics["max_seq"])
+        # mor change-data manifest is FREE: the delta files ARE this
+        # commit's change candidates (winner rows + __seq/__deleted) —
+        # table_changes reads them instead of diffing snapshots
+        change_rels = [r for rels in delta_files.values() for r in rels]
         table.commit(
             {}, epoch=epoch, properties=props, schema=schema, aliases=aliases,
-            new_delta_files=delta_files,
+            new_delta_files=delta_files, change_files=change_rels,
         )
         winners.unpersist()
         mx.unpersist()
@@ -374,6 +378,16 @@ def merge_into(
     new_version = table.version + 1
     _t1 = _time.time()
     bucket_files = table.write_buckets(merged, new_version, pre_partitioned=pre_partitioned)
+    # change-data files (Delta CDF equivalent): persist THIS commit's
+    # winner set so table_changes over the window is O(changes), never
+    # a full snapshot diff. Winners are cached and tiny next to the
+    # bucket rewrite; stale winners (lost vs base) are fine — the
+    # changelog read's v0-probe LWW resolves them away.
+    change_rels: list[str] | None
+    if str(table.snap.get("properties", {}).get("changelog.enabled", "true")).lower() != "false":
+        change_rels = table.write_change_files(changes_aligned, new_version)
+    else:
+        change_rels = None
     _t_write = _time.time() - _t1
     # buckets that were affected but ended up empty (all keys deleted)
     for b in affected:
@@ -391,7 +405,7 @@ def merge_into(
         props["max_seq"] = int(metrics["max_seq"])
     table.commit(
         bucket_files, epoch=epoch, properties=props, schema=schema, aliases=aliases,
-        clear_delta_buckets=affected,
+        clear_delta_buckets=affected, change_files=change_rels,
     )
     winners.unpersist()
     mx.unpersist()

@@ -90,6 +90,13 @@ def _stat_norm(v):
         except UnicodeDecodeError:
             return None
     if isinstance(v, _dt.datetime):
+        # pyarrow footer stats for Spark timestamp columns come back
+        # tz-aware UTC; filter values are typically naive. Normalize
+        # BOTH to naive-UTC isoformat so the lexicographic compare is
+        # chronological — an unstripped '+00:00' suffix sorts after an
+        # equal naive prefix and silently mis-prunes.
+        if v.tzinfo is not None:
+            v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
         return v.isoformat(sep=" ")
     if isinstance(v, _dt.date):
         return v.isoformat()
@@ -312,6 +319,7 @@ class LakeTable:
             "committed_epochs": [],
             "aliases": {},  # field(lower) -> prior names in old files
             "parent": None,
+            "changes": [],  # this commit's change-data files (empty table)
         }
         t = LakeTable(spark, path, snap)
         t._write_snapshot()
@@ -456,24 +464,50 @@ class LakeTable:
         return df.filter(~F.col("__deleted")).drop("__seq", "__deleted")
 
     # ------------------------------------------------------------ scan (data skipping)
-    def _bucket_of(self, key_values: dict) -> int:
+    def _bucket_of(self, key_values: dict) -> int | None:
         """Bucket of one fully-pinned key — the same xxhash64 Spark uses
         (bucket_expr), evaluated over a single literal row. One
-        constant-folded 1-row job; the point-lookup planning cost."""
+        constant-folded 1-row job; the point-lookup planning cost.
+
+        bucket_expr hashes F.col(k).cast('string'), i.e. the STORED
+        dtype's string rendering — a raw F.lit(v) can render differently
+        when the Python literal's type doesn't match the key column
+        (lit 5 → '5' vs a double key → '5.0'; cli.py coerces '00123' to
+        int 123 → '123' vs stored string '00123'), pinning the WRONG
+        bucket and silently returning zero rows. So cast each literal
+        through the schema dtype first, and return None (no pinning,
+        residual filter still applies) when the value does not survive
+        that cast losslessly."""
+        fields = {f.name.lower(): f for f in self.schema.fields}
+        lits = []
+        for k in self.key_cols:
+            fld = fields.get(k.lower())
+            if fld is None:
+                return None
+            # a non-string literal on a STRING key is never pinnable:
+            # the residual filter compares under numeric coercion, so
+            # stored '00123' matches value 123 — but they hash to
+            # different buckets under any rendering. Bail to no pinning.
+            if isinstance(fld.dataType, T.StringType) and not isinstance(
+                key_values[k], str
+            ):
+                return None
+            lits.append(F.lit(key_values[k]).cast(fld.dataType).cast("string"))
         row = (
             self.spark.range(1)
             .select(
-                F.pmod(
-                    F.xxhash64(
-                        *[F.lit(key_values[k]).cast("string") for k in self.key_cols]
-                    ),
-                    F.lit(self.num_buckets),
-                )
+                F.pmod(F.xxhash64(*lits), F.lit(self.num_buckets))
                 .cast("int")
-                .alias("b")
+                .alias("b"),
+                *[lit.isNull().alias(f"__null{i}") for i, lit in enumerate(lits)],
             )
             .first()
         )
+        # a literal that nulls out under the key dtype can't be pinned
+        # (lenient cast swallowed it — e.g. 'abc' on an int key); fall
+        # back to no pruning and let the residual filter decide
+        if any(bool(row[f"__null{i}"]) for i in range(len(lits))):
+            return None
         return int(row["b"])
 
     def _file_can_match(self, fstats: dict | None, filters: list) -> bool:
@@ -482,6 +516,17 @@ class LakeTable:
         if not fstats:
             return True
         for col, op, val in filters:
+            # naive datetime filter literals are interpreted by the
+            # residual Spark filter in the SESSION timezone; footer
+            # stats are normalized to naive-UTC. Only prune on them
+            # when the session is UTC (the engine default) — otherwise
+            # a naive literal means a different instant than the stat.
+            if (
+                isinstance(val, _dt.datetime)
+                and val.tzinfo is None
+                and self.spark.conf.get("spark.sql.session.timeZone", "UTC") != "UTC"
+            ):
+                continue
             v = _stat_norm(val)
             if v is None:
                 continue
@@ -541,7 +586,8 @@ class LakeTable:
         point = bool(keys_l) and all(k in eq for k in keys_l)
         if point:
             b = self._bucket_of({k: eq[k.lower()] for k in self.key_cols})
-            cand = [x for x in cand if x == b]
+            if b is not None:
+                cand = [x for x in cand if x == b]
         stats = self.snap.get("stats", {})
         deltas = self.snap.get("deltas", {})
         kept: list[str] = []
@@ -702,6 +748,14 @@ class LakeTable:
         # small, this is cheap and map-side-combining
         dmx = delta.groupBy(*keys).agg(F.max("__seq").alias("__seq"))
         dwin = delta.join(dmx, on=[*keys, "__seq"], how="inner")
+        # Two delta files can carry the SAME (key, seq) row — e.g. a
+        # mor Replicator retry after a crash between merge and watermark
+        # stamp replays an overlapping window under a new fencing epoch.
+        # The max-seq join keeps every tied copy; without this dedupe
+        # read()/scan() emit duplicate rows and compact() bakes them
+        # into the base. CoW is immune via its strict s.seq > t.seq
+        # guard — keep MoR's resolved state identical.
+        dwin = dwin.dropDuplicates(keys)
         limit = int(
             self.snap.get("properties", {}).get("mor.read.broadcast_bytes", 64 << 20)
         )
@@ -744,6 +798,10 @@ class LakeTable:
             on=[*keys, "__seq", "__src"],
             how="inner",
         )
+        # same duplicate-delta-at-tied-seq guard as the broadcast path
+        # (base rows are unique per key by the table invariant, so this
+        # only collapses tied delta copies)
+        win = win.dropDuplicates(keys)
         return win.drop("__src"), False
 
     def write_buckets(
@@ -810,6 +868,23 @@ class LakeTable:
             out[b] = rels
         return out
 
+    def write_change_files(self, df: DataFrame, version: int) -> list[str]:
+        """Persist one commit's change-candidate rows (schema cols +
+        __seq/__deleted) as change-data files (Delta CDF `_change_data`
+        equivalent); returns relpaths for the commit's `changes`
+        manifest. Plain parquet — the changelog read scans whole window
+        files, so bucket layout buys nothing here."""
+        staging_rel = os.path.join(
+            _DATA, f"v{version:06d}-cdf-{uuid.uuid4().hex[:8]}"
+        )
+        staging = os.path.join(self.path, staging_rel)
+        df.drop("__b").write.mode("overwrite").parquet(staging)
+        return [
+            os.path.join(staging_rel, fn)
+            for fn in os.listdir(staging)
+            if fn.endswith(".parquet")
+        ]
+
     # ------------------------------------------------------------ commit
     def commit(
         self,
@@ -820,15 +895,27 @@ class LakeTable:
         aliases: dict | None = None,
         new_delta_files: dict[str, list[str]] | None = None,
         clear_delta_buckets: list[int] | None = None,
+        change_files: list[str] | None = None,
     ) -> None:
         """Commit a new snapshot. `new_bucket_files` REPLACES the listed
         buckets' base files (copy-on-write rewrite); `new_delta_files`
         APPENDS merge-on-read delta files per bucket;
         `clear_delta_buckets` drops pending deltas the commit absorbed
-        (a copy-on-write rewrite or a compaction of those buckets)."""
+        (a copy-on-write rewrite or a compaction of those buckets).
+
+        `change_files` is THIS commit's change-data manifest (Delta CDF
+        / Iceberg changelog equivalent): relpaths of parquet files
+        holding the commit's change-candidate rows (the merge winner
+        set, schema cols + __seq/__deleted). Pass [] for commits that
+        provably do not change resolved table state (compaction,
+        rescale, property stamps); leave None for commits whose change
+        set is unknown — `table_changes` falls back to a full snapshot
+        diff across any window containing an unknown commit."""
         snap = dict(self.snap)
         snap["parent"] = snap["version"]
         snap["version"] = snap["version"] + 1
+        # per-commit field — never inherited from the parent snapshot
+        snap["changes"] = list(change_files) if change_files is not None else None
         files = dict(snap["files"])
         files.update(new_bucket_files)
         snap["files"] = files
@@ -908,6 +995,9 @@ class LakeTable:
                 live.update(rels)
             for rels in snap.get("deltas", {}).values():
                 live.update(rels)
+            # change-data files referenced by a retained commit stay
+            # readable for incremental table_changes over that window
+            live.update(snap.get("changes") or [])
         removed_files = 0
         data_dir = os.path.join(self.path, _DATA)
         for root, _dirs, files in os.walk(data_dir, topdown=False):
@@ -1029,7 +1119,7 @@ class LakeTable:
         )
         for b in targets:
             bucket_files.setdefault(str(b), [])
-        self.commit(bucket_files, clear_delta_buckets=targets)
+        self.commit(bucket_files, clear_delta_buckets=targets, change_files=[])
         return {"compacted_buckets": len(targets), "version": self.version}
 
     def rescale(self, num_buckets: int) -> dict:
@@ -1054,6 +1144,7 @@ class LakeTable:
             str(b): bucket_files.get(str(b), []) for b in range(int(num_buckets))
         }
         snap["deltas"] = {}
+        snap["changes"] = []  # rescale does not change resolved state
         _refresh_stats(self.path, snap)
         self.snap = snap
         self._write_snapshot()
@@ -1067,13 +1158,143 @@ class LakeTable:
         Emits one row per key whose resolved state differs between the
         snapshots: payload columns at the `to` state (null for deletes),
         `_change_op` ∈ insert|update|delete, and `_change_seq` (the
-        winning commit sequence at `to`). Implementation is a snapshot
-        diff on the co-bucketed key columns — both sides share the
-        bucket layout, and the join projects (keys, seq, deleted) from
-        the old side only, so the old snapshot contributes a skinny
-        column-pruned scan, not a second payload read."""
+        winning commit sequence at `to`).
+
+        Fast path — commit-scoped change data (Delta CDF / Iceberg
+        changelog-scan equivalent): when every commit in the window
+        recorded its change manifest (merges always do; compact/rescale
+        record provably-empty ones), the read is
+          O(window change rows) + a bucket-pruned (keys, seq, deleted)
+          probe of the v0 snapshot restricted to touched keys
+        — never a table scan. A Replicator.sync() per epoch then pays
+        for the epoch's rows, not the table (the r3 scale hole: a
+        10^-3-fraction window used to cost two full snapshot scans).
+        Net-change semantics come from an LWW resolve of
+        {v0 state} ∪ {window change rows} per key (base wins seq ties,
+        identical to read-time MoR resolution), so stale candidates and
+        duplicate retries drop out exactly as they do in read().
+
+        Fallback — any window commit without a manifest (pre-feature
+        snapshot, external writer, changelog.enabled=false) falls back
+        to the full snapshot diff below."""
         if to_version is None:
             to_version = self.version
+        from_version, to_version = int(from_version), int(to_version)
+        new = LakeTable.load(self.spark, self.path, version=to_version)
+        schema, aliases, keys = new.schema, new.aliases, self.key_cols
+        if to_version <= from_version:
+            return self._empty_changes(schema, keys)
+        rels: list[str] = []
+        recorded = True
+        meta_dir = os.path.join(self.path, _META)
+        for v in range(from_version + 1, to_version + 1):
+            p = os.path.join(meta_dir, f"version-{v:06d}.json")
+            if not os.path.exists(p):
+                recorded = False
+                break
+            with open(p) as f:
+                s = json.load(f)
+            ch = s.get("changes")
+            if ch is None:
+                recorded = False
+                break
+            rels.extend(ch)
+        if not recorded:
+            return self._table_changes_diff(from_version, to_version)
+        # v0 must still be retained — same contract as the diff path
+        old = LakeTable.load(self.spark, self.path, version=from_version)
+        if not rels:
+            return self._empty_changes(schema, keys)
+        w = self._read_files(
+            [os.path.join(self.path, r) for r in rels], schema=schema, aliases=aliases
+        )
+        payload = [f.name for f in schema.fields if f.name not in keys]
+        # touched buckets under the OLD layout (the window may rescale)
+        buckets = sorted(
+            r["__b"]
+            for r in w.select(old.bucket_expr(w).alias("__b")).distinct().collect()
+        )
+        old_df, _ = old._resolved(buckets=buckets, schema=schema, aliases=aliases)
+        old_k = old_df.select(*keys, "__seq", "__deleted").join(
+            w.select(*keys).distinct(), on=keys, how="left_semi"
+        )
+        wsrc = w.select(*keys, *payload, "__seq", "__deleted").withColumn(
+            "__src", F.lit(0)
+        )
+        ptypes = {f.name: f.dataType for f in schema.fields}
+        osrc = old_k.select(
+            *keys,
+            *[F.lit(None).cast(ptypes[c]).alias(c) for c in payload],
+            "__seq",
+            "__deleted",
+        ).withColumn("__src", F.lit(1))
+        allr = wsrc.unionByName(osrc)
+        # LWW winner per key; __src=1 (v0 state) wins seq ties, mirroring
+        # base-wins-ties read resolution
+        mx = allr.groupBy(*keys).agg(F.max(F.struct("__seq", "__src")).alias("__m"))
+        win = (
+            allr.join(
+                mx.select(
+                    *keys,
+                    F.col("__m.__seq").alias("__seq"),
+                    F.col("__m.__src").alias("__src"),
+                ),
+                on=[*keys, "__seq", "__src"],
+                how="inner",
+            )
+            .dropDuplicates(keys)  # tied duplicate retries collapse
+            .filter(F.col("__src") == 0)  # v0-state winner ⇒ no net change
+        )
+        om = old_k.select(
+            *[F.col(k).alias(f"__o_{k}") for k in keys],
+            F.col("__seq").alias("__o_seq"),
+            F.col("__deleted").alias("__o_del"),
+        )
+        cond = None
+        for k in keys:
+            c = F.col(k).eqNullSafe(F.col(f"__o_{k}"))
+            cond = c if cond is None else (cond & c)
+        j = win.join(om, cond, "left")
+        was_live = F.col("__o_seq").isNotNull() & ~F.coalesce(
+            F.col("__o_del"), F.lit(False)
+        )
+        is_live = ~F.col("__deleted")
+        op = (
+            F.when(is_live & ~was_live, F.lit("insert"))
+            .when(~is_live & was_live, F.lit("delete"))
+            .when(is_live & was_live, F.lit("update"))
+        )
+        return (
+            j.withColumn("_change_op", op)
+            .filter(F.col("_change_op").isNotNull())
+            .select(
+                *keys,
+                *[
+                    F.when(F.col("_change_op") != "delete", F.col(c)).alias(c)
+                    for c in payload
+                ],
+                "_change_op",
+                F.col("__seq").alias("_change_seq"),
+            )
+        )
+
+    def _empty_changes(self, schema: T.StructType, keys: list[str]) -> DataFrame:
+        payload = [f for f in schema.fields if f.name not in keys]
+        kf = [f for f in schema.fields if f.name in keys]
+        out = T.StructType(
+            [*kf, *payload,
+             T.StructField("_change_op", T.StringType()),
+             T.StructField("_change_seq", T.LongType())]
+        )
+        return self.spark.createDataFrame([], out)
+
+    def _table_changes_diff(self, from_version: int, to_version: int) -> DataFrame:
+        """Full snapshot diff (the pre-manifest changelog): a full-outer
+        join of the two resolved snapshots on the co-bucketed key
+        columns — old side projected to (keys, seq, deleted) so it
+        contributes a skinny column-pruned scan. O(table) per window;
+        kept as the fallback for windows containing a commit without a
+        change manifest."""
         old = LakeTable.load(self.spark, self.path, version=from_version)
         new = LakeTable.load(self.spark, self.path, version=to_version)
         keys = self.key_cols
