@@ -135,3 +135,53 @@ def test_bootstrap_after_changelog_retention_expired(spark, mk_table):
     r = rep.sync()
     assert not r["skipped"]
     assert state(LakeTable.load(spark, dst.path)) == state(src)
+
+
+def test_replication_with_recipe_through_mid_stream_rename(spark, mk_table):
+    """VERDICT r3 task #8: the read-alias path composed with a
+    replication recipe. The source renames a column mid-replication;
+    the replica (an incremental materialized view) must follow the
+    rename — NOT degrade it into add-column, which would wedge the old
+    column at NULL — and keep converging in later windows."""
+    src, dst = mk_table("src5"), mk_table("dst5")
+    rep = Replicator(src, dst, recipe=["uppercase :content"])
+    src.merge(ch(spark, EPOCH0), epoch=0)
+    rep.sync()
+
+    # mid-stream: source renames lang -> language (one key touched)
+    newschema = (
+        "seq long, op string, repo string, path string, commit string, "
+        "language string, content string"
+    )
+    c1 = spark.createDataFrame([(30, "update", "r1", "a.py", "c3", "PY", "a2")], newschema)
+    src.merge(c1, epoch=1, renames={"lang": "language"})
+    rep.sync()
+
+    replica = LakeTable.load(spark, rep.replica.path)
+    names = [f.name for f in replica.schema.fields]
+    assert "language" in names and "lang" not in names
+
+    def snap(t, xform):
+        return {
+            (r["repo"], r["path"]): (r["language"], xform(r["content"]))
+            for r in t.read().collect()
+        }
+
+    # every key — including those whose replica files predate the
+    # rename and resolve through the alias — must match the source,
+    # with the recipe's transform applied
+    assert snap(replica, lambda c: c) == snap(src, lambda c: c and c.upper())
+
+    # post-rename steady state: the next window still flows
+    c2 = spark.createDataFrame(
+        [(40, "insert", "r9", "z.py", "c9", "py", "zz"),
+         (41, "delete", "r3", "y.rs", None, None, None)],
+        newschema,
+    )
+    src.merge(c2, epoch=2)
+    rep.sync()
+    replica2 = LakeTable.load(spark, rep.replica.path)
+    got = snap(replica2, lambda c: c)
+    assert got[("r9", "z.py")] == ("py", "ZZ")
+    assert ("r3", "y.rs") not in got
+    assert got == snap(src, lambda c: c and c.upper())

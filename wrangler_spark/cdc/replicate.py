@@ -119,6 +119,23 @@ class Replicator:
                         f"rows in window ({v0}, {v1}]; watermark NOT advanced "
                         "(pass on_error='skip' to drop them and continue)"
                     )
+        # schema evolution across the window: a source RENAME must not
+        # degrade into add-column on the replica (which would wedge the
+        # old column at NULL for every later row — silent divergence).
+        # The source snapshot's read-alias map records current→former
+        # names; translate any alias whose former name is still live in
+        # the replica into a merge rename, composed with renames the
+        # replication recipe itself declares (same contract as the
+        # Replayer's recipe-rename pass-through).
+        renames = dict(self.recipe.renames()) if self.recipe else {}
+        rep_cols = {f.name.lower() for f in self.replica.schema.fields}
+        ev_cols = {c.lower() for c in ev.columns}
+        for cur, olds in src.snap.get("aliases", {}).items():
+            if cur.lower() in ev_cols and cur.lower() not in rep_cols:
+                for old in olds:
+                    if old.lower() in rep_cols:
+                        renames.setdefault(old, cur)
+                        break
         # epoch = the window's upper bound: re-running the same window
         # (crash between merge and caller's bookkeeping) is a fenced
         # no-op inside the replica's own committed_epochs
@@ -128,6 +145,7 @@ class Replicator:
             op_col="op",
             epoch=v1,
             mode=self.mode,
+            renames=renames or None,
         )
         # stamp the watermark — also when the merge was FENCED (a crash
         # between a prior sync's merge and its stamp would otherwise
