@@ -64,7 +64,9 @@ def parse_as_csv(call: DirectiveCall):
         n = max(len(split_line(p)) for p in peek)
         use_header = header and _looks_like_header(first)
         if use_header:
-            names = [f.strip() for f in first]
+            # reference CsvParser.java:150 — header cells are trimmed
+            # and inner whitespace runs collapse to '_'
+            names = [re.sub(r"\s+", "_", f.strip()) for f in first]
             names += [f"{c}_{i + 1}" for i in range(len(names), n)]
         else:
             names = [f"{c}_{i + 1}" for i in range(n)]
@@ -72,10 +74,18 @@ def parse_as_csv(call: DirectiveCall):
         parsed = F.from_csv(s, ddl, {"delimiter": delim, "quote": '"', "escape": "\\"})
         out = df.withColumn("__wr_csv", parsed)
         if use_header:
-            # drop the header record itself (reference drops the first
-            # record that matched the header shape)
-            hdr = F.struct(*[F.lit(nm).alias(nm) for nm in names])
-            out = out.filter(F.col("__wr_csv") != hdr)
+            # drop the header record itself (reference consumes the
+            # record the headers came from) — compare each cell through
+            # the same sanitization the names went through, so
+            # ' last \t name' still matches header 'last_name'
+            hdr_cond = None
+            for k, nm in enumerate(names[: len(first)]):
+                cell = F.regexp_replace(
+                    F.trim(F.col("__wr_csv").getField(nm)), r"\s+", "_"
+                )
+                eq = cell == F.lit(nm)
+                hdr_cond = eq if hdr_cond is None else (hdr_cond & eq)
+            out = out.filter(~F.coalesce(hdr_cond, F.lit(False)))
         for nm in names:
             out = out.withColumn(nm, F.col("__wr_csv").getField(nm))
         return out.drop("__wr_csv")
@@ -100,6 +110,18 @@ def parse_as_json(call: DirectiveCall):
         if not sample:
             return df
         schema = _merged_json_schema(df.sparkSession, sample)
+        if isinstance(schema, T.ArrayType):
+            # top-level JSON array → one row per element (reference
+            # JsParser.java:130-141): object elements stay JSON (a
+            # following parse-as-json flattens them), primitives become
+            # the column value directly
+            el = F.explode_outer(F.from_json(F.trim(s), schema))
+            out = df.withColumn("__wr_el", el)
+            if isinstance(schema.elementType, T.StructType):
+                out = out.withColumn(c, F.to_json("__wr_el"))
+            else:
+                out = out.withColumn(c, F.col("__wr_el"))
+            return out.drop("__wr_el")
         parsed = F.from_json(s, schema)
         out = df.withColumn("__wr_json", parsed)
         out = _flatten_struct(out, "__wr_json", c, depth)
@@ -122,7 +144,7 @@ def _merged_json_schema(spark, sample: list[str]) -> T.DataType:
             continue
         t = _py_to_spark_type(obj)
         merged = t if merged is None else _merge_types(merged, t)
-    if merged is None or not isinstance(merged, T.StructType):
+    if merged is None or not isinstance(merged, (T.StructType, T.ArrayType)):
         return T.StructType()
     return _denull(merged)
 

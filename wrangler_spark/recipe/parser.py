@@ -278,8 +278,10 @@ def tokenize_segment(seg: str, raw_tail: int | None = None) -> list[Tok]:
         while j < n and not seg[j].isspace():
             j += 1
         word = seg[i:j]
-        # ':a, :b' style list with spaces after commas — merge with following
-        while word.endswith(",") and j < n:
+        # ':a, :b' style list with spaces after commas — merge with
+        # following. A SOLITARY comma is not a list fragment but a bare
+        # delimiter argument (reference v1 syntax: `parse-as-csv body , false`)
+        while len(word) > 1 and word.endswith(",") and j < n:
             while j < n and seg[j].isspace():
                 j += 1
             k = j
@@ -396,8 +398,46 @@ def parse_recipe(recipe: str | list[str]) -> list[DirectiveCall]:
         if not m:
             raise DirectiveParseError("cannot parse directive", line=ln, source=stmt)
         name = m.group(1).lstrip("!").lower()
-        name = ALIASES.get(name, name)
         tail = m.group(2)
+        # v1 keyword forms (reference parser/MigrateToV2.java:68-83):
+        # `set column <name> <expr>` → set-column, `set columns <a,b,…>`
+        # → set-headers. Plain `set <col> <expr>` falls through to the
+        # set-column alias below.
+        if name == "set":
+            head = tail.strip().split(None, 1)
+            kw = head[0].lower() if head else ""
+            if kw == "column":
+                tail = head[1] if len(head) > 1 else ""
+            elif kw == "columns":
+                name = "set-headers"
+                tail = head[1] if len(head) > 1 else ""
+        # v1 `filter-rows-on <subcommand> …` → the v2 filter directives,
+        # exactly the reference's MigrateToV2.java:230-258 rewrites
+        if name == "filter-rows-on":
+            head = tail.strip().split(None, 1)
+            cmd = head[0].lower() if head else ""
+            rest = head[1].strip() if len(head) > 1 else ""
+            if cmd == "condition-false":
+                name, tail = "filter-row", f"exp:{{{rest}}} false"
+            elif cmd == "condition-true":
+                name, tail = "filter-row", f"exp:{{{rest}}} true"
+            elif cmd == "empty-or-null-columns":
+                name, tail = "filter-empty-or-null", rest
+            elif cmd in ("regex-match", "regex-not-match"):
+                parts = rest.split(None, 1)
+                if len(parts) != 2:
+                    raise DirectiveParseError(
+                        "filter-rows-on: expected <column> <regex>", line=ln, source=stmt
+                    )
+                colname, pat = parts[0].lstrip(":"), parts[1]
+                mode = "if-matched" if cmd == "regex-match" else "if-not-matched"
+                pat = pat.replace("\\", "\\\\").replace("'", "\\'")
+                name, tail = "filter-by-regex", f"{mode} :{colname} '{pat}'"
+            else:
+                raise DirectiveParseError(
+                    f"filter-rows-on: unknown option {cmd!r}", line=ln, source=stmt
+                )
+        name = ALIASES.get(name, name)
         toks = tokenize_segment(tail, RAW_TAIL.get(name))
         calls.append(DirectiveCall(name=name, toks=toks, line_no=ln, source=stmt, pragmas=pragmas))
     return calls
