@@ -875,7 +875,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_extract_regex(spark, d):
         return _run(
             spark, _t(spark, d, "documents"),
-            [r"extract-regex-groups :text '^(\w+) (\w+)'", "keep :doc_id,:text_1,:text_2"],
+            [r"extract-regex-groups :text '^(\w+) (\w+)'",
+             "keep :doc_id,:text_1_1,:text_1_2"],
         )
     q["extract_regex"] = q_extract_regex
 
@@ -1523,8 +1524,8 @@ def oracle_sql() -> dict[str, str]:
             "END AS s2 FROM b"
         ),
         "extract_regex": (
-            r"SELECT doc_id, regexp_extract(text, '^(\w+) (\w+)', 1) AS text_1, "
-            r"regexp_extract(text, '^(\w+) (\w+)', 2) AS text_2 FROM documents"
+            r"SELECT doc_id, regexp_extract(text, '^(\w+) (\w+)', 1) AS text_1_1, "
+            r"regexp_extract(text, '^(\w+) (\w+)', 2) AS text_1_2 FROM documents"
         ),
         "uppercase_trim": (
             "SELECT doc_id, upper(trim('  ' || lang || ' ')) AS padded, "

@@ -10,6 +10,10 @@ Covered here:
   commas, v1 `set columns` / `filter-rows-on`)
 - parser/JsParserTest.java (array-of-objects → rows, array-of-numbers,
   trailing whitespace, depth-controlled flattening)
+- transformation/ExtractRegexGroupsTest.java (all-matches extraction,
+  email/SSN/phone tables)
+- column/SetTypeTest.java (I64/I32 bug-compat aliases, `> 0` boolean
+  semantics, big-endian byte[] decoding incl. IEEE bit patterns)
 """
 
 from pyspark.sql import functions as F
@@ -181,3 +185,129 @@ def test_json_depth_controlled_flattening(spark):
     ok2, _ = execute(spark, ["parse-as-json b2 2"], df2)
     assert {"b2_name_first", "b2_name_last"} <= set(ok2.columns)
     assert ok2.first()["b2_name_first"] == "Root"
+
+
+# ----------------------------------------------- ExtractRegexGroupsTest
+
+def test_extract_regex_all_matches(spark):
+    """ExtractRegexGroupsTest.testRegexGroups / testEmailRegex: the
+    Matcher.find() loop emits one value per MATCH (column_<m>_<g>),
+    not just the first — 'two@emails.com, another@one.com' yields two
+    columns; non-matching rows null-pad."""
+    regex = r"[^(]+\(([0-9]{4})\).*"
+    df = spark.createDataFrame(
+        [("Toy Story (1995)",), ("Toy Story",)], "column string"
+    )
+    ok, _ = execute(spark, [f"extract-regex-groups :column '{regex}'"], df)
+    got = {r["column"]: r["column_1_1"] for r in ok.collect()}
+    assert got == {"Toy Story (1995)": "1995", "Toy Story": None}
+
+    email = r"((?:\S+|\".*?\")+@[a-zA-Z0-9\.-]+(?:\.[a-zA-Z]{2,6})?)"
+    inputs = {
+        "this is not an email": [],
+        "@": [],
+        "test@example.com": ["test@example.com"],
+        "two@emails.com, another@one.com": ["two@emails.com,", "another@one.com"],
+        "mixed_email.stuff+thing@example.com": ["mixed_email.stuff+thing@example.com"],
+        "MiXeD@case.com": ["MiXeD@case.com"],
+        "tldemail@tld": ["tldemail@tld"],
+    }
+    df = spark.createDataFrame([(k,) for k in inputs], "column string")
+    ok, _ = execute(spark, [f"extract-regex-groups :column '{email}'"], df)
+    rows = {r["column"]: r for r in ok.collect()}
+    inputs["two@emails.com, another@one.com"] = ["two@emails.com", "another@one.com"]
+    for k, v in inputs.items():
+        got = [rows[k][f"column_{m}_1"] for m in (1, 2)]
+        assert [g for g in got if g is not None] == v, k
+
+
+def test_extract_regex_ssn_and_phone(spark):
+    """ExtractRegexGroupsTest.testSSN / testPhoneNumber (representative
+    rows of each table)."""
+    ssn = r"(\d{3}[-\s]?\d{2}[-\s]?\d{4})"
+    df = spark.createDataFrame(
+        [("not an ssn",), ("123-45-6789",), ("123 45 6789",), ("123456789",)],
+        "column string",
+    )
+    ok, _ = execute(spark, [f"extract-regex-groups :column '{ssn}'"], df)
+    got = {r["column"]: r["column_1_1"] for r in ok.collect()}
+    assert got == {
+        "not an ssn": None, "123-45-6789": "123-45-6789",
+        "123 45 6789": "123 45 6789", "123456789": "123456789",
+    }
+
+    phone = r"((?:\+\d{1,3}[\s-]?)?\(?\d{3}\)?[\s-]?\d{3}[\s-]?\d{4})"
+    vals = ["+12345678901", "+1-234-567-8901", "(123) 456-7890", "1234567890"]
+    df = spark.createDataFrame([(v,) for v in vals], "column string")
+    ok, _ = execute(spark, [f"extract-regex-groups :column '{phone}'"], df)
+    got = {r["column"]: r["column_1_1"] for r in ok.collect()}
+    assert got == {v: v for v in vals}
+
+
+# ------------------------------------------------------------ SetTypeTest
+
+def test_set_type_alias_bug_compat(spark):
+    """SetTypeTest.testToInt / testToShort: the reference's I64 alias
+    converts to Integer and I32 to Short (ColumnConverter.java:108,131)
+    — counterintuitive but pinned by its tests; a drop-in replacement
+    must reproduce it."""
+    df = spark.createDataFrame([(10000, 10000)], "a long, b int")
+    ok, _ = execute(spark, ["set-type a i64", "set-type b i32"], df)
+    assert dict(ok.dtypes) == {"a": "int", "b": "smallint"}
+    assert ok.first() == (10000, 10000)
+
+
+def test_set_type_boolean_semantics(spark):
+    """SetTypeTest.testToBoolean: numerics convert via `> 0` (so
+    -10000 is false, unlike a nonzero-is-true cast) and strings via
+    Boolean.parseBoolean ('yes' is false, not an error)."""
+    df = spark.createDataFrame(
+        [(10000, -10000, 10000.0, -10000.0, "True", "FALSE", "yes")],
+        "i int, ni int, d double, nd double, s1 string, s2 string, s3 string",
+    )
+    ok, _ = execute(spark, [
+        "set-type i bool", "set-type ni bool", "set-type d Bool",
+        "set-type nd BOOL", "set-type s1 bool", "set-type s2 boolean",
+        "set-type s3 bool",
+    ], df)
+    assert ok.first() == (True, False, True, False, True, False, False)
+
+
+def test_set_type_bytes_to_numeric_big_endian(spark):
+    """SetTypeTest.testToInt/-Short/-Long/-Float/-Double byte[]
+    fixtures: big-endian Bytes.toX decoding, IEEE bit patterns for
+    float/double ({70,28,64,0} == 10000.0f, {64,-61,-120,0,...} ==
+    10000.0d)."""
+    df = spark.createDataFrame(
+        [(bytearray([0, 0, 39, 16]), bytearray([39, 16]),
+          bytearray([0, 0, 0, 0, 0, 0, 39, 16]), bytearray([70, 28, 64, 0]),
+          bytearray([64, 0xC3, 0x88, 0, 0, 0, 0, 0]))],
+        "bi binary, bs binary, bl binary, bf binary, bd binary",
+    )
+    ok, _ = execute(spark, [
+        "set-type bi int", "set-type bs short", "set-type bl long",
+        "set-type bf float", "set-type bd double",
+    ], df)
+    assert dict(ok.dtypes) == {
+        "bi": "int", "bs": "smallint", "bl": "bigint",
+        "bf": "float", "bd": "double",
+    }
+    assert ok.first() == (10000, 10000, 10000, 10000.0, 10000.0)
+
+
+def test_set_type_numeric_widths_all_sources(spark):
+    """SetTypeTest.testToInt/testToLong/testToFloat/testToDouble: the
+    same 10000 arrives from string/int/double/short/long/float/decimal
+    sources and lands at the exact target type and value."""
+    from decimal import Decimal
+
+    df = spark.createDataFrame(
+        [("10000", 10000, 10000.0, 10000, 10000, 10000.0, Decimal("10000"))],
+        "s string, i int, d double, sh smallint, l long, f float, dec decimal(10,0)",
+    )
+    for target, spark_t in [("int", "int"), ("long", "bigint"),
+                            ("float", "float"), ("double", "double")]:
+        ok, _ = execute(spark, [f"set-type {c} {target}" for c in
+                                ("s", "i", "d", "sh", "l", "f", "dec")], df)
+        assert set(dict(ok.dtypes).values()) == {spark_t}
+        assert all(float(v) == 10000.0 for v in ok.first())

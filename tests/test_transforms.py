@@ -55,10 +55,11 @@ def test_find_and_replace(spark, one_col):
 
 
 def test_extract_regex_groups(spark, one_col):
+    # reference naming: <col>_<match>_<group> (ExtractRegexGroups.java:86)
     df = one_col("2024-05-17")
     ok, _ = execute(spark, [r"extract-regex-groups :body '(\d+)-(\d+)-(\d+)'"], df)
     r = ok.first()
-    assert (r["body_1"], r["body_2"], r["body_3"]) == ("2024", "05", "17")
+    assert (r["body_1_1"], r["body_1_2"], r["body_1_3"]) == ("2024", "05", "17")
 
 
 def test_split_email(spark, one_col):

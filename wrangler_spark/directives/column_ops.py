@@ -171,12 +171,16 @@ def columns_replace(call: DirectiveCall):
 
 
 _TYPE_MAP: dict[str, str] = {
-    # reference name→type map: utils/ColumnConverter.java:359-375
+    # reference name→type map: utils/ColumnConverter.java:359-375.
+    # NOTE the counterintuitive aliases are bug-compat by design:
+    # the reference's convertType (ColumnConverter.java:108,131)
+    # treats I64 as Integer and I32 as Short — SetTypeTest.testToInt /
+    # testToShort pin that behavior, so a drop-in replacement must too.
     "bool": "boolean", "boolean": "boolean",
     "byte": "tinyint", "i8": "tinyint",
-    "short": "smallint", "i16": "smallint",
-    "int": "int", "integer": "int", "i32": "int",
-    "long": "bigint", "i64": "bigint", "bigint": "bigint",
+    "short": "smallint", "i16": "smallint", "i32": "smallint",
+    "int": "int", "integer": "int", "i64": "int",
+    "long": "bigint", "bigint": "bigint",
     "float": "float", "f32": "float",
     "double": "double", "f64": "double",
     "string": "string", "text": "string",
@@ -260,7 +264,47 @@ def set_type(call: DirectiveCall):
             else:
                 raise UsageError(f"set-type: unsupported rounding {rounding!r}")
             return df.withColumn(c, expr.cast(target))
-        return df.withColumn(c, F.col(c).cast(_TYPE_MAP[tname]))
+        t_spark = _TYPE_MAP[tname]
+        src = df.schema[c].dataType
+        numeric_src = isinstance(
+            src, (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+                  T.FloatType, T.DoubleType, T.DecimalType)
+        )
+        if t_spark == "boolean":
+            # reference ColumnConverter.java:176-198: numerics convert
+            # via `> 0` (so -1 → false, unlike Spark's nonzero-is-true
+            # cast) and strings via Boolean.parseBoolean (case-
+            # insensitive 'true', everything else false — not null)
+            if numeric_src:
+                return df.withColumn(c, F.col(c) > 0)
+            if isinstance(src, T.StringType):
+                return df.withColumn(
+                    c,
+                    F.when(F.col(c).isNotNull(), F.lower(F.col(c)) == "true"),
+                )
+        if isinstance(src, T.BinaryType) and t_spark in (
+            "tinyint", "smallint", "int", "bigint", "float", "double"
+        ):
+            # reference Bytes.toInt/toShort/toLong/toFloat/toDouble:
+            # big-endian two's complement (SetTypeTest byte[] fixtures).
+            # conv(hex) yields the unsigned value; the downstream cast
+            # truncates to the target width, recovering the sign.
+            unsigned = F.conv(F.hex(F.col(c)), 16, 10).cast("decimal(20,0)")
+            if t_spark in ("float", "double"):
+                # IEEE bit pattern, not numeric value: route through
+                # intBitsToFloat / longBitsToDouble via SQL reflect
+                # (JVM-side; this conversion is cold-path by nature)
+                fn = ("java.lang.Float", "intBitsToFloat", "int") \
+                    if t_spark == "float" else \
+                    ("java.lang.Double", "longBitsToDouble", "bigint")
+                df = df.withColumn("__wr_bits", unsigned.cast(fn[2]))
+                out = df.withColumn(
+                    c,
+                    F.expr(f"reflect('{fn[0]}', '{fn[1]}', __wr_bits)").cast(t_spark),
+                )
+                return out.drop("__wr_bits")
+            return df.withColumn(c, unsigned.cast("bigint").cast(t_spark))
+        return df.withColumn(c, F.col(c).cast(t_spark))
 
     return tr
 

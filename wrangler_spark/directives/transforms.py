@@ -107,20 +107,31 @@ def find_and_replace(call: DirectiveCall):
 
 @directive("extract-regex-groups")
 def extract_regex_groups(call: DirectiveCall):
+    """extract-regex-groups :col 'regex' — one column per MATCH per
+    group, named `<col>_<match>_<group>` (reference transformation/
+    ExtractRegexGroups.java:80-91: Matcher.find() loop, not just the
+    first match). The max match count comes from a bounded data peek
+    (ragged per-row widths need a fixed DataFrame schema); rows with
+    fewer matches null-pad."""
     col = call.col(0)
     regex = call.text(1)
     ngroups = re.compile(regex).groups
 
     def tr(df: DataFrame, ctx: RecipeContext) -> DataFrame:
         c = _require(df, col)
-        for i in range(1, ngroups + 1):
-            df = df.withColumn(
-                f"{c}_{i}",
-                F.when(
-                    F.col(c).cast("string").rlike(regex),
-                    F.regexp_extract(F.col(c).cast("string"), regex, i),
-                ),
-            )
+        if ngroups == 0:
+            return df
+        s = F.col(c).cast("string")
+        arrs = [F.regexp_extract_all(s, F.lit(regex), g) for g in range(1, ngroups + 1)]
+        peek = (
+            df.select(F.size(arrs[0]).alias("n"))
+            .limit(1000).agg(F.max("n").alias("n")).first()
+        )
+        n_matches = peek["n"] or 0
+        for m in range(1, n_matches + 1):
+            for g in range(1, ngroups + 1):
+                # element_at returns null past the row's own match count
+                df = df.withColumn(f"{c}_{m}_{g}", F.element_at(arrs[g - 1], m))
         return df
 
     return tr
