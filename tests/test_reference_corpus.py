@@ -311,3 +311,121 @@ def test_set_type_numeric_widths_all_sources(spark):
                                 ("s", "i", "d", "sh", "l", "f", "dec")], df)
         assert set(dict(ok.dtypes).values()) == {spark_t}
         assert all(float(v) == 10000.0 for v in ok.first())
+
+
+# -------------------------------------------------------- SendToErrorTest
+
+def test_send_to_error_width_condition(spark):
+    """SendToErrorTest.testErrorBasedOnColumns: `this.width() < 4`
+    routes the short CSV record to the error channel. Row.width() maps
+    to the count of non-null cells (ragged reference rows project onto
+    the fixed schema as nulls)."""
+    df = spark.createDataFrame(
+        [("A,B,C,D",), ("X,Y,1",), ("U,V,2,3.0",)], "body string"
+    )
+    ok, err = execute(spark, [
+        "parse-as-csv body , true", "drop body",
+        "send-to-error exp:{ this.width() < 4} 'filtering records that dont have 4 columns'",
+    ], df)
+    assert ok.count() == 1 and err.count() == 1
+    assert ok.first()["C"] == "2"
+    e = err.first()
+    # reference-pinned message format (SendToErrorTest.java:190)
+    assert e["message"] == (
+        "filtering records that dont have 4 columns "
+        "(ecode: 1, directive: send-to-error)"
+    )
+    assert '"C":"1"' in e["record"]
+
+
+def test_send_to_error_value_and_regex_conditions(spark):
+    """SendToErrorTest.testErrorConditionTrue / testRegexFiltering /
+    testNullFieldsSkipping: numeric coercion on string cells, full-match
+    =~, and null fields never matching (no error, no crash)."""
+    df = spark.createDataFrame(
+        [("A,B,C,D",), ("X,Y,1,2.0",), ("U,V,2,3.0",)], "body string"
+    )
+    ok, err = execute(
+        spark, ["parse-as-csv body , true", "drop body", "send-to-error C == 1"], df
+    )
+    assert ok.count() == 1 and err.count() == 1
+    assert '"D":"2.0"' in err.first()["record"] and ok.first()["C"] == "2"
+
+    df = spark.createDataFrame(
+        [("A,B",), ("Washington,Y",), ("Window,V",)], "body string"
+    )
+    ok, err = execute(
+        spark, ["parse-as-csv body , true", "drop body", 'send-to-error A =~ "Was.*"'], df
+    )
+    assert ok.count() == 1 and err.count() == 1
+
+    # C1 doesn't exist → null → never matches → nothing routed
+    df = spark.createDataFrame(
+        [("A,B,C",), ("Washington,Y",), ("Window,V,XYZ",)], "body string"
+    )
+    ok, err = execute(
+        spark,
+        ["parse-as-csv body , true", "drop body", 'send-to-error exp:{C1 =~ "Was.*"}'],
+        df,
+    )
+    assert ok.count() == 2 and (err is None or err.count() == 0)
+
+
+def test_csv_extra_commas_width_repair(spark):
+    """CsvParserTest.testExtraCommasAndLeadingZeros: an unquoted comma
+    inside a name shifts fields right; `this.width() == 5` detects and
+    repairs it, and leading zeros survive (cells stay strings)."""
+    df = spark.createDataFrame(
+        [("school_id, student_id, last_name, first_name",),
+         ("14J456,0033445566,Potter,Jr,Harry",),
+         ("14J456,0044333433,Weasley,Ron",)], "body string"
+    )
+    ok, _ = execute(spark, [
+        "parse-as-csv body , false",
+        "filter-rows-on regex-match body_1 ^school_id$", "drop body",
+        "set columns school_id, student_id, last_name, first_name, body_5",
+        "set-column :last_name exp:{ this.width() == 5 ? (last_name + ',' + first_name) : last_name}",
+        "set-column :first_name exp:{ this.width() == 5 ? body_5 : first_name}",
+        "drop body_5",
+    ], df)
+    assert sorted(map(tuple, ok.collect())) == [
+        ("14J456", "0033445566", "Potter,Jr", "Harry"),
+        ("14J456", "0044333433", "Weasley", "Ron"),
+    ]
+
+
+# ------------------------------------------- FlattenTest / FillNullOrEmpty
+
+def test_flatten_mixed_scalar_and_array_rows(spark):
+    """FlattenTest.testBasicCase1 (one variant of each array form):
+    scalar-only rows pass through once; array rows explode per element
+    with the scalar columns repeated."""
+    rows = [("A", None, None), ("B", None, None),
+            (None, ["x1", "y1"], 10), (None, ["x2", "y2"], 11)]
+    df = spark.createDataFrame(rows, "col1 string, col2 array<string>, col3 int")
+    ok, _ = execute(spark, ["flatten col1,col2,col3"], df)
+    got = sorted((str(r["col1"]), str(r["col2"]), str(r["col3"]))
+                 for r in ok.collect())
+    assert got == [("A", "None", "None"), ("B", "None", "None"),
+                   ("None", "x1", "10"), ("None", "x2", "11"),
+                   ("None", "y1", "10"), ("None", "y2", "11")]
+
+
+def test_flatten_empty_list_keeps_row(spark):
+    """FlattenTest.testEmptyList: flattening an empty array keeps the
+    row with a null cell, it does not drop the row."""
+    df = spark.createDataFrame([([], "y")], "x array<string>, y string")
+    ok, _ = execute(spark, ["flatten x"], df)
+    rows = ok.collect()
+    assert len(rows) == 1 and rows[0]["y"] == "y" and rows[0]["x"] is None
+
+
+def test_fill_null_or_empty_mixed_and_v1_unquoted(spark):
+    """FillNullOrEmptyTest.testMixedCases / testSpace: null and ''
+    both fill; the v1 unquoted value form (`value N/A`) parses."""
+    df = spark.createDataFrame([(None,), ("",), ("Should be fine",)], "value string")
+    ok, _ = execute(spark, ["fill-null-or-empty value N/A"], df)
+    assert sorted(r["value"] for r in ok.collect()) == ["N/A", "N/A", "Should be fine"]
+    ok, _ = execute(spark, ["fill-null-or-empty :value 'Not Available'"], df)
+    assert sorted(r["value"] for r in ok.collect()) == [
+        "Not Available", "Not Available", "Should be fine"]

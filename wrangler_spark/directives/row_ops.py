@@ -169,15 +169,30 @@ def fail(call: DirectiveCall):
     return tr
 
 
+def _error_extras(call: DirectiveCall, expr_src: str, name: str) -> str:
+    """Optional `[metric] ['message']` args after the condition
+    (reference SendToError.java:71-93) and the exact message format its
+    tests pin: `<message> (ecode: 1, directive: send-to-error)`, with
+    the condition text as the default message."""
+    message = None
+    i = 1
+    if call.has(i) and call.toks[i].kind == "IDENT":
+        i += 1  # metric name: counted via the error-channel row count
+    if call.has(i) and call.toks[i].kind == "TEXT":
+        message = call.text(i)
+    return f"{message or expr_src} (ecode: 1, directive: {name})"
+
+
 @directive("send-to-error")
 def send_to_error(call: DirectiveCall):
-    """send-to-error exp:{cond} — routes matching rows to the error channel
-    (reference row/SendToError.java:64)."""
+    """send-to-error exp:{cond} [metric] ['message'] — routes matching
+    rows to the error channel (reference row/SendToError.java:64)."""
     expr_src = call.expr(0)
+    message = _error_extras(call, expr_src, "send-to-error")
 
     def tr(df: DataFrame, ctx: RecipeContext) -> DataFrame:
         c = _cond(expr_src, df, ctx)
-        return ctx.route_error(df, c, f"condition [{expr_src}] matched")
+        return ctx.route_error(df, c, message)
 
     return tr
 
@@ -187,13 +202,14 @@ def send_to_error_and_continue(call: DirectiveCall):
     """Tags matching rows to the error channel but keeps them flowing
     (reference row/SendToErrorAndContinue.java:65)."""
     expr_src = call.expr(0)
+    message = _error_extras(call, expr_src, "send-to-error-and-continue")
 
     def tr(df: DataFrame, ctx: RecipeContext) -> DataFrame:
         c = _cond(expr_src, df, ctx)
         err = df.filter(_keep_when(c)).select(
             F.lit(ctx.step).alias("step"),
             F.lit(ctx.current_name).alias("directive"),
-            F.lit(f"condition [{expr_src}] matched").alias("message"),
+            F.lit(message).alias("message"),
             F.to_json(F.struct(*[F.col(x) for x in df.columns])).alias("record"),
         )
         ctx.errors.append(err)

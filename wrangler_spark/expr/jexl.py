@@ -423,6 +423,25 @@ def compile_node(node, schema: T.StructType | None, variables: dict[str, TypedCo
                 return TypedCol(le.col % ri.col, _num_out(le, ri))
             raise ExpressionError(f"unsupported operator {op!r}")
         if isinstance(n, Call):
+            if (
+                n.ns == "" and n.name.lower() == "width"
+                and len(n.args) == 1 and isinstance(n.args[0], Var)
+                and n.args[0].name.lower() == "this"
+            ):
+                # `this.width()` — reference Row.width() exposed to JEXL
+                # (SendToErrorTest.java:41, CsvParserTest.java:121). The
+                # reference's ragged rows project onto this engine's
+                # fixed schema as null cells, so width == count of
+                # non-null cells in the row.
+                if schema is None:
+                    raise ExpressionError("this.width() requires a known schema")
+                cnt = None
+                for f_ in schema.fields:
+                    e = F.when(F.col(f"`{f_.name}`").isNotNull(), 1).otherwise(0)
+                    cnt = e if cnt is None else (cnt + e)
+                return TypedCol(
+                    cnt if cnt is not None else F.lit(0), T.IntegerType()
+                )
             args = [rec(a) for a in n.args]
             return resolve_call(n.ns, n.name, args)
         raise ExpressionError(f"unsupported expression node {n!r}")
@@ -478,6 +497,12 @@ def predicate_refs(src: str) -> tuple[set[str], set[str]]:
             walk(n.then)
             walk(n.other)
         elif isinstance(n, Call):
+            if n.name.lower() == "width" and any(
+                isinstance(a, Var) and a.name.lower() == "this" for a in n.args
+            ):
+                # this.width() reads EVERY column's nullness — no
+                # finite ref set, so the predicate must not hoist
+                raise ExpressionError("this.width() blocks hoisting")
             for a in n.args:
                 walk(a)
         elif isinstance(n, Attr):
