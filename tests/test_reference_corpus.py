@@ -429,3 +429,104 @@ def test_fill_null_or_empty_mixed_and_v1_unquoted(spark):
     ok, _ = execute(spark, ["fill-null-or-empty :value 'Not Available'"], df)
     assert sorted(r["value"] for r in ok.collect()) == [
         "Not Available", "Not Available", "Should be fine"]
+
+
+# ------------------------------------------ GlobalTest / ExpressionTest
+
+def test_jexl_coalesce_format_null_helpers(spark):
+    """GlobalTest.testFirstNonNull* / testPrint / testNullToEmpty /
+    testNullToZero."""
+    df = spark.createDataFrame([(None, None, "c")], "a string, b string, c string")
+    ok, _ = execute(spark, ["set-column d coalesce(a,b,c)"], df)
+    assert ok.first()["d"] == "c"
+    df2 = spark.createDataFrame([(None, None, None)], "a string, b string, c string")
+    ok, _ = execute(spark, ["set-column d coalesce(a,b,c)"], df2)
+    assert ok.first()["d"] is None
+    df3 = spark.createDataFrame([("a", "b", "c")], "a string, b string, c string")
+    ok, _ = execute(spark, ['set-column d format("%s-%s-%s", a,b,c)'], df3)
+    assert ok.first()["d"] == "a-b-c"
+    df4 = spark.createDataFrame([(None, "value", 999)], "a string, b string, c long")
+    ok, _ = execute(spark, [
+        "set-column t1 NullToEmpty(a)", "set-column t2 NullToEmpty(b)",
+        "set-column z1 NullToZero(a)", "set-column z3 NullToZero(c)",
+    ], df4)
+    r = ok.first()
+    assert (r["t1"], r["t2"]) == ("", "value")
+    assert float(r["z1"]) == 0.0 and float(r["z3"]) == 999.0
+
+
+def test_jexl_if_else_block_form(spark):
+    """GlobalTest.testIsNotNull / testIsNull: the JEXL statement form
+    `if (cond) { a } else { b }` compiles to a conditional."""
+    df = spark.createDataFrame([(None, "value", 999)], "a string, b string, c long")
+    ok, _ = execute(spark, [
+        "set-column test1 IsNotNull(a) ? a : null",
+        "set-column test2 IsNotNull(b) ? b : null",
+        "set-column test4 if(IsNotNull(c)){ a } else {b}",
+        "set-column test5 if(IsNull(c)){ a } else {b}",
+    ], df)
+    r = ok.first()
+    assert r["test1"] is None and r["test2"] == "value"
+    assert r["test4"] is None and r["test5"] == "value"
+
+
+def test_jexl_string_namespace_commons_lang(spark):
+    """ExpressionTest.testStringNamespace: commons-lang StringUtils
+    semantics (abbreviate ellipsis inside the width, center both-sides
+    pad, chomp one EOL, chop last char, deleteWhitespace)."""
+    df = spark.createDataFrame(
+        [("root", "This is long transformation", "This has eol\n",
+          "Joltie", "Jolti  Root")],
+        "first string, longtxt string, eoltxt string, chop string, delws string",
+    )
+    ok, _ = execute(spark, [
+        "set column abbreviate string:abbreviate(longtxt, 5)",
+        "set column center string:center(first, 10)",
+        "set column eoltxt string:chomp(eoltxt)",
+        "set column chop string:chop(chop)",
+        "set column delws string:deleteWhitespace(delws)",
+    ], df)
+    r = ok.first()
+    assert r["abbreviate"] == "Th..."
+    assert r["center"] == "   root   "
+    assert r["eoltxt"] == "This has eol"
+    assert r["chop"] == "Jolti"
+    assert r["delws"] == "JoltiRoot"
+
+
+def test_jexl_apply_expr_pipeline(spark):
+    """ExpressionTest.testApplyExpr (minus the multi-statement local-var
+    line, which is out of the supported JEXL subset): v1 `set column`,
+    concat, ternary on numeric strings, arithmetic, string:reverse."""
+    df = spark.createDataFrame(
+        [("1098,Root,Joltie,01/26/1956,root@jolite.io,32,11.79,"
+          "150 Mars Ave,Palo Alto,CA,USA,32826",)], "__col string"
+    )
+    ok, _ = execute(spark, [
+        "parse-as-csv __col ,",
+        "drop __col",
+        "set columns id,first,last,dob,email,age,hrlywage,address,city,state,country,zip",
+        'set column name concat(last, ", ", first)',
+        "set column isteen age < 15 ? 'yes' : 'no'",
+        "set column salary hrlywage*40*4",
+        "drop first", "drop last",
+        "set column email string:reverse(email)",
+    ], df)
+    r = ok.first()
+    assert r["name"] == "Joltie, Root"
+    assert abs(float(r["salary"]) - 1886.3999999999999) < 1e-9
+    assert r["isteen"] == "no"
+    assert r["email"] == "oi.etiloj@toor"
+
+
+def test_jexl_width_in_set_column(spark):
+    """ExpressionTest.testRowNoOfColumns: `this.width()` counts the
+    row's populated cells (12 CSV fields + the source column = 13)."""
+    df = spark.createDataFrame(
+        [("1098,Root,Joltie,01/26/1956,root@jolite.io,32,11.79,"
+          "150 Mars Ave,Palo Alto,CA,USA,32826",)], "body string"
+    )
+    ok, _ = execute(spark, [
+        "parse-as-csv body ','", "set-column :cols exp:{ this.width() }",
+    ], df)
+    assert ok.first()["cols"] == 13

@@ -330,6 +330,63 @@ def _delete_ws(x):
     return _typed(F.regexp_replace(_s(x), r"\s+", ""), STR)
 
 
+@_reg("string", "abbreviate")
+def _abbreviate(x, n):
+    """StringUtils.abbreviate: truncate to n chars INCLUDING a trailing
+    '...' when the input is longer (reference ExpressionTest:
+    abbreviate('This is long transformation', 5) == 'Th...')."""
+    s = _s(x)
+    w = _as_int(n)
+    return _typed(
+        F.when(F.length(s) <= w, s).otherwise(
+            F.concat(F.substring(s, F.lit(1), w - 3), F.lit("..."))
+        ),
+        STR,
+    )
+
+
+@_reg("string", "center")
+def _center(x, n):
+    """StringUtils.center: pad both sides with spaces to width n (extra
+    space goes right, matching commons-lang)."""
+    s = _s(x)
+    w = _as_int(n)
+    half = F.floor((w - F.length(s)) / F.lit(2)).cast("int")
+    padded = F.call_function(
+        "rpad", F.call_function("lpad", s, F.length(s) + half, F.lit(" ")), w, F.lit(" ")
+    )
+    return _typed(F.when(F.length(s) >= w, s).otherwise(padded), STR)
+
+
+@_reg("string", "chomp")
+def _chomp(x):
+    """StringUtils.chomp: remove ONE trailing newline (\\n, \\r, or \\r\\n)."""
+    return _typed(F.regexp_replace(_s(x), r"(\r\n|\r|\n)$", ""), STR)
+
+
+@_reg("string", "chop")
+def _chop(x):
+    """StringUtils.chop: remove the last character (\\r\\n counts as one)."""
+    s = _s(x)
+    return _typed(
+        F.when(s.endswith("\r\n"), F.substring(s, F.lit(1), F.length(s) - 2))
+        .otherwise(F.substring(s, F.lit(1), F.greatest(F.length(s) - 1, F.lit(0)))),
+        STR,
+    )
+
+
+@_reg("string", "leftPad")
+def _leftpad(x, n, pad=None):
+    p = F.lit(" ") if pad is None else _s(pad)
+    return _typed(F.call_function("lpad", _s(x), _as_int(n), p), STR)
+
+
+@_reg("string", "rightPad")
+def _rightpad(x, n, pad=None):
+    p = F.lit(" ") if pad is None else _s(pad)
+    return _typed(F.call_function("rpad", _s(x), _as_int(n), p), STR)
+
+
 @_reg("string", "swapCase")
 def _swapcase(x):
     # no builtin; char-level translate is impractical — approximate via

@@ -34,7 +34,7 @@ _TOKEN_RE = re.compile(
   | (?P<num>\d+\.\d+([eE][+-]?\d+)?|\d+[lLdDfF]?|\.\d+)
   | (?P<str>'(\\.|[^'\\])*'|"(\\.|[^"\\])*")
   | (?P<ident>[A-Za-z_][A-Za-z0-9_]*)
-  | (?P<op>=~|!~|==|!=|<=|>=|&&|\|\||[-+*/%!<>?:().,\[\]])
+  | (?P<op>=~|!~|==|!=|<=|>=|&&|\|\||[-+*/%!<>?:().,\[\]{}])
     """,
     re.VERBOSE,
 )
@@ -272,8 +272,37 @@ class _Parser:
             return e
         if t.kind == "IDENT":
             name = str(t.value)
-            # namespaced call: ident ':' ident '('
             n1, n2 = self.peek(), self.peek(1)
+            # JEXL statement form `if (cond) { a } [else { b }]`
+            # (reference GlobalTest.java:106-141) → ternary
+            if (
+                name.lower() == "if" and n1 and n1.kind == "OP" and n1.value == "("
+            ):
+                self.i += 1
+                cond = self.ternary()
+                if self.eat_op(","):
+                    # function form if(cond, a, b)
+                    args = [cond, self.ternary()]
+                    while self.eat_op(","):
+                        args.append(self.ternary())
+                    self.expect_op(")")
+                    return Call("", "if", args)
+                self.expect_op(")")
+                nt = self.peek()
+                if nt and nt.kind == "OP" and nt.value == "{":
+                    self.expect_op("{")
+                    then = self.ternary()
+                    self.expect_op("}")
+                    other: object = Lit(None)
+                    et = self.peek()
+                    if et and et.kind == "IDENT" and str(et.value).lower() == "else":
+                        self.i += 1
+                        self.expect_op("{")
+                        other = self.ternary()
+                        self.expect_op("}")
+                    return Ternary(cond, then, other)
+                return Call("", "if", [cond])
+            # namespaced call: ident ':' ident '('
             if (
                 n1 and n1.kind == "OP" and n1.value == ":"
                 and n2 and n2.kind == "IDENT"
