@@ -530,3 +530,54 @@ def test_jexl_width_in_set_column(spark):
         "parse-as-csv body ','", "set-column :cols exp:{ this.width() }",
     ], df)
     assert ok.first()["cols"] == 13
+
+
+# ----------------------------------------------- FixedLengthParserTest
+
+def test_fixed_length_parser_reference_cases(spark):
+    """FixedLengthParserTest: exact-length parse, short-record routed
+    to the error channel (ecode 2), padding stripped via replaceAll,
+    and consecutive records exploding to one row each."""
+    df = spark.createDataFrame([("AABBCDEEEFFFF",)], "body string")
+    ok, err = execute(spark, ["parse-as-fixed-length body 2,2,1,1,3,4"], df)
+    r = ok.first()
+    assert [r[f"body_{i}"] for i in range(1, 7)] == ["AA", "BB", "C", "D", "EEE", "FFFF"]
+    assert err is None or err.count() == 0
+
+    short = spark.createDataFrame([("AABBCDEEEFFF",)], "body string")
+    ok, err = execute(spark, ["parse-as-fixed-length body 2,2,1,1,3,4"], short)
+    assert ok.count() == 0 and err.count() == 1
+
+    padded = spark.createDataFrame([("AA__BB__C___D___EEE_FFFF",)], "body string")
+    ok, _ = execute(spark, ["parse-as-fixed-length :body 4,4,4,4,4,4 '_'"], padded)
+    r = ok.first()
+    assert [r[f"body_{i}"] for i in range(1, 7)] == ["AA", "BB", "C", "D", "EEE", "FFFF"]
+
+    multi = spark.createDataFrame([("AABBCCDD",)], "body string")
+    ok, _ = execute(spark, ["parse-as-fixed-length body 2,2"], multi)
+    assert sorted((r["body_1"], r["body_2"]) for r in ok.collect()) == [
+        ("AA", "BB"), ("CC", "DD")]
+
+
+# -------------------------------------------- ArithmeticOperationsTest
+
+def test_arithmetic_namespace_reference_semantics(spark):
+    """ArithmeticOperationsTest.testAdd/testMax/testMin/testAverage/
+    testEqual: variadic forms, and any-null-propagates-null."""
+    df = spark.createDataFrame([(2, 8, None)], "a int, b int, n int")
+    ok, _ = execute(spark, [
+        "set-column s arithmetic:add(a, b, 5)",
+        "set-column sn arithmetic:add(a, n, b)",
+        "set-column mx arithmetic:max(a, b, 3)",
+        "set-column mxn arithmetic:max(a, n)",
+        "set-column mn arithmetic:min(a, b)",
+        "set-column av arithmetic:average(a, b, 5)",
+        "set-column eq arithmetic:equal(a, a)",
+        "set-column ne arithmetic:equal(a, b)",
+    ], df)
+    r = ok.first()
+    assert float(r["s"]) == 15.0 and r["sn"] is None
+    assert float(r["mx"]) == 8.0 and r["mxn"] is None
+    assert float(r["mn"]) == 2.0
+    assert abs(float(r["av"]) - 5.0) < 1e-9
+    assert r["eq"] is True and r["ne"] is False

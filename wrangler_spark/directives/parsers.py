@@ -248,18 +248,42 @@ def json_path(call: DirectiveCall):
 
 @directive("parse-as-fixed-length")
 def parse_as_fixed_length(call: DirectiveCall):
+    """parse-as-fixed-length :col w1,w2,… ['pad'] (reference
+    parser/FixedLengthParser.java:94-141): records shorter than the
+    total width route to the error channel; an input holding N
+    consecutive records explodes to N rows; every occurrence of the
+    padding pattern is stripped from each value (replaceAll)."""
     col = call.col(0)
     widths = [int(w) for w in call.nums(1)]
-    # optional padding char arg ignored for substring math
+    padding = call.text(2) if call.has(2) else None
+    rec_len = sum(widths)
 
     def tr(df: DataFrame, ctx: RecipeContext) -> DataFrame:
         c = _require(df, col)
         s = F.col(c).cast("string")
+        short = s.isNotNull() & (F.length(s) < rec_len)
+        df = ctx.route_error(
+            df, short,
+            f"fixed-length: value shorter than record length {rec_len} "
+            "(ecode: 2, directive: parse-as-fixed-length)",
+        )
+        s = F.col(c).cast("string")
+        # explode consecutive records: record k starts at k*rec_len + 1
+        n_recs = F.floor(F.length(s) / rec_len).cast("int")
+        df = df.withColumn(
+            "__wr_recoff",
+            F.explode_outer(
+                F.transform(F.sequence(F.lit(0), n_recs - 1), lambda k: k * rec_len)
+            ),
+        )
         off = 1
         for i, w in enumerate(widths):
-            df = df.withColumn(f"{c}_{i + 1}", F.substring(s, off, w))
+            val = F.substring(s, F.lit(off) + F.col("__wr_recoff"), F.lit(w))
+            if padding is not None:
+                val = F.regexp_replace(val, padding, "")
+            df = df.withColumn(f"{c}_{i + 1}", val)
             off += w
-        return df
+        return df.drop("__wr_recoff")
 
     return tr
 

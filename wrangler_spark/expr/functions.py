@@ -797,6 +797,48 @@ def _ar_mod(a, b):
     return _typed(a.col.cast("double") % b.col.cast("double"), DBL)
 
 
+@_reg("arithmetic", "max")
+def _ar_max(*xs):
+    """Reference ArithmeticOperations.max:391 — null-propagating
+    (greatest() skips nulls, the reference returns null), so guard."""
+    cols = [x.col.cast("double") for x in xs]
+    anynull = F.lit(False)
+    for c in cols:
+        anynull = anynull | c.isNull()
+    out = cols[0] if len(cols) == 1 else F.greatest(*cols)
+    return _typed(F.when(~anynull, out), DBL)
+
+
+@_reg("arithmetic", "min")
+def _ar_min(*xs):
+    cols = [x.col.cast("double") for x in xs]
+    anynull = F.lit(False)
+    for c in cols:
+        anynull = anynull | c.isNull()
+    out = cols[0] if len(cols) == 1 else F.least(*cols)
+    return _typed(F.when(~anynull, out), DBL)
+
+
+@_reg("arithmetic", "average")
+def _ar_avg(*xs):
+    out = xs[0].col.cast("double")
+    for x in xs[1:]:
+        out = out + x.col.cast("double")
+    return _typed(out / F.lit(len(xs)), DBL)
+
+
+@_reg("arithmetic", "equal")
+def _ar_equal(*xs):
+    """ArithmeticOperations.equal:299-389 — true iff every value equals
+    the first; any null → null (via null-propagating conjunction)."""
+    first = xs[0].col.cast("double")
+    out = None
+    for x in xs[1:]:
+        e = first == x.col.cast("double")
+        out = e if out is None else (out & e)
+    return _typed(out if out is not None else first.isNotNull(), BOOL)
+
+
 # ------------------------------------------------------------ logical:
 # reference: io/cdap/functions/Logical.java:36-193
 
