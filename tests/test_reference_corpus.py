@@ -581,3 +581,40 @@ def test_arithmetic_namespace_reference_semantics(spark):
     assert float(r["mn"]) == 2.0
     assert abs(float(r["av"]) - 5.0) < 1e-9
     assert r["eq"] is True and r["ne"] is False
+
+
+# ---------------------------------- MergeTest / CopyTest / RenameTest
+
+def test_merge_separators(spark):
+    """MergeTest: basic two-way merge, java-unescaped \\u000A separator
+    becoming a real newline (Merge.java:78), multi-char separator."""
+    df = spark.createDataFrame([("Root", "Joltie")], "A string, B string")
+    ok, _ = execute(spark, ["merge A B C ','", "merge B A D ' '"], df)
+    r = ok.first()
+    assert r["C"] == "Root,Joltie" and r["D"] == "Joltie Root"
+    ok, _ = execute(spark, ["merge A B C '\\u000A'"], df)
+    assert ok.first()["C"] == "Root\nJoltie"
+    ok, _ = execute(spark, ["merge A B C '---'"], df)
+    assert ok.first()["C"] == "Root---Joltie"
+
+
+def test_copy_force_flag(spark):
+    """CopyTest.testForceCopy / testCopyToExistingColumn: copying onto
+    an existing column requires force; with force it overwrites."""
+    import pytest
+
+    df = spark.createDataFrame([("A", "B", "1")],
+                               "body_1 string, body_2 string, body_3 string")
+    ok, _ = execute(spark, ["copy body_1 body_2 true"], df)
+    r = ok.first()
+    assert r["body_2"] == r["body_1"] == "A"
+    with pytest.raises(Exception, match="force"):
+        execute(spark, ["copy body_1 body_2"], df)
+
+
+def test_rename_case_only_change(spark):
+    """RenameTest.testRenameCaseSensitiveSuccess: renaming C1 -> c1
+    (case-only) succeeds and the new exact spelling sticks."""
+    df = spark.createDataFrame([("Root", "Joltie")], "A string, B string")
+    ok, _ = execute(spark, ["rename A a"], df)
+    assert ok.columns[0] == "a" and ok.first()["a"] == "Root"

@@ -86,6 +86,14 @@ def copy(call: DirectiveCall):
 def merge(call: DirectiveCall):
     c1, c2, dst = call.col(0), call.col(1), call.col(2)
     sep = call.text(3, default="")
+    # reference Merge.java:78 StringEscapeUtils.unescapeJava: a
+    # backslash-u escape in the recipe text becomes the real character
+    # (e.g. backslash-u000A -> newline), backslash-t a tab, etc.
+    if "\\" in sep:
+        try:
+            sep = sep.encode("latin-1", "backslashreplace").decode("unicode_escape")
+        except UnicodeDecodeError:
+            pass  # malformed escape → keep the literal separator
 
     def tr(df: DataFrame, ctx: RecipeContext) -> DataFrame:
         a, b = _require(df, c1), _require(df, c2)
