@@ -618,3 +618,54 @@ def test_rename_case_only_change(spark):
     df = spark.createDataFrame([("Root", "Joltie")], "A string, B string")
     ok, _ = execute(spark, ["rename A a"], df)
     assert ok.columns[0] == "a" and ok.first()["a"] == "Root"
+
+
+# --------------------------------------------------- RecipeCompilerTest
+
+def test_compile_skips_macros_but_apply_refuses(spark):
+    """RecipeCompilerTest.testMacroSkippingDuringParsing /
+    testSingleMacroLikeWranglerPlugin / testNestedMacros: ${...}
+    placeholders (incl. nested) compile fine — the platform substitutes
+    them before execution — but applying with macros unresolved raises
+    instead of silently running a partial recipe."""
+    import pytest
+
+    from wrangler_spark.recipe.compiler import compile_recipe
+
+    r = compile_recipe([
+        "parse-as-csv :body ',' true", "${macro1}", "${macro${number}}",
+        "parse-as-csv :body '${delimiter}' true",
+    ])
+    assert r.names == ["parse-as-csv"] and len(r.macros) == 3
+    only = compile_recipe(["${directives}"])
+    assert only.names == [] and only.macros == ["${directives}"]
+    df = spark.createDataFrame([("a,b",)], "body string")
+    with pytest.raises(ValueError, match="unresolved macros"):
+        r.apply(df)
+
+
+def test_complex_v1_recipe_compiles_and_runs(spark):
+    """RecipeCompilerTest.testComplexExpression end-to-end: unquoted
+    sed expression with empty replacement (s/Washington//g — the //
+    must not read as a comment), JEXL empty(), bare =~ regex, and the
+    v1 filter-rows-on rewrite."""
+    df = spark.createDataFrame(
+        [("h1,h2,n1,n2,city,state",),
+         ("A,B,Jo,Ray,WashingtonVille,DCx",),
+         ("C,D,Mia,Lee,Austin,TX",)], "body string"
+    )
+    ok, err = execute(spark, [
+        "parse-as-csv body , true",
+        "drop body",
+        "merge n1 n2 Full_Name ' '",
+        "find-and-replace city s/Washington//g",
+        "send-to-error empty(city)",
+        'send-to-error state =~ "DC.*"',
+        "filter-rows-on regex-match state ^TX$",
+    ], df)
+    # row 1: city 'WashingtonVille' → 'Ville' (not empty), state DCx → error
+    # row 2: state TX → filtered
+    assert ok.count() == 0
+    assert err.count() == 1
+    e = err.first()
+    assert '"city":"Ville"' in e["record"]

@@ -176,6 +176,13 @@ def _null_to_value(x, v):
     return _typed(F.coalesce(x.col, v.col), x.dtype or v.dtype)
 
 
+@_reg("", "empty")
+def _jexl_empty(x):
+    """JEXL empty(): true for null or zero-length string (reference
+    RecipeCompilerTest uses `send-to-error empty(body_4)`)."""
+    return _typed(x.col.isNull() | (_s(x) == ""), BOOL)
+
+
 def _as_int(x: TypedCol) -> Column:
     return x.col.cast("int")
 

@@ -26,6 +26,11 @@ import wrangler_spark.directives  # noqa: F401  (registration side-effect)
 class CompiledRecipe:
     calls: list[DirectiveCall]
     transforms: list[Transform]
+    # CDAP `${macro}` placeholders found at parse time: compiling a
+    # recipe with macros SUCCEEDS (reference RecipeCompiler skips them;
+    # the platform substitutes before execution), but applying one with
+    # macros still unresolved is an error, not a silent partial recipe.
+    macros: list[str] = None  # type: ignore[assignment]
 
     def apply(
         self, df: DataFrame, ctx: RecipeContext | None = None
@@ -36,6 +41,13 @@ class CompiledRecipe:
         rows to the error channel (mirrors TestingRig.executeWithErrors,
         reference TestingRig.java:102-118).
         """
+        if self.macros:
+            raise ValueError(
+                f"recipe contains unresolved macros: {self.macros!r} — "
+                "substitute them before executing (macros are a "
+                "design-time placeholder; compilation tolerates them, "
+                "execution cannot)"
+            )
         ctx = ctx or RecipeContext(spark=df.sparkSession)
         ctx.spark = ctx.spark or df.sparkSession
         for i, (call, tr) in enumerate(zip(self.calls, self.transforms)):
@@ -75,7 +87,15 @@ def compile_recipe(recipe: str | list[str], hoist_filters: bool = True) -> Compi
     if hoist_filters:
         calls = _hoist_filters(calls)
     transforms = [registry.lookup(c.name)(c) for c in calls]
-    return CompiledRecipe(calls=calls, transforms=transforms)
+    if calls:
+        macros = calls[0].pragmas.get("macros", [])
+    else:
+        # macros-only recipe: no calls carry the pragmas, rescan
+        from wrangler_spark.recipe.parser import split_statements
+
+        text = recipe if isinstance(recipe, str) else "\n".join(recipe)
+        macros = [s for _, s in split_statements(text) if "${" in s]
+    return CompiledRecipe(calls=calls, transforms=transforms, macros=macros)
 
 
 # ------------------------------------------------------- filter hoisting

@@ -366,8 +366,14 @@ def split_statements(recipe_text: str) -> list[tuple[int, str]]:
                 if s:
                     parts.append(s)
                 buf = []
-            elif ch == "/" and depth == 0 and not in_q and k + 1 < len(line) and line[k + 1] == "/":
-                break  # trailing comment
+            elif (
+                ch == "/" and depth == 0 and not in_q
+                and k + 1 < len(line) and line[k + 1] == "/"
+                and (k == 0 or line[k - 1].isspace())
+            ):
+                # trailing comment — only when '//' starts a word, so an
+                # unquoted sed expression like s/Washington//g survives
+                break
             else:
                 buf.append(ch)
             k += 1
@@ -393,6 +399,15 @@ def parse_recipe(recipe: str | list[str]) -> list[DirectiveCall]:
                 )
             elif body.startswith("version"):
                 pragmas["version"] = body[len("version"):].strip()
+            continue
+        if "${" in stmt:
+            # CDAP macro placeholder (reference RecipeCompiler: macros —
+            # incl. nested ${macro_${n}} — are skipped at compile time
+            # and substituted by the platform before execution;
+            # RecipeCompilerTest.testMacroSkippingDuringParsing). Parsing
+            # succeeds; executing with macros still unresolved raises in
+            # CompiledRecipe.apply.
+            pragmas.setdefault("macros", []).append(stmt)
             continue
         m = re.match(r"^(!?[A-Za-z][A-Za-z0-9_\-]*)\s*(.*)$", stmt, re.DOTALL)
         if not m:
