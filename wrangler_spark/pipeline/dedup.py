@@ -86,7 +86,14 @@ def minhash_signatures(
     # (the old array_join(slice(...)) shingle builder dominated the
     # query at 5-7 s/5k docs; token-hash combination is ~10× cheaper).
     toks = F.split(F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " "))), " ")
-    th = F.transform(toks, lambda t: F.xxhash64(t))
+    # MATERIALIZE the token-hash array as a column before the shingle
+    # builder touches it: element_at() on a bare transform() expression
+    # re-evaluates the whole transform per access in the interpreted
+    # higher-order-function path — k accesses per shingle made the
+    # shingle stage O(tokens²) per doc (measured 1.5 s → 0.27 s at
+    # sf0.1 for the full signature job, round 4).
+    df = df.withColumn("__wr_th", F.transform(toks, lambda t: F.xxhash64(t)))
+    th = F.col("__wr_th")
     n = F.size(th)
     C = F.lit(0x00000100000001B3)  # FNV-ish odd multiplier, wraps in long
 
