@@ -49,6 +49,9 @@ def _prep(spark: SparkSession) -> None:
     host session's defaults. Both are runtime-settable confs."""
     spark.conf.set("spark.sql.ansi.enabled", "false")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # SimpleDateFormat parity (reference ParseSimpleDate.java): lenient
+    # fields, EEE/z/G symbols — see wrangler_spark/session.py
+    spark.conf.set("spark.sql.legacy.timeParserPolicy", "LEGACY")
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

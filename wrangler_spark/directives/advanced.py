@@ -196,6 +196,31 @@ def avro_to_spark_type(avro) -> T.DataType:
     raise UsageError(f"unsupported avro schema node {avro!r}")
 
 
+def _ts_wire_type(dt: T.DataType) -> T.DataType:
+    """Wire schema for from_json under timeParserPolicy=LEGACY: timestamp
+    slots become strings (legacy SimpleDateFormat reads an .SSSSSS
+    fraction as integer milliseconds), and the parsed struct is CAST back
+    to the real type — string→timestamp CAST goes through Spark's
+    policy-independent ISO parser, which is micros-exact."""
+    if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+        return T.StringType()
+    if isinstance(dt, T.StructType):
+        return T.StructType(
+            [T.StructField(f.name, _ts_wire_type(f.dataType), f.nullable) for f in dt.fields]
+        )
+    if isinstance(dt, T.ArrayType):
+        return T.ArrayType(_ts_wire_type(dt.elementType), dt.containsNull)
+    if isinstance(dt, T.MapType):
+        return T.MapType(dt.keyType, _ts_wire_type(dt.valueType), dt.valueContainsNull)
+    return dt
+
+
+def _from_json_exact(col, spark_type: T.DataType):
+    wire = _ts_wire_type(spark_type)
+    parsed = F.from_json(col, wire)
+    return parsed.cast(spark_type) if wire != spark_type else parsed
+
+
 @directive("parse-as-avro")
 def parse_as_avro(call: DirectiveCall):
     """parse-as-avro :col <schema-json-or-registry-id> json|binary [version]"""
@@ -216,7 +241,7 @@ def parse_as_avro(call: DirectiveCall):
             schema_json = lk if isinstance(lk, str) else lk.first()[0]
         spark_type = avro_to_spark_type(json.loads(schema_json))
         if mode == "json":
-            parsed = F.from_json(F.col(c).cast("string"), spark_type)
+            parsed = _from_json_exact(F.col(c).cast("string"), spark_type)
         elif mode == "binary":
             try:
                 from pyspark.sql.avro.functions import from_avro
@@ -251,7 +276,7 @@ def parse_as_avro(call: DirectiveCall):
                         ]
                     )
 
-                parsed = F.from_json(_dec(F.col(c)), spark_type)
+                parsed = _from_json_exact(_dec(F.col(c)), spark_type)
         else:
             raise UsageError(f"parse-as-avro: mode must be json|binary, got {mode!r}")
         out = df.withColumn("__wr_avro", parsed)
@@ -320,7 +345,7 @@ def parse_as_avro_file(call: DirectiveCall):
 
             bf = ctx.spark.read.format("binaryFile").load(paths).select("content")
             js = bf.mapInPandas(run, "json string")
-            return js.select(F.from_json("json", spark_type).alias("__r")).select("__r.*")
+            return js.select(_from_json_exact(F.col("json"), spark_type).alias("__r")).select("__r.*")
 
     return tr
 
@@ -387,7 +412,7 @@ def parse_as_protobuf(call: DirectiveCall):
                     ]
                 )
 
-            return df.withColumn(c, F.from_json(_dec(F.col(c)), spark_type))
+            return df.withColumn(c, _from_json_exact(_dec(F.col(c)), spark_type))
 
     return tr
 

@@ -10,12 +10,13 @@ from pyspark.sql import DataFrame, functions as F
 from wrangler_spark.recipe.parser import DirectiveCall
 from wrangler_spark.recipe.registry import RecipeContext, directive
 from wrangler_spark.directives.column_ops import _require
+from wrangler_spark.directives.parsers import _fmt_arg
 
 
 @directive("format-date")
 def format_date(call: DirectiveCall):
     col = call.col(0)
-    fmt = call.text(1)
+    fmt = _fmt_arg(call, 1)
 
     def tr(df: DataFrame, ctx: RecipeContext) -> DataFrame:
         c = _require(df, col)
@@ -27,7 +28,7 @@ def format_date(call: DirectiveCall):
 @directive("format-datetime")
 def format_datetime(call: DirectiveCall):
     col = call.col(0)
-    fmt = call.text(1)
+    fmt = _fmt_arg(call, 1)
 
     def tr(df: DataFrame, ctx: RecipeContext) -> DataFrame:
         c = _require(df, col)
@@ -39,7 +40,7 @@ def format_datetime(call: DirectiveCall):
 @directive("format-unix-timestamp")
 def format_unix_timestamp(call: DirectiveCall):
     col = call.col(0)
-    fmt = call.text(1)
+    fmt = _fmt_arg(call, 1)
 
     def tr(df: DataFrame, ctx: RecipeContext) -> DataFrame:
         c = _require(df, col)

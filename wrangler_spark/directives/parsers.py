@@ -347,15 +347,34 @@ def parse_as_log(call: DirectiveCall):
 
 
 def _java_to_spark_fmt(fmt: str) -> str:
-    # SimpleDateFormat and Spark's DateTimeFormatter patterns mostly agree;
-    # the symbols used in the reference's tests pass through unchanged.
+    # Patterns execute under spark.sql.legacy.timeParserPolicy=LEGACY
+    # (session.py) = java.text.SimpleDateFormat — the reference's exact
+    # engine — so they pass through unchanged.
     return fmt
+
+
+def _fmt_arg(call: DirectiveCall, i: int) -> str:
+    """Date-format argument: rest-of-line in the v1 grammar (RAW_TAIL),
+    so a quoted format arrives as an EXPR still wearing its quotes —
+    strip one matching outer pair; inner SimpleDateFormat literal
+    quotes ('T', 'at') survive because they never wrap the whole
+    pattern."""
+    s = call.text(i).strip()
+    if len(s) >= 2 and s[0] == s[-1] and s[0] in "'\"" and s[0] not in s[1:-1]:
+        return s[1:-1]
+    if len(s) >= 2 and s[0] == s[-1] and s[0] in "'\"":
+        # wrapped AND contains inner quotes: strip only if the inner
+        # text is a well-formed pattern on its own (balanced quotes)
+        inner = s[1:-1]
+        if inner.count(s[0]) % 2 == 0:
+            return inner
+    return s
 
 
 @directive("parse-as-simple-date", "parse-as-date-format")
 def parse_as_simple_date(call: DirectiveCall):
     col = call.col(0)
-    fmt = call.text(1)
+    fmt = _fmt_arg(call, 1)
 
     def tr(df: DataFrame, ctx: RecipeContext) -> DataFrame:
         c = _require(df, col)
@@ -367,7 +386,7 @@ def parse_as_simple_date(call: DirectiveCall):
 @directive("parse-as-datetime")
 def parse_as_datetime(call: DirectiveCall):
     col = call.col(0)
-    fmt = call.text(1)
+    fmt = _fmt_arg(call, 1)
 
     def tr(df: DataFrame, ctx: RecipeContext) -> DataFrame:
         c = _require(df, col)

@@ -309,6 +309,14 @@ RAW_TAIL: dict[str, int] = {
     "set": 1,
     "set-variable": 1,
     "increment-variable": 2,
+    # date-format directives: the format is REST-OF-LINE in the v1
+    # grammar (reference MigrateToV2 getNextToken(tokenizer, "\n", …)),
+    # so an unquoted `MM/dd/yyyy HH:mm` stays one argument
+    "parse-as-simple-date": 1,
+    "parse-as-datetime": 1,
+    "parse-as-date-format": 1,
+    "format-date": 1,
+    "format-datetime": 1,
 }
 
 # v1 → v2 directive renames (reference parser/MigrateToV2.java:68-118)

@@ -51,6 +51,13 @@ def get_spark(
         # Case-insensitive column resolution matches the reference's
         # Row.find() equalsIgnoreCase semantics (SURVEY.md §1.1).
         .config("spark.sql.caseSensitive", "false")
+        # The reference parses/formats dates with java.text.
+        # SimpleDateFormat (lenient single-digit fields, EEE day names,
+        # z zone names, G era, '' escaped quotes — directives/parser/
+        # ParseSimpleDate.java); Spark's CORRECTED DateTimeFormatter
+        # rejects or nulls several of those patterns, so pin the LEGACY
+        # policy = SimpleDateFormat for exact reference parity.
+        .config("spark.sql.legacy.timeParserPolicy", "LEGACY")
         # local mode runs executors as threads in the driver JVM. Measured
         # on this box (4M-event replay, local[32]): 48g heap ran 2-3×
         # slower than 16g (huge young gen + 32 allocating threads trash
