@@ -22,7 +22,12 @@ def test_datetime_components(df):
     assert run1(df, "datetime:MonthFromDate(d)") == 3
     assert run1(df, "datetime:DaysInMonth(d)") == 31
     assert run1(df, "datetime:DaysInYear(d)") == 366  # leap year
-    assert run1(df, "datetime:WeekdayFromDate(d)") == 7  # 2020-03-01 = Sunday
+    # reference WeekdayFromDate = 8 - ISO-dow(startOfWeek), default
+    # Sunday → constant 1 (DateAndTime.java:636-653; its own test pins
+    # weekday1..7 = 1..7 for saturday..monday starts)
+    assert run1(df, "datetime:WeekdayFromDate(d)") == 1
+    assert run1(df, "datetime:WeekdayFromDate(d, 'monday')") == 7
+    assert run1(df, "datetime:WeekdayFromDate(d, 'saturday')") == 2
 
 
 def test_datetime_offsets(df):
@@ -39,9 +44,12 @@ def test_datetime_epoch(df):
     assert rt == dt.datetime(2020, 3, 1, 12, 0, 0)
 
 
-def test_time_as_seconds(df):
-    assert run1(df, "datetime:TimeFromComponents(1, 30, 15)") == 5415
-    assert run1(df, "datetime:TimeFromMidnightSeconds(5415)") == 5415
+def test_time_as_nanos(df):
+    # TIME values are long nanos-since-midnight (functions.py datetime:
+    # section note); 01:30:15 = 5415 s
+    assert run1(df, "datetime:TimeFromComponents(1, 30, 15)") == 5415 * 10**9
+    assert run1(df, "datetime:TimeFromMidnightSeconds(5415)") == 5415 * 10**9
+    assert run1(df, "datetime:MidnightSecondsFromTime(datetime:TimeFromMidnightSeconds(5415))") == 5415
 
 
 def test_decimal_ns(df):
@@ -137,3 +145,75 @@ def test_ddl_record_ops(spark):
     j = json.loads(run1(rec, "ddl:toJson(r)"))
     assert j == {"a": 1, "b": "x", "c": {"k": 5, "v": "deep"}}
     assert run1(rec, "ddl:select(ddl:parse(r), 'a')") == 1
+
+
+def test_guava_strings_ns(df):
+    # EL.java:179 registers Guava Strings as strings: — pad never truncates
+    assert run1(df, "strings:isNullOrEmpty('')") is True
+    assert run1(df, "strings:isNullOrEmpty(s)") is False
+    assert run1(df, "strings:emptyToNull('')") is None
+    assert run1(df, "strings:nullToEmpty(strings:emptyToNull(''))") == ""
+    assert run1(df, "strings:padStart('7', 3, '0')") == "007"
+    assert run1(df, "strings:padStart('1234', 3, '0')") == "1234"  # no truncation
+    assert run1(df, "strings:padEnd('ab', 4, '.')") == "ab.."
+    assert run1(df, "strings:commonPrefix('flower', 'flow')") == "flow"
+    assert run1(df, "strings:commonPrefix('abc', 'xyz')") == ""
+    assert run1(df, "strings:commonSuffix('testing', 'running')") == "ing"
+
+
+def test_escape_ns(df):
+    # EL.java:180 registers StringEscapeUtils as escape:
+    assert run1(df, "escape:escapeHtml4('<a href=\"x\">&</a>')") == "&lt;a href=&quot;x&quot;&gt;&amp;&lt;/a&gt;"
+    assert run1(df, "escape:unescapeHtml4(escape:escapeHtml4('<&\"'))") == '<&"'
+    assert run1(df, 'escape:escapeXml11("it\'s <b>")') == "it&apos;s &lt;b&gt;"
+    assert run1(df, 'escape:unescapeXml(escape:escapeXml11("it\'s <b>"))') == "it's <b>"
+    assert run1(df, "escape:escapeCsv('a,b')") == '"a,b"'
+    assert run1(df, "escape:escapeCsv('plain')") == "plain"
+    assert run1(df, "escape:unescapeCsv(escape:escapeCsv('say \"hi\", ok'))") == 'say "hi", ok'
+
+
+def test_escape_java_roundtrip(spark):
+    df2 = spark.createDataFrame([("line1\nline2\tcol \\ raw",)], "s string")
+    out = run1(df2, "escape:unescapeJava(escape:escapeJava(s))")
+    assert out == "line1\nline2\tcol \\ raw"
+    esc = run1(df2, "escape:escapeJava(s)")
+    assert "\\n" in esc and "\\t" in esc and "\\\\" in esc
+
+
+def test_swapcase_and_arrays(df):
+    assert run1(df, "string:swapCase('Hello W0rld')") == "hELLO w0RLD"
+    assert run1(df, "arrays:toString(arrays:asList(1, 2, 3))") == "[1, 2, 3]"
+
+
+def test_date_display_and_era(df):
+    # Dates.java MONTH_SHORT/LONG, DAY_OF_WEEK_SHORT/LONG, ERA family
+    assert run1(df, "date:MONTH_SHORT(ts)") == "Mar"
+    assert run1(df, "date:MONTH_LONG(ts)") == "March"
+    assert run1(df, "date:DAY_OF_WEEK_SHORT(ts)") == "Sun"
+    assert run1(df, "date:DAY_OF_WEEK_LONG(ts)") == "Sunday"
+    assert run1(df, "date:ERA(ts)") == 1
+    assert run1(df, "date:ERA_SHORT(ts)") == "AD"
+    assert run1(df, "date:ERA_LONG(ts)") == "Anno Domini"
+    assert run1(df, "date:SECONDS_TO_MINUTES(3660)") == 61
+    assert run1(df, "date:SECONDS_TO_WEEKS(1209600)") == 2
+
+
+def test_date_is_date_is_time(df):
+    assert run1(df, "date:isDate('2020-03-01')") is True
+    assert run1(df, "date:isDate('03/01/2020')") is True
+    assert run1(df, "date:isDate('not a date')") is False
+    assert run1(df, "dq:isTime('22:30:52')") is True
+    assert run1(df, "dq:isTime('22:30:52.123')") is True
+    assert run1(df, "dq:isTime('9:05 PM')") is True
+    assert run1(df, "dq:isTime('25 o clock')") is False
+
+
+def test_json_type_predicates(df):
+    # JsonFunctions.java IsNull/IsObject/IsArray
+    assert run1(df, "json:IsNull('null')") is True
+    assert run1(df, "json:IsNull('{}')") is False
+    assert run1(df, "json:IsObject('{\"a\":1}')") is True
+    assert run1(df, "json:IsObject('[1,2]')") is False
+    assert run1(df, "json:IsArray('[1,2]')") is True
+    assert run1(df, "json:IsArray('{\"a\":1}')") is False
+    assert run1(df, "json:IsArray('[broken')") is False

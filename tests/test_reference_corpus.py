@@ -16,6 +16,8 @@ Covered here:
   semantics, big-endian byte[] decoding incl. IEEE bit patterns)
 """
 
+import datetime as dt
+
 from pyspark.sql import functions as F
 
 from wrangler_spark import execute
@@ -669,3 +671,224 @@ def test_complex_v1_recipe_compiles_and_runs(spark):
     assert err.count() == 1
     e = err.first()
     assert '"city":"Ville"' in e["record"]
+
+
+# ------------------------------------------------------- ParseDateTest
+
+def test_simple_date_patterns_simpledateformat_parity(spark):
+    """ParseDateTest.testSimpleDateWithPatterns (representative rows):
+    the engine pins spark.sql.legacy.timeParserPolicy=LEGACY =
+    java.text.SimpleDateFormat — the reference's exact parser — so
+    'at'/T literals, z zone names, G era, EEE day names, '' escaped
+    quotes and lenient single-digit fields all parse; unquoted
+    multi-word formats consume the rest of the line (v1 grammar)."""
+    import datetime as dt
+
+    cases = [
+        ("MM/dd/yyyy", "12/10/2016", dt.datetime(2016, 12, 10)),
+        ("MM-dd-yy", "12-10-16", dt.datetime(2016, 12, 10)),
+        ("MM-dd-yyyy 'at' HH:mm:ss z", "12-10-2016 at 06:45:11 PST",
+         dt.datetime(2016, 12, 10, 14, 45, 11)),
+        ("yyyy,MM.dd'T'HH:mm:ss.SSSZ", "2016,12.10T06:45:11.111-0800",
+         dt.datetime(2016, 12, 10, 14, 45, 11, 111000)),
+        ("EEE, d MMM yyyy HH:mm:ss", "Sat, 10 Dec 2016 06:45:11",
+         dt.datetime(2016, 12, 10, 6, 45, 11)),
+        ("EEE, MMM d, ''yy", "Sat, Dec 10, '16", dt.datetime(2016, 12, 10)),
+        ("h:mm a", "06:45 PM", dt.datetime(1970, 1, 1, 18, 45)),
+        ("yyyy.MM.dd G 'at' HH:mm:ss z", "2016.12.10 AD at 06:45:11 PST",
+         dt.datetime(2016, 12, 10, 14, 45, 11)),
+    ]
+    for pat, val, want in cases:
+        df = spark.createDataFrame([(val,)], "d string")
+        ok, _ = execute(spark, [f"parse-as-simple-date d {pat}"], df)
+        assert ok.first()["d"] == want, (pat, val)
+
+
+def test_simple_date_diff_lenient_fields(spark):
+    """ParseDateTest.testSimpleDateParserAndDiff: lenient single-digit
+    month/day/hour parsing (2/1/1990 under MM/dd/yyyy) and millisecond
+    diffs (1 h, 1 month + 1 minute, zero)."""
+    df = spark.createDataFrame(
+        [("12/10/2016 07:45", "12/10/2016 06:45"),
+         ("2/1/1990 12:01", "1/1/1990 12:00"),
+         ("03/03/1998 2:02", "03/03/1998 2:02")],
+        "date1 string, date2 string",
+    )
+    ok, _ = execute(spark, [
+        "parse-as-simple-date date1 MM/dd/yyyy HH:mm",
+        "parse-as-simple-date date2 MM/dd/yyyy HH:mm",
+        "diff-date date1 date2 difference",
+    ], df)
+    assert sorted(r["difference"] for r in ok.collect()) == [0, 3600000, 2678460000]
+
+
+# ---------------------------------------------------- DateAndTimeTest
+# functions/DateAndTimeTest.java — the datetime: JEXL namespace.
+# LocalTime values surface as long nanos-since-midnight (functions.py
+# datetime: section); LocalDate/LocalDateTime as date/timestamp_ntz.
+
+def _dt_row(spark, directives):
+    df = spark.createDataFrame([("x",)], "body string")
+    ok, _ = execute(spark, directives, df)
+    return ok.first()
+
+
+def test_dt_date_from_days_since(spark):
+    r = _dt_row(spark, [
+        "set-column a datetime:DateFromDaysSince(18250, datetime:GetDate('1958-08-18'))",
+        "set-column b datetime:DateFromDaysSince(-1, datetime:GetDate('1958-08-18'))",
+    ])
+    assert r["a"] == dt.date(2008, 8, 5)
+    assert r["b"] == dt.date(1958, 8, 17)
+
+
+def test_dt_date_from_components_and_julian(spark):
+    r = _dt_row(spark, [
+        "set-column a datetime:DateFromComponents(2010, 12, 2)",
+        "set-column b datetime:DateFromJulianDay(2454614)",
+        "set-column c datetime:JulianDayFromDate(datetime:GetDate('2008-05-27'))",
+    ])
+    assert r["a"] == dt.date(2010, 12, 2)
+    assert r["b"] == dt.date(2008, 5, 27)
+    assert r["c"] == 2454614
+
+
+def test_dt_date_offset_by_components(spark):
+    r = _dt_row(spark, [
+        "set-column a datetime:DateOffsetByComponents(datetime:GetDate('2011-08-18'),2,0,0)",
+        "set-column b datetime:DateOffsetByComponents(datetime:GetDate('2011-08-18'),2,1,-1)",
+        "set-column c datetime:DateOffsetByComponents(datetime:GetDate('2011-08-18'),2,5,-1)",
+    ])
+    assert r["a"] == dt.date(2013, 8, 18)
+    assert r["b"] == dt.date(2013, 9, 17)
+    assert r["c"] == dt.date(2014, 1, 17)
+
+
+def test_dt_days_since_from_date(spark):
+    r = _dt_row(spark, [
+        "set-column a datetime:DaysSinceFromDate(datetime:GetDate('2008-08-18'), datetime:GetDate('1958-08-18'))",
+        "set-column b datetime:DaysSinceFromDate(datetime:GetDate('1958-08-18'), datetime:GetDate('2008-08-18'))",
+    ])
+    assert r["a"] == -18263
+    assert r["b"] == 18263
+
+
+def test_dt_time_extractors(spark):
+    """testHoursFromTime/Nano/Micro/Milli/MidnightSeconds/Minutes/Seconds:
+    GetTime's optional fraction is micros-aligned ('.32' = 320 ms)."""
+    r = _dt_row(spark, [
+        "set-column h datetime:HoursFromTime(datetime:GetTime('22:30:00.434'))",
+        "set-column n datetime:NanoSecondsFromTime(datetime:GetTime('22:30:00.32'))",
+        "set-column u datetime:MicroSecondsFromTime(datetime:GetTime('22:30:00.32'))",
+        "set-column ms datetime:MilliSecondsFromTime(datetime:GetTime('22:30:00.32'))",
+        "set-column mid datetime:MidnightSecondsFromTime(datetime:GetTime('00:30:52'))",
+        "set-column mi datetime:MinutesFromTime(datetime:GetTime('22:30:52'))",
+        "set-column s datetime:SecondsFromTime(datetime:GetTime('22:30:52'))",
+    ])
+    assert r["h"] == 22
+    assert r["n"] == 320000000
+    assert r["u"] == 320000
+    assert r["ms"] == 320
+    assert r["mid"] == 1852
+    assert r["mi"] == 30
+    assert r["s"] == 52
+
+
+def test_dt_weekday_adjusters(spark):
+    """testNext/Nth/PreviousWeekdayFromDate: strict TemporalAdjusters;
+    2008-08-18 and 2009-08-18 are both Tuesdays-adjacent fixtures."""
+    r = _dt_row(spark, [
+        "set-column a datetime:NextWeekdayFromDate(datetime:GetDate('2008-08-18'), 'Thursday')",
+        "set-column b datetime:NextWeekdayFromDate(datetime:GetDate('2008-08-18'), 'Thu')",
+        "set-column c datetime:NthWeekdayFromDate(datetime:GetDate('2009-08-18'), 'Thursday', 1)",
+        "set-column d datetime:NthWeekdayFromDate(datetime:GetDate('2009-08-18'), 'Thu', -2)",
+        "set-column e datetime:PreviousWeekdayFromDate(datetime:GetDate('2008-08-18'), 'Thursday')",
+    ])
+    assert r["a"] == dt.date(2008, 8, 21)
+    assert r["b"] == dt.date(2008, 8, 21)
+    assert r["c"] == dt.date(2009, 8, 20)
+    assert r["d"] == dt.date(2009, 8, 6)
+    assert r["e"] == dt.date(2008, 8, 14)
+
+
+def test_dt_month_day_extractors(spark):
+    r = _dt_row(spark, [
+        "set-column a datetime:MonthDayFromDate(datetime:GetDate('2008-08-18'))",
+        "set-column b datetime:MonthFromDate(datetime:GetDate('2008-08-18'))",
+        "set-column c datetime:YeardayFromDate(datetime:GetDate('2008-08-18'))",
+        "set-column d datetime:YearweekFromDate(datetime:GetDate('2008-08-18'))",
+    ])
+    assert r["a"] == 18
+    assert r["b"] == 8
+    assert r["c"] == 231
+    assert r["d"] == 33  # WeekFields(MONDAY,7), NOT ISO (=34)
+
+
+def test_dt_seconds_since_sign(spark):
+    """testSecondsSinceFromTimestamp: Duration.between(dst, src) =
+    src - dst → NEGATIVE when src is earlier."""
+    r = _dt_row(spark, [
+        "set-column a datetime:SecondsSinceFromDateTime(datetime:GetDateTime('2008-08-18 22:30:52'), "
+        "datetime:GetDateTime('2008-08-19 22:30:52'))",
+    ])
+    assert r["a"] == -86400
+
+
+def test_dt_time_constructors(spark):
+    r = _dt_row(spark, [
+        "set-column a datetime:TimeFromComponents(10, 12, 2, 0)",
+        "set-column b datetime:TimeFromMidnightSeconds(240)",
+    ])
+    assert r["a"] == (10 * 3600 + 12 * 60 + 2) * 10**9  # 10:12:02.0
+    assert r["b"] == 240 * 10**9  # 00:04:00
+
+
+def test_dt_datetime_combinators(spark):
+    r = _dt_row(spark, [
+        "set-column a datetime:GetDateTime(datetime:GetDate('2008-08-18'), datetime:GetTime('22:30:52'))",
+        "set-column b datetime:DateTimeFromSecondsSince(2563, datetime:GetDateTime('2008-08-18 22:30:52'))",
+        "set-column c datetime:DateTimeFromEpoch(1234567890)",
+        "set-column d datetime:DateTimeFromTime(datetime:GetTime('12:03:22'), datetime:GetDateTime('2008-08-18 22:30:52'))",
+        "set-column e datetime:DateTimeOffsetByComponents(datetime:GetDateTime('2009-08-18 14:05:29'), 0, 2, -4, 2, 0, 20)",
+        "set-column f datetime:DateTimeOffsetBySeconds(datetime:GetDateTime('2009-08-18 14:05:29'), 32760)",
+        "set-column g datetime:EpochFromDateTime(datetime:GetDateTime('2009-02-13 23:31:30'))",
+    ])
+    assert r["a"] == dt.datetime(2008, 8, 18, 22, 30, 52)
+    assert r["b"] == dt.datetime(2008, 8, 18, 23, 13, 35)
+    assert r["c"] == dt.datetime(2009, 2, 13, 23, 31, 30)
+    assert r["d"] == dt.datetime(2008, 8, 18, 12, 3, 22)
+    assert r["e"] == dt.datetime(2009, 10, 14, 16, 5, 49)
+    assert r["f"] == dt.datetime(2009, 8, 18, 23, 11, 29)
+    assert r["g"] == 1234567890
+
+
+def test_dt_weekday_from_date_reference_quirk(spark):
+    """testWeekdayFromDate: 8 - ISO-dow(startOfWeek) — the reference's
+    previousOrSame(start) always lands on `start`, so the value depends
+    only on the start-of-week argument (its own test pins 1..7)."""
+    r = _dt_row(spark, [
+        "set-column w1 datetime:WeekdayFromDate(datetime:GetDate('2008-08-18'))",
+        "set-column w2 datetime:WeekdayFromDate(datetime:GetDate('2008-08-18'), 'saturday')",
+        "set-column w4 datetime:WeekdayFromDate(datetime:GetDate('2008-08-18'), 'thursday')",
+        "set-column w7 datetime:WeekdayFromDate(datetime:GetDate('2008-08-18'), 'monday')",
+    ])
+    assert (r["w1"], r["w2"], r["w4"], r["w7"]) == (1, 2, 4, 7)
+
+
+def test_dt_current_time_shapes(spark):
+    """testCurrentDateTime: non-null; CurrentTimeMS is the millis
+    PORTION of the current second (0-999, DateAndTime.java:167), not
+    epoch millis."""
+    r = _dt_row(spark, [
+        "set-column a datetime:CurrentDate()",
+        "set-column b datetime:CurrentTime()",
+        "set-column c datetime:CurrentTimeMS()",
+        "set-column d datetime:CurrentDateTime()",
+        "set-column e datetime:CurrentTimestampMS()",
+        "set-column f datetime:TimeOffsetByComponents(datetime:GetTime('23:30:00'), 1, 0, 0)",
+    ])
+    assert r["a"] is not None and r["d"] is not None
+    assert 0 <= r["b"] < 86_400 * 10**9
+    assert 0 <= r["c"] < 1000
+    assert r["e"] > 10**12
+    assert r["f"] == 30 * 60 * 10**9  # wraps past midnight to 00:30

@@ -1,11 +1,13 @@
 """Scalar-function namespaces for the expression language.
 
 Mirrors the reference's JEXL namespaces (wrangler-core
-expression/EL.java:167-190): default/Global, string:, math:, date:,
+expression/EL.java:167-190): default/Global, string:, strings:
+(Guava Strings), escape: (StringEscapeUtils), arrays:, math:, date:,
 datetime:, json:, dq:, arithmetic:, logical:, number:, bytes: —
 each function maps to native pyspark.sql.functions so the compiled
 expression stays JVM-side (SURVEY.md §2.8). Function-name lookup is
-case-insensitive.
+case-insensitive. LocalTime values are LONG nanos-since-midnight
+(datetime: section note).
 """
 
 from __future__ import annotations
@@ -396,10 +398,161 @@ def _rightpad(x, n, pad=None):
 
 @_reg("string", "swapCase")
 def _swapcase(x):
-    # no builtin; char-level translate is impractical — approximate via
-    # upper/lower xor is not expressible: use pandas fallback at directive
-    # level. Here: raise to signal unsupported.
-    raise ExpressionError("string:swapCase is not supported in expressions")
+    # char-level flip, JVM-side: explode to chars, flip each, rejoin
+    chars = F.split(_s(x), "")
+    flipped = F.transform(
+        chars, lambda c: F.when(c == F.upper(c), F.lower(c)).otherwise(F.upper(c))
+    )
+    return _typed(F.array_join(flipped, ""), STR)
+
+
+# ------------------------------------------------ strings: (Guava Strings)
+# reference EL.java:179 registers com.google.common.base.Strings as
+# `strings:`; resolve_call aliases strings:→string:. Guava padStart/
+# padEnd never TRUNCATE (unlike lpad/rpad).
+
+@_reg("string", "isNullOrEmpty")
+def _g_isnullorempty(x):
+    return _typed(x.col.isNull() | (F.length(_s(x)) == 0), BOOL)
+
+
+@_reg("string", "nullToEmpty")
+def _g_nulltoempty(x):
+    return _typed(F.coalesce(_s(x), F.lit("")), STR)
+
+
+@_reg("string", "emptyToNull")
+def _g_emptytonull(x):
+    return _typed(F.nullif(_s(x), F.lit("")), STR)
+
+
+@_reg("string", "padStart")
+def _g_padstart(x, n, pad):
+    s = _s(x)
+    return _typed(F.when(F.length(s) >= _as_int(n), s).otherwise(F.lpad(s, _as_int(n), _as_str(pad))), STR)
+
+
+@_reg("string", "padEnd")
+def _g_padend(x, n, pad):
+    s = _s(x)
+    return _typed(F.when(F.length(s) >= _as_int(n), s).otherwise(F.rpad(s, _as_int(n), _as_str(pad))), STR)
+
+
+def _common_run(a: Column, b: Column) -> Column:
+    """Length of the common prefix of two strings (JVM-side: zip the
+    char arrays, count until first mismatch via an aggregate fold)."""
+    za, zb = F.split(a, ""), F.split(b, "")
+    matches = F.zip_with(za, zb, lambda p, q: F.coalesce(p == q, F.lit(False)))
+    acc = F.aggregate(
+        matches,
+        F.struct(F.lit(0).alias("n"), F.lit(False).alias("stop")),
+        lambda ac, m: F.struct(
+            F.when(~ac.stop & m, ac.n + 1).otherwise(ac.n).alias("n"),
+            (ac.stop | ~m).alias("stop"),
+        ),
+    )
+    return acc.n
+
+
+@_reg("string", "commonPrefix")
+def _g_commonprefix(a, b):
+    sa, sb = _s(a), _s(b)
+    return _typed(F.substring(sa, 1, _common_run(sa, sb)), STR)
+
+
+@_reg("string", "commonSuffix")
+def _g_commonsuffix(a, b):
+    sa, sb = _s(a), _s(b)
+    n = _common_run(F.reverse(sa), F.reverse(sb))
+    return _typed(F.reverse(F.substring(F.reverse(sa), 1, n)), STR)
+
+
+# --------------------------------------- escape: (StringEscapeUtils)
+# reference EL.java:180 registers commons-lang StringEscapeUtils as
+# `escape:`; resolve_call aliases escape:→string:. Named-entity and
+# control-char coverage mirrors the commonly-exercised subset; exotic
+# numeric-entity decoding is out of scope (documented gap).
+
+def _chain_replace(col: Column, pairs: list[tuple[str, str]]) -> Column:
+    for find, repl in pairs:
+        col = F.replace(col, F.lit(find), F.lit(repl))
+    return col
+
+
+_HTML_ESC = [("&", "&amp;"), ("<", "&lt;"), (">", "&gt;"), ('"', "&quot;")]
+_XML_ESC = _HTML_ESC + [("'", "&apos;")]
+_JAVA_ESC = [("\\", "\\\\"), ("\"", "\\\""), ("\n", "\\n"), ("\t", "\\t"),
+             ("\r", "\\r"), ("\b", "\\b"), ("\f", "\\f")]
+
+
+@_reg("string", "escapeHtml4", "escapeHtml3", "escapeHtml")
+def _e_escapehtml(x):
+    return _typed(_chain_replace(_s(x), _HTML_ESC), STR)
+
+
+@_reg("string", "unescapeHtml4", "unescapeHtml3", "unescapeHtml")
+def _e_unescapehtml(x):
+    pairs = [(e, c) for c, e in reversed(_HTML_ESC)] + [("&apos;", "'"), ("&#39;", "'")]
+    return _typed(_chain_replace(_s(x), pairs), STR)
+
+
+@_reg("string", "escapeXml", "escapeXml10", "escapeXml11")
+def _e_escapexml(x):
+    return _typed(_chain_replace(_s(x), [("&", "&amp;"), ("<", "&lt;"), (">", "&gt;"),
+                                         ('"', "&quot;"), ("'", "&apos;")]), STR)
+
+
+@_reg("string", "unescapeXml")
+def _e_unescapexml(x):
+    return _typed(_chain_replace(_s(x), [("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+                                         ("&apos;", "'"), ("&amp;", "&")]), STR)
+
+
+@_reg("string", "escapeJava", "escapeEcmaScript", "escapeJson")
+def _e_escapejava(x):
+    return _typed(_chain_replace(_s(x), _JAVA_ESC), STR)
+
+
+@_reg("string", "unescapeJava", "unescapeEcmaScript", "unescapeJson")
+def _e_unescapejava(x):
+    # backslash-first would corrupt \\n → sentinel dance keeps \\ intact
+    sentinel = "\x00"
+    pairs = [("\\\\", sentinel), ("\\n", "\n"), ("\\t", "\t"), ("\\r", "\r"),
+             ("\\b", "\b"), ("\\f", "\f"), ("\\\"", "\""), (sentinel, "\\")]
+    return _typed(_chain_replace(_s(x), pairs), STR)
+
+
+@_reg("string", "escapeCsv")
+def _e_escapecsv(x):
+    s = _s(x)
+    needs = s.contains(",") | s.contains('"') | s.contains("\n") | s.contains("\r")
+    quoted = F.concat(F.lit('"'), F.replace(s, F.lit('"'), F.lit('""')), F.lit('"'))
+    return _typed(F.when(needs, quoted).otherwise(s), STR)
+
+
+@_reg("string", "unescapeCsv")
+def _e_unescapecsv(x):
+    s = _s(x)
+    is_quoted = s.startswith('"') & s.endswith('"') & (F.length(s) >= 2)
+    inner = F.replace(F.substring(s, 2, F.length(s) - 2), F.lit('""'), F.lit('"'))
+    return _typed(F.when(is_quoted, inner).otherwise(s), STR)
+
+
+# --------------------------------------------- arrays: (java.util.Arrays)
+# reference EL.java:181; the JEXL-reachable static surface is asList /
+# toString — kept JVM-side as array construction + bracket join.
+
+@_reg("arrays", "asList")
+def _arrays_aslist(*xs):
+    el = next((x.dtype for x in xs if x.dtype is not None), None)
+    return _typed(F.array(*[x.col for x in xs]), T.ArrayType(el or STR))
+
+
+@_reg("arrays", "toString")
+def _arrays_tostring(x):
+    return _typed(
+        F.concat(F.lit("["), F.array_join(x.col.cast("array<string>"), ", "), F.lit("]")), STR
+    )
 
 
 # ------------------------------------------------------------ math:
@@ -538,6 +691,93 @@ def _seconds_to_hours(x):
     return _typed((x.col.cast("long") / F.lit(3600)).cast("long"), LNG)
 
 
+@_reg("date", "SECONDS_TO_MINUTES")
+def _seconds_to_minutes(x):
+    return _typed((x.col.cast("long") / F.lit(60)).cast("long"), LNG)
+
+
+@_reg("date", "SECONDS_TO_WEEKS")
+def _seconds_to_weeks(x):
+    return _typed((x.col.cast("long") / F.lit(7 * 86400)).cast("long"), LNG)
+
+
+@_reg("date", "MONTH_SHORT")
+def _month_short(d):
+    # Dates.java:82 — TextStyle.SHORT ("Jan")
+    return _typed(F.date_format(d.col.cast("timestamp"), "MMM"), STR)
+
+
+@_reg("date", "MONTH_LONG")
+def _month_long(d):
+    return _typed(F.date_format(d.col.cast("timestamp"), "MMMM"), STR)
+
+
+@_reg("date", "DAY_OF_WEEK_SHORT")
+def _dow_short(d):
+    return _typed(F.date_format(d.col.cast("timestamp"), "EEE"), STR)
+
+
+@_reg("date", "DAY_OF_WEEK_LONG")
+def _dow_long(d):
+    return _typed(F.date_format(d.col.cast("timestamp"), "EEEE"), STR)
+
+
+@_reg("date", "ERA")
+def _era(d):
+    # IsoEra: 0 = BCE, 1 = CE (Dates.java:167)
+    y = F.year(d.col.cast("timestamp"))
+    return _typed(F.when(y.isNull(), None).when(y >= 1, 1).otherwise(0).cast("int"), INT)
+
+
+@_reg("date", "ERA_SHORT")
+def _era_short(d):
+    y = F.year(d.col.cast("timestamp"))
+    return _typed(F.when(y.isNull(), None).when(y >= 1, "AD").otherwise("BC"), STR)
+
+
+@_reg("date", "ERA_LONG")
+def _era_long(d):
+    y = F.year(d.col.cast("timestamp"))
+    return _typed(F.when(y.isNull(), None).when(y >= 1, "Anno Domini").otherwise("Before Christ"), STR)
+
+
+@_reg("date", "DAYS_BETWEEN_NOW")
+def _days_between_now(d):
+    # DAYS.between(date, now) — positive for past dates (Dates.java:217)
+    return _typed(F.datediff(F.current_date(), d.col.cast("date")).cast("int"), INT)
+
+
+@_reg("date", "isDate")
+@_reg("dq", "isDate")
+def _is_date(x):
+    """TypeInference.isDate heuristic, column-side: ISO date/timestamp
+    casts plus the common slash forms (documented subset of the
+    reference's natty-style sniffing)."""
+    s = F.trim(_s(x))
+    return _typed(
+        F.coalesce(
+            F.try_to_timestamp(s).isNotNull()
+            | s.rlike(r"^\d{4}-\d{2}-\d{2}$")
+            | s.rlike(r"^\d{1,2}/\d{1,2}/\d{4}([ T]\d{1,2}:\d{2}(:\d{2})?)?$")
+            | s.rlike(r"^\d{1,2}-[A-Za-z]{3}-\d{4}$"),
+            F.lit(False),
+        ),
+        BOOL,
+    )
+
+
+@_reg("date", "isTime")
+@_reg("dq", "isTime")
+def _is_time(x):
+    s = F.trim(_s(x))
+    return _typed(
+        F.coalesce(
+            s.rlike(r"^(?i)\d{1,2}:\d{2}(:\d{2}(\.\d{1,9})?)?( ?[AP]M)?$"), F.lit(False)
+        ),
+        BOOL,
+    )
+
+
 # ------------------------------------------------------------ json:
 # reference: io/cdap/functions/JsonFunctions.java:47-328
 
@@ -551,6 +791,29 @@ def _json_select(x, path):
 @_reg("json", "IsValid")
 def _json_valid(x):
     return _typed(F.try_parse_json(_s(x)).isNotNull(), BOOL)
+
+
+@_reg("json", "IsNull")
+def _json_isnull(x):
+    # JsonFunctions.java:266 — true for SQL null or the JSON null literal
+    s = F.trim(_s(x))
+    return _typed(s.isNull() | (s == "null"), BOOL)
+
+
+@_reg("json", "IsObject")
+def _json_isobject(x):
+    s = F.trim(_s(x))
+    return _typed(
+        F.coalesce(s.startswith("{") & F.try_parse_json(s).isNotNull(), F.lit(False)), BOOL
+    )
+
+
+@_reg("json", "IsArray")
+def _json_isarray(x):
+    s = F.trim(_s(x))
+    return _typed(
+        F.coalesce(s.startswith("[") & F.try_parse_json(s).isNotNull(), F.lit(False)), BOOL
+    )
 
 
 @_reg("json", "ArrayLength")
@@ -922,17 +1185,64 @@ def _mantissa(x):
 
 # ------------------------------------------------------------ datetime:
 # reference: io/cdap/functions/DateAndTime.java:132-676 (DataStage-style).
-# TIME type gap in Spark: time-of-day values are LONG seconds since
-# midnight (SURVEY.md §7 hard part d).
+# TIME type gap in Spark: the reference's LocalTime values are LONG
+# nanoseconds since midnight here (SURVEY.md §7 hard part d) — full
+# sub-second fidelity for the *FromTime extractors while every
+# arithmetic stays a JVM-side integer Column.
+
+_NANOS_PER_SEC = 1_000_000_000
+_NANOS_PER_DAY = 86_400 * _NANOS_PER_SEC
+
+
+def _dow0(text) -> Column:
+    """Day-of-week text ('thursday' / 'Thu', any case) → 0=Mon..6=Sun.
+    Reference getDayOfWeek (DateAndTime.java:88-130) defaults to
+    SUNDAY on unrecognized input."""
+    k = F.upper(F.substring(text.col.cast("string"), 1, 3))
+    m = F.create_map(
+        *[F.lit(x) for kv in
+          [("MON", 0), ("TUE", 1), ("WED", 2), ("THU", 3), ("FRI", 4), ("SAT", 5), ("SUN", 6)]
+          for x in kv]
+    )
+    return F.coalesce(m[k], F.lit(6))
+
 
 @_reg("datetime", "GetDate")
 def _dt_getdate(x):
     return _typed(x.col.cast("date"), T.DateType())
 
 
+@_reg("datetime", "GetTime")
+def _dt_gettime(x):
+    """LocalTime.parse('HH:mm[:ss[.fffffffff]]') → nanos since midnight."""
+    if x.dtype is not None and isinstance(x.dtype, T.NumericType):
+        return _typed(x.col.cast("long"), LNG)
+    s = F.trim(x.col.cast("string"))
+    h = F.nullif(F.regexp_extract(s, r"^(\d{1,2}):", 1), F.lit("")).cast("long")
+    m = F.nullif(F.regexp_extract(s, r"^\d{1,2}:(\d{1,2})", 1), F.lit("")).cast("long")
+    sec = F.nullif(F.regexp_extract(s, r"^\d{1,2}:\d{1,2}:(\d{1,2})", 1), F.lit("")).cast("long")
+    frac = F.nullif(F.regexp_extract(s, r"^\d{1,2}:\d{1,2}:\d{1,2}\.(\d{1,9})", 1), F.lit(""))
+    nanos = (
+        h * 3600 * _NANOS_PER_SEC
+        + m * 60 * _NANOS_PER_SEC
+        + F.coalesce(sec, F.lit(0)) * _NANOS_PER_SEC
+        + F.coalesce(F.rpad(frac, 9, "0").cast("long"), F.lit(0))
+    )
+    return _typed(nanos, LNG)
+
+
 @_reg("datetime", "GetDateTime")
-def _dt_getdatetime(x):
-    return _typed(x.col.cast("timestamp_ntz"), T.TimestampNTZType())
+def _dt_getdatetime(x, time=None):
+    """1-arg: parse/cast to datetime. 2-arg (reference GetDateTime(date,
+    time), DateAndTime.java:544): combine a date and a time-of-day;
+    nanos truncate to Spark's micros precision."""
+    if time is None:
+        return _typed(x.col.cast("timestamp_ntz"), T.TimestampNTZType())
+    base = x.col.cast("date").cast("timestamp_ntz")
+    return _typed(
+        F.timestamp_add("MICROSECOND", (time.col.cast("long") / 1000).cast("long"), base),
+        T.TimestampNTZType(),
+    )
 
 
 @_reg("datetime", "CurrentDate")
@@ -955,15 +1265,40 @@ def _dt_epochseconds():
     return _typed(F.unix_timestamp(F.current_timestamp()), LNG)
 
 
-@_reg("datetime", "CurrentTimestampMS", "CurrentTimeMS")
+@_reg("datetime", "CurrentTimestampMS")
 def _dt_currenttimestampms():
     return _typed(F.unix_millis(F.current_timestamp()), LNG)
 
 
+@_reg("datetime", "CurrentTime")
+def _dt_currenttime():
+    """LocalTime.now() → nanos since midnight (session-tz day)."""
+    now = F.current_timestamp()
+    return _typed(
+        (F.unix_micros(now) - F.unix_micros(F.date_trunc("DAY", now))) * 1000, LNG
+    )
+
+
+@_reg("datetime", "CurrentTimeMS")
+def _dt_currenttimems():
+    """Reference quirk (DateAndTime.java:167): CurrentTime().getNano()
+    / 1e6 — the millisecond PORTION of the current second (0-999),
+    not epoch millis (that is CurrentTimestampMS)."""
+    return _typed(((F.unix_micros(F.current_timestamp()) % 1_000_000) / 1000).cast("long"), LNG)
+
+
+@_reg("datetime", "CurrentTimestampNano")
+def _dt_currenttimestampnano():
+    """Reference quirk (DateAndTime.java:202): Instant.now().getNano()
+    — nanos WITHIN the current second, not epoch nanos."""
+    return _typed((F.unix_micros(F.current_timestamp()) % 1_000_000) * 1000, LNG)
+
+
 @_reg("datetime", "DateFromDaysSince")
 def _dt_datefromdayssince(days, baseline=None):
-    base = baseline.col.cast("date") if baseline is not None else F.to_date(F.lit("1900-01-01"))
-    return _typed(F.date_add(base, days.col.cast("int")), T.DateType())
+    # 1-arg overload adds to the CURRENT date (DateAndTime.java:213)
+    base = baseline.col.cast("date") if baseline is not None else F.current_date()
+    return _typed(F.date_add(base, F.coalesce(days.col.cast("int"), F.lit(0))), T.DateType())
 
 
 @_reg("datetime", "DateFromComponents")
@@ -1020,8 +1355,68 @@ def _dt_monthfromdate(d):
 
 @_reg("datetime", "WeekdayFromDate")
 def _dt_weekdayfromdate(d, start=None):
-    # ISO weekday 1=Mon..7=Sun by default
-    return _typed(F.weekday(d.col.cast("date")) + 1, INT)
+    """Reference semantics (DateAndTime.java:636-653): 8 - ISO-dow of
+    the START-OF-WEEK day (default 'Sunday' → 1); previousOrSame(start)
+    always lands on `start` itself, so the result depends only on the
+    start-of-week argument (null start → the date's own ISO dow).
+    Null-propagates on the date."""
+    if start is None:
+        days_in_week = F.lit(7)  # Sunday
+    else:
+        days_in_week = F.when(start.col.isNull(), F.weekday(d.col.cast("date")) + 1).otherwise(
+            _dow0(start) + 1
+        )
+    return _typed(
+        F.when(d.col.cast("date").isNotNull(), F.lit(8) - days_in_week).cast("int"), INT
+    )
+
+
+def _next_dow_delta(d: Column, t0: Column) -> Column:
+    # days from d to the STRICTLY-NEXT t0 weekday (1..7)
+    return F.pmod(t0 - F.weekday(d) - 1, F.lit(7)) + 1
+
+
+def _prev_dow_delta(d: Column, t0: Column) -> Column:
+    # days from d back to the STRICTLY-PREVIOUS t0 weekday (1..7)
+    return F.pmod(F.weekday(d) - t0 - 1, F.lit(7)) + 1
+
+
+@_reg("datetime", "NextWeekdayFromDate")
+def _dt_nextweekdayfromdate(d, dow):
+    """TemporalAdjusters.next(dow) (DateAndTime.java:420)."""
+    dd = d.col.cast("date")
+    out = F.date_add(dd, _next_dow_delta(dd, _dow0(dow)).cast("int"))
+    return _typed(F.when(dow.col.isNull(), dd).otherwise(out), T.DateType())
+
+
+@_reg("datetime", "PreviousWeekdayFromDate")
+def _dt_previousweekdayfromdate(d, dow):
+    """TemporalAdjusters.previous(dow) (DateAndTime.java:461)."""
+    dd = d.col.cast("date")
+    out = F.date_sub(dd, _prev_dow_delta(dd, _dow0(dow)).cast("int"))
+    return _typed(F.when(dow.col.isNull(), dd).otherwise(out), T.DateType())
+
+
+@_reg("datetime", "NthWeekdayFromDate")
+def _dt_nthweekdayfromdate(d, dow, n):
+    """next/previous applied |n| times (DateAndTime.java:437-448):
+    the first hop is strict, the rest are whole weeks."""
+    dd = d.col.cast("date")
+    t0 = _dow0(dow)
+    nn = n.col.cast("int")
+    pos = F.date_add(dd, (_next_dow_delta(dd, t0) + (nn - 1) * 7).cast("int"))
+    neg = F.date_sub(dd, (_prev_dow_delta(dd, t0) + (-nn - 1) * 7).cast("int"))
+    out = (
+        F.when(dow.col.isNull() | nn.isNull() | (nn == 0), dd)
+        .when(nn > 0, pos)
+        .otherwise(neg)
+    )
+    return _typed(out, T.DateType())
+
+
+@_reg("datetime", "MonthDayFromDate")
+def _dt_monthdayfromdate(d):
+    return _typed(F.dayofmonth(d.col.cast("date")), INT)
 
 
 @_reg("datetime", "YeardayFromDate")
@@ -1036,25 +1431,82 @@ def _dt_yearfromdate(d):
 
 @_reg("datetime", "YearweekFromDate")
 def _dt_yearweekfromdate(d):
-    return _typed(F.weekofyear(d.col.cast("date")), INT)
+    """WeekFields.of(MONDAY, 7).weekOfWeekBasedYear (DateAndTime.java:676):
+    week 1 = the first FULL Mon-Sun week of the year — NOT ISO
+    (weekofyear's min-4-days rule differs by 1 near year starts)."""
+    dd = d.col.cast("date")
+
+    def first_monday(year_start: Column) -> Column:
+        return F.date_add(year_start, F.pmod(F.lit(7) - F.weekday(year_start), F.lit(7)).cast("int"))
+
+    fm_this = first_monday(F.trunc(dd, "year"))
+    fm_prev = first_monday(F.trunc(F.add_months(dd, -12), "year"))
+    fm = F.when(dd < fm_this, fm_prev).otherwise(fm_this)
+    return _typed((F.floor(F.datediff(dd, fm) / 7) + 1).cast("int"), INT)
 
 
 @_reg("datetime", "TimeFromMidnightSeconds")
 def _dt_timefrommidnightseconds(s):
-    # TIME gap: represented as long seconds-since-midnight
-    return _typed(s.col.cast("long"), LNG)
+    # null seconds → midnight (DateAndTime.java:515)
+    return _typed(F.coalesce(s.col.cast("long"), F.lit(0)) * _NANOS_PER_SEC, LNG)
 
 
 @_reg("datetime", "TimeFromComponents")
 def _dt_timefromcomponents(h, m, s, us=None):
-    return _typed(
-        (h.col.cast("long") * 3600 + m.col.cast("long") * 60 + s.col.cast("long")), LNG
-    )
+    nanos = (
+        h.col.cast("long") * 3600 + m.col.cast("long") * 60 + s.col.cast("long")
+    ) * _NANOS_PER_SEC
+    if us is not None:
+        nanos = nanos + us.col.cast("long") * 1000
+    return _typed(nanos, LNG)
+
+
+@_reg("datetime", "TimeOffsetByComponents")
+def _dt_timeoffsetbycomponents(t, h, m, s):
+    """LocalTime.plusHours/Minutes/Seconds wraps around midnight
+    (DateAndTime.java:531); null offsets are 0."""
+    off = (
+        F.coalesce(h.col.cast("long"), F.lit(0)) * 3600
+        + F.coalesce(m.col.cast("long"), F.lit(0)) * 60
+        + F.coalesce(s.col.cast("long"), F.lit(0))
+    ) * _NANOS_PER_SEC
+    return _typed(F.pmod(t.col.cast("long") + off, F.lit(_NANOS_PER_DAY)), LNG)
+
+
+@_reg("datetime", "HoursFromTime")
+def _dt_hoursfromtime(t):
+    return _typed((t.col.cast("long") / (3600 * _NANOS_PER_SEC)).cast("int"), INT)
+
+
+@_reg("datetime", "MinutesFromTime")
+def _dt_minutesfromtime(t):
+    return _typed(((t.col.cast("long") / (60 * _NANOS_PER_SEC)) % 60).cast("int"), INT)
 
 
 @_reg("datetime", "SecondsFromTime")
 def _dt_secondsfromtime(t):
-    return _typed(t.col.cast("long"), LNG)
+    # the seconds PORTION (LocalTime.getSecond), not seconds-of-day
+    return _typed(((t.col.cast("long") / _NANOS_PER_SEC) % 60).cast("int"), INT)
+
+
+@_reg("datetime", "MidnightSecondsFromTime")
+def _dt_midnightsecondsfromtime(t):
+    return _typed((t.col.cast("long") / _NANOS_PER_SEC).cast("int"), INT)
+
+
+@_reg("datetime", "NanoSecondsFromTime")
+def _dt_nanosecondsfromtime(t):
+    return _typed((t.col.cast("long") % _NANOS_PER_SEC).cast("int"), INT)
+
+
+@_reg("datetime", "MicroSecondsFromTime")
+def _dt_microsecondsfromtime(t):
+    return _typed(((t.col.cast("long") % _NANOS_PER_SEC) / 1000).cast("int"), INT)
+
+
+@_reg("datetime", "MilliSecondsFromTime")
+def _dt_millisecondsfromtime(t):
+    return _typed(((t.col.cast("long") % _NANOS_PER_SEC) / 1_000_000).cast("int"), INT)
 
 
 @_reg("datetime", "DateTimeFromEpoch")
@@ -1070,16 +1522,55 @@ def _dt_epochfromdatetime(dtv):
 @_reg("datetime", "DateTimeOffsetBySeconds")
 def _dt_datetimeoffsetbyseconds(dtv, off):
     return _typed(
-        F.timestamp_seconds(F.unix_timestamp(dtv.col.cast("timestamp")) + off.col.cast("long"))
-        .cast("timestamp_ntz"),
+        F.timestamp_seconds(
+            F.unix_timestamp(dtv.col.cast("timestamp")) + F.coalesce(off.col.cast("long"), F.lit(0))
+        ).cast("timestamp_ntz"),
         T.TimestampNTZType(),
     )
 
 
+@_reg("datetime", "DateTimeFromSecondsSince")
+def _dt_datetimefromsecondssince(seconds, time):
+    """time.plusSeconds(seconds) (DateAndTime.java:556); null seconds → time."""
+    return _typed(
+        F.timestamp_add(
+            "SECOND", F.coalesce(seconds.col.cast("int"), F.lit(0)), time.col.cast("timestamp_ntz")
+        ),
+        T.TimestampNTZType(),
+    )
+
+
+@_reg("datetime", "DateTimeFromTime")
+def _dt_datetimefromtime(t, dtv):
+    """Overwrite the time-of-day of `dtv` with `t` (DateAndTime.java:582);
+    null time → dtv unchanged."""
+    base = dtv.col.cast("timestamp_ntz")
+    replaced = F.timestamp_add(
+        "MICROSECOND", (t.col.cast("long") / 1000).cast("long"), F.date_trunc("DAY", base)
+    )
+    return _typed(F.when(t.col.isNull(), base).otherwise(replaced), T.TimestampNTZType())
+
+
+@_reg("datetime", "DateTimeOffsetByComponents")
+def _dt_datetimeoffsetbycomponents(dtv, ys, mos, ds, hs, mins, secs):
+    """Sequential plusYears/Months/Days/Hours/Minutes/Seconds
+    (DateAndTime.java:596-609) — each month-ish step clamps day-of-month
+    exactly like java.time, which chained timestamp_add reproduces."""
+    out = dtv.col.cast("timestamp_ntz")
+    for unit, tc in (
+        ("YEAR", ys), ("MONTH", mos), ("DAY", ds),
+        ("HOUR", hs), ("MINUTE", mins), ("SECOND", secs),
+    ):
+        out = F.timestamp_add(unit, F.coalesce(tc.col.cast("int"), F.lit(0)), out)
+    return _typed(out, T.TimestampNTZType())
+
+
 @_reg("datetime", "SecondsSinceFromDateTime")
 def _dt_secondssince(src, dst):
+    # Duration.between(destination, source) = source - destination
+    # (DateAndTime.java:483) — note the sign.
     return _typed(
-        F.unix_timestamp(dst.col.cast("timestamp")) - F.unix_timestamp(src.col.cast("timestamp")),
+        F.unix_timestamp(src.col.cast("timestamp")) - F.unix_timestamp(dst.col.cast("timestamp")),
         LNG,
     )
 
