@@ -71,3 +71,20 @@ def test_quoted_semicolon():
 def test_numlist():
     calls = parse_recipe("parse-as-fixed-length :body 2,4,5")
     assert calls[0].nums(1) == [2, 4, 5]
+
+
+# ------------------------------------------------- MigrateToV2Test
+# parser/MigrateToV2Test.java: null/empty/comment-only recipes migrate
+# without error; v2 syntax passes through the v1 migrator untouched.
+
+def test_empty_and_comment_only_recipes():
+    from wrangler_spark.recipe.parser import parse_recipe
+    assert parse_recipe("") == []
+    assert parse_recipe("// test") == []
+    assert parse_recipe("\n  \n// a\n//b\n") == []
+
+
+def test_old_directives_with_new_syntax():
+    from wrangler_spark.recipe.parser import parse_recipe
+    calls = parse_recipe("parse-as-csv :body '\t' true; drop :body;")
+    assert [c.name for c in calls] == ["parse-as-csv", "drop"]

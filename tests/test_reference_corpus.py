@@ -892,3 +892,78 @@ def test_dt_current_time_shapes(spark):
     assert 0 <= r["c"] < 1000
     assert r["e"] > 10**12
     assert r["f"] == 30 * 60 * 10**9  # wraps past midnight to 00:30
+
+
+# -------------------------------------------------------- JsPathTest
+
+def test_jspath_select_case_insensitive_and_variadic(spark):
+    """JsPathTest.testJSONFunctions: select lowercases keys first
+    ('$.name.fname' matches "Fname"), multi-path select returns an
+    array, ArrayLength over a selected array counts nulls too (8)."""
+    body = (
+        '{"name": {"Fname": "Joltie", "Lname": "Root", "mname": null},'
+        '"coordinates": [12.56, 45.789],'
+        '"numbers": [1, 2.1, 3, null, 4, 5, 6, null],'
+        '"integer": 1, "double": 2.8}'
+    )
+    df = spark.createDataFrame([(body,)], "body string")
+    ok, _ = execute(spark, [
+        "set-column s0 json:Select(body, '$.name.fname', '$.name.lname')",
+        "set-column s1 json:Select(body, '$.name.fname')",
+        "set-column s6 json:ArrayLength(json:Select(body, '$.numbers'))",
+    ], df)
+    r = ok.first()
+    assert r["s1"] == "Joltie"
+    assert r["s6"] == 8
+    import json as _j
+    assert _j.loads(r["s0"]) == ["Joltie", "Root"]
+
+
+# ---------------------------------------------------- EncodeDecodeTest
+
+def test_encode_decode_all_three_roundtrip(spark):
+    """EncodeDecodeTest.testEncodeDecode: base32/base64/hex exact
+    outputs and the decode round trip, including the reference's
+    generated column names."""
+    df = spark.createDataFrame(
+        [("Base32 Encoding", "Testing Base 64 Encoding", "Hex Encoding")],
+        "col1 string, col2 string, col3 string",
+    )
+    ok, _ = execute(spark, [
+        "encode base32 col1", "encode base64 col2", "encode hex col3",
+        "decode base32 col1_encode_base32",
+        "decode base64 col2_encode_base64",
+        "decode hex col3_encode_hex",
+    ], df)
+    r = ok.first()
+    assert r["col1_encode_base32"] == "IJQXGZJTGIQEK3TDN5SGS3TH"
+    assert r["col2_encode_base64"] == "VGVzdGluZyBCYXNlIDY0IEVuY29kaW5n"
+    assert r["col3_encode_hex"] == "48657820456e636f64696e67"
+    assert r["col1_encode_base32_decode_base32"] == "Base32 Encoding"
+    assert r["col2_encode_base64_decode_base64"] == "Testing Base 64 Encoding"
+    assert r["col3_encode_hex_decode_hex"] == "Hex Encoding"
+
+
+# ---------------------------------------------------- QuantizationTest
+
+def test_quantize_full_pipeline_with_notfound(spark):
+    """QuantizationTest.testQuanitization: closed ranges, a gap value
+    (20.7 falls between 20.0 and 21.0) stays null and the JEXL ternary
+    maps it to NOT FOUND; expects 3 LOW / 1 MEDIUM / 1 HIGH / 1 not-found."""
+    wages = ["11.79", "129.13", "9.54", "7.89", "45.67", "20.7"]
+    df = spark.createDataFrame(
+        [(f"109{i},Root,Joltie,01/26/1956,r@x.io,32,{w},150 Mars Ave,Palo Alto,CA,USA,32826",)
+         for i, w in enumerate(wages)],
+        "__col string",
+    )
+    ok, _ = execute(spark, [
+        "parse-as-csv __col ,",
+        "drop __col",
+        "set columns id,first,last,dob,email,age,hrlywage,address,city,state,country,zip",
+        "quantize hrlywage wagerange 0.0:20.0='LOW',21.0:75.0='MEDIUM',75.1:200.0='HIGH'",
+        'set column wagerange (wagerange == null) ? "NOT FOUND" : wagerange',
+    ], df)
+    got = [r["wagerange"] for r in ok.collect()]
+    from collections import Counter
+    c = Counter(got)
+    assert c["LOW"] == 3 and c["MEDIUM"] == 1 and c["HIGH"] == 1 and c["NOT FOUND"] == 1

@@ -453,6 +453,10 @@ def quantize(call: DirectiveCall):
         if not m:
             raise UsageError(f"quantize: bad range {part!r}")
         lo, hi, label = float(m.group(1)), float(m.group(2)), m.group(3)
+        # the v2 grammar strips single quotes around the range value
+        # (reference parser/RecipeVisitor.java:160-165)
+        if len(label) >= 2 and label[0] == label[-1] and label[0] in "'\"":
+            label = label[1:-1]
         ranges.append((lo, hi, label))
 
     def tr(df: DataFrame, ctx: RecipeContext) -> DataFrame:

@@ -781,11 +781,26 @@ def _is_time(x):
 # ------------------------------------------------------------ json:
 # reference: io/cdap/functions/JsonFunctions.java:47-328
 
+def _lower_keys_rec(obj):
+    if isinstance(obj, dict):
+        return {k.lower(): _lower_keys_rec(v) for k, v in obj.items()}
+    if isinstance(obj, list):
+        return [_lower_keys_rec(v) for v in obj]
+    return obj
+
+
 @_reg("json", "select")
-def _json_select(x, path):
-    return _typed(
-        F.get_json_object(_s(x), _lit_value(path, "json:select path")), STR
-    )
+def _json_select(x, *paths):
+    """JsonFunctions.select (java:61-93): keys are LOWERCASED first
+    (toLower defaults true — '$.name.fname' matches "Fname"), then each
+    JsonPath is read; multiple paths return a JSON array of the
+    results. Key-lowering is an Arrow batch, the path reads stay
+    JVM-side get_json_object."""
+    lowered = _json_rewrite("selectLower", _lower_keys_rec)(_s(x))
+    ps = [_lit_value(p, "json:select path") for p in paths]
+    if len(ps) == 1:
+        return _typed(F.get_json_object(lowered, ps[0]), STR)
+    return _typed(F.to_json(F.array(*[F.get_json_object(lowered, p) for p in ps])), STR)
 
 
 @_reg("json", "IsValid")
@@ -859,7 +874,7 @@ def _json_rewrite(name, rewrite):
                 obj = _json.loads(t)
             except Exception:
                 return None
-            if not isinstance(obj, dict):
+            if not isinstance(obj, (dict, list)):
                 return t
             return _json.dumps(rewrite(obj), separators=(",", ":"))
 
@@ -872,14 +887,18 @@ def _json_rewrite(name, rewrite):
 def _json_drop(x, *fields):
     names = {str(_lit_value(f, "json:drop field")).lower() for f in fields}
     fn = _json_rewrite(
-        "drop", lambda obj: {k: v for k, v in obj.items() if k.lower() not in names}
+        "drop",
+        lambda obj: {k: v for k, v in obj.items() if k.lower() not in names}
+        if isinstance(obj, dict)
+        else obj,
     )
     return _typed(fn(_s(x)), STR)
 
 
 @_reg("json", "keysToLower", "keystolower")
 def _json_keys_lower(x):
-    fn = _json_rewrite("keysToLower", lambda obj: {k.lower(): v for k, v in obj.items()})
+    # recursive, like the reference (JsonFunctions.java:145-167)
+    fn = _json_rewrite("keysToLower", _lower_keys_rec)
     return _typed(fn(_s(x)), STR)
 
 
