@@ -100,13 +100,14 @@ def test_logical_bits(spark, one_col):
     df = one_col("x")
     from wrangler_spark import execute
     ok, _ = execute(spark, [
-        "set-column :a logical:SetBit(8, 0, 1)",
-        "set-column :b logical:SetBit(9, 0, 0)",
+        "set-column :a logical:SetBit(8, 1, 1)",
+        "set-column :b logical:SetBit(9, 1, 0)",
         "set-column :c logical:BitCompress('1011')",
         "set-column :d logical:BitExpand(11)",
+        "set-column :e logical:SetBit(356, [2,4,8], 1)",
     ], df)
     r = ok.collect()[0]
-    assert (r["a"], r["b"], r["c"], r["d"]) == (9, 8, 11, "1011")
+    assert (r["a"], r["b"], r["c"], r["d"], r["e"]) == (9, 8, 11, "1011", 494)
 
 
 def test_json_drop_keys_join(spark, one_col):

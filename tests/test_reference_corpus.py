@@ -967,3 +967,185 @@ def test_quantize_full_pipeline_with_notfound(spark):
     from collections import Counter
     c = Counter(got)
     assert c["LOW"] == 3 and c["MEDIUM"] == 1 and c["HIGH"] == 1 and c["NOT FOUND"] == 1
+
+
+# ------------------------------------------------------- ParseLogTest
+
+_APACHE_LOG = (
+    "[02/Dec/2013:14:10:30 -0000] - [52075 10.102.4.254 177.43.52.210 UpyU1gpmBAwAACfd5W0AAAAW "
+    "GET /SS14-VTam-ny_019.jpg.rendition.zoomable.jpg HTTP/1.1] "
+    "hsfirstvisit=http%3A%2F%2Fwww.domain.com%2Fen-us||1372268254000; has_js=1; MODE=FONTIS "
+    '200 "Mozilla/5.0 (Windows NT 6.2; WOW64) AppleWebKit/537.36 (KHTML, like Gecko) '
+    'Chrome/31.0.1650.57 Safari/537.36" "www.domain.com" - 463952 '
+    "http://www.domain.com/content/report/shows/New_York/KSHK/trip/s_s_14_ny_ww/sheers.html"
+)
+
+
+def test_log_custom_format_with_headers_and_env(spark):
+    """ParseLogTest.testLogParsing: the exotic format
+    %t %u [%D %h %{True-Client-IP}i %{UNIQUE_ID}e %r] %{Cookie}i %s
+    "%{User-Agent}i" "%{host}i" %l %b %{Referer}i — header/env tokens,
+    %D micros, a bracketed literal group and a space-bearing Cookie."""
+    df = spark.createDataFrame([(_APACHE_LOG,)], "body string")
+    ok, _ = execute(spark, [
+        'parse-as-log body %t %u [%D %h %{True-Client-IP}i %{UNIQUE_ID}e %r] '
+        '%{Cookie}i %s "%{User-Agent}i" "%{host}i" %l %b %{Referer}i',
+    ], df)
+    r = ok.first()
+    assert r["request_time"] == "02/Dec/2013:14:10:30 -0000"
+    assert r["response_time_us"] == "52075"
+    assert r["remote_host"] == "10.102.4.254"
+    assert r["header_true_client_ip"] == "177.43.52.210"
+    assert r["env_unique_id"] == "UpyU1gpmBAwAACfd5W0AAAAW"
+    assert r["request_line"] == "GET /SS14-VTam-ny_019.jpg.rendition.zoomable.jpg HTTP/1.1"
+    assert r["header_cookie"].startswith("hsfirstvisit=") and "MODE=FONTIS" in r["header_cookie"]
+    assert r["status_code"] == "200"
+    assert r["header_user_agent"].startswith("Mozilla/5.0")
+    assert r["header_host"] == "www.domain.com"
+    assert r["response_size"] == "463952"
+    assert r["header_referer"].endswith("sheers.html")
+
+
+def test_log_common_log_format_custom_tokens(spark):
+    """ParseLogTest.testCommonLogFormat via the explicit token string
+    %h %l %u %t "%r" %>s %b (not the 'common' preset)."""
+    df = spark.createDataFrame(
+        [('127.0.0.1 - frank [10/Oct/2000:13:55:36 -0700] "GET /apache_pb.gif HTTP/1.0" 200 2326',)],
+        "body string",
+    )
+    ok, _ = execute(spark, ['parse-as-log body %h %l %u %t "%r" %>s %b'], df)
+    r = ok.first()
+    assert r["remote_host"] == "127.0.0.1"
+    assert r["remote_user"] == "frank"
+    assert r["request_time"] == "10/Oct/2000:13:55:36 -0700"
+    assert r["request_line"] == "GET /apache_pb.gif HTTP/1.0"
+    assert r["status_code"] == "200"
+    assert r["response_size"] == "2326"
+
+
+# ------------------------------------------------------- LogicalTest
+
+def test_logical_bitwise_functions(spark):
+    """LogicalTest.testLogicalBitwiseFunctions — all 12 columns,
+    including the array-literal SetBit(356,[2,4,8],1) == 494 and
+    Not(null) == 1."""
+    df = spark.createDataFrame([(352, 400)], "a long, b long")
+    ok, _ = execute(spark, [
+        "set-column and logical:BitAnd(352, 400)",
+        "set-column or logical:BitOr(352, 400)",
+        "set-column xor logical:BitXor(352, 400)",
+        "set-column compress logical:BitCompress('0101100000')",
+        "set-column expand logical:BitExpand(352)",
+        "set-column not1 logical:Not(5-5)",
+        "set-column not2 logical:Not(5+5)",
+        "set-column not3 logical:Not(null)",
+        "set-column bitset logical:SetBit(356,[2,4,8], 1)",
+    ], df)
+    r = ok.first()
+    assert r["and"] == 256 and r["or"] == 496 and r["xor"] == 240
+    assert r["compress"] == 352 and r["expand"] == "101100000"
+    assert (r["not1"], r["not2"], r["not3"]) == (1, 0, 1)
+    assert r["bitset"] == 494
+
+
+# ------------------------------------------------- NumberFunctionsTest
+
+def test_number_functions_block_form(spark):
+    """NumberFunctionsTest.testNumbers: JEXL block-with-assignment
+    form `{ a = 5.0; number:AsDouble(a/2) }`, literal suffixes
+    d/l/f/b, and Mantissa semantics."""
+    df = spark.createDataFrame([(1,)], "x long")
+    ok, _ = execute(spark, [
+        "set-column double { a = 5.0; number:AsDouble(a/2) }",
+        "set-column float { a = 2.34; number:AsFloat(a) }",
+        "set-column int { a = 5.64; number:AsInteger(a) }",
+        "set-column mantissaInt { a = 5; number:Mantissa(a) }",
+        "set-column mantissaDouble { a = 43.2534d; number:Mantissa(a) }",
+        "set-column mantissaLong { a = 214748364721l; number:Mantissa(a) }",
+        "set-column mantissaFloat { a = 12.0234; number:Mantissa(a) }",
+        "set-column mantissaBigD { a = 12.00123b; number:Mantissa(a) }",
+    ], df)
+    r = ok.first()
+    assert r["double"] == 2.5
+    assert abs(r["float"] - 2.34) < 1e-6
+    assert r["int"] == 5
+    assert r["mantissaInt"] == 0.0
+    assert abs(r["mantissaDouble"] - 0.2534) < 1e-9
+    assert r["mantissaLong"] == 0.0
+    assert abs(r["mantissaFloat"] - 0.0234) < 1e-9
+    assert abs(r["mantissaBigD"] - 0.00123) < 1e-9
+
+
+# ------------------------------------------------------- GeoFenceTest
+
+_FENCE_1 = (
+    '{"type":"FeatureCollection","features":[{"type":"Feature","properties":{},'
+    '"geometry":{"type":"Polygon","coordinates":[[[-122.05870628356934,37.37943348292772],'
+    "[-122.05724716186525,37.374727268782294],[-122.04634666442871,37.37493189292912],"
+    "[-122.04608917236328,37.38175237839049],[-122.05870628356934,37.37943348292772]]]}}]}"
+)
+_FENCE_2 = (
+    '{"type":"Feature","properties":{},"geometry":{"type":"Polygon","coordinates":'
+    "[[[-122.05055236816405,37.36862239166385],[-122.04038143157959,37.36841775030572],"
+    "[-122.04141139984132,37.37312436031927],[-122.05055236816405,37.36862239166385]]]}}"
+)
+
+
+def test_geo_infence_single_and_multiple(spark):
+    """GeoFenceTest.testWithSingleFence / testWithMultipleFences."""
+    import json
+    multi = json.dumps({
+        "type": "FeatureCollection",
+        "features": [json.loads(_FENCE_1)["features"][0], json.loads(_FENCE_2)],
+    })
+    df = spark.createDataFrame(
+        [(37.378990156513105, -122.05076694488525),
+         (43.46089378008257, -462.49145507812494)],
+        "lat double, lon double",
+    )
+    for fence in (_FENCE_1, multi):
+        ok, _ = execute(
+            spark, [f"set-column inside geo:inFence(lat, lon, '{fence}')"], df
+        )
+        got = {(r["lat"], r["inside"]) for r in ok.collect()}
+        assert (37.378990156513105, True) in got
+        assert (43.46089378008257, False) in got
+
+
+def test_geo_infence_open_polygon_rejected(spark):
+    """GeoFenceTest.testWithOpenPolygon expects IllegalArgumentException —
+    an unclosed ring must raise at compile time."""
+    import pytest as _pytest
+
+    from wrangler_spark.errors import ExpressionError, UsageError
+    open_fence = (
+        '{"type":"FeatureCollection","features":[{"type":"Feature","properties":{},'
+        '"geometry":{"type":"Polygon","coordinates":[[[-122.05870628356934,37.37943348292772],'
+        "[-122.05724716186525,37.374727268782294],[-122.04634666442871,37.37493189292912],"
+        "[-122.04608917236328,37.38175237839049]]]}}]}"
+    )
+    df = spark.createDataFrame([(1.0, 2.0)], "lat double, lon double")
+    with _pytest.raises((ExpressionError, UsageError)):
+        execute(spark, [f"set-column inside geo:inFence(lat, lon, '{open_fence}')"], df)
+
+
+# ------------------------------------------------------ DataQualityTest
+
+def test_dq_columns_hascolumn_inrange(spark):
+    """DataQualityTest.testRecordLength / testRecordHasColumn /
+    testRange via the EL surface (ragged rows project to null cells,
+    so columns == non-null count)."""
+    df = spark.createDataFrame([(1, 2, 3), (1, None, None)], "a int, b int, c int")
+    ok, _ = execute(spark, [
+        "set-column ncols dq:columns(this)",
+        "set-column has_a dq:hascolumn(this, 'a')",
+        "set-column has_z dq:hascolumn(this, 'z')",
+        "set-column r1 dq:inrange(1, 0, 10)",
+        "set-column r2 dq:inrange(0.9, 1, 10)",
+        "set-column r3 dq:inrange(1.1, 1, 10)",
+    ], df)
+    rows = {r["ncols"]: r for r in ok.collect()}
+    assert set(rows) == {3, 1}
+    for r in rows.values():
+        assert r["has_a"] is True and r["has_z"] is False
+        assert (r["r1"], r["r2"], r["r3"]) == (True, False, True)

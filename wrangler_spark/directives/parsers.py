@@ -307,32 +307,58 @@ _LOG_PATTERNS = {
 @directive("parse-as-log")
 def parse_as_log(call: DirectiveCall):
     col = call.col(0)
-    fmt = call.text(1, default="common").strip()
+    fmt = _fmt_arg(call, 1).strip() if call.has(1) else "common"
     if fmt in _LOG_PATTERNS:
         pattern, names = _LOG_PATTERNS[fmt]
     elif "%" in fmt:
-        # %h %l %u %t "%r" %>s %b style custom format
-        token_map = {
-            "%h": (r"(\S+)", "remote_host"),
-            "%l": (r"(\S+)", "remote_logname"),
-            "%u": (r"(\S+)", "remote_user"),
-            "%t": (r"\[([^\]]+)\]", "request_time"),
-            '"%r"': (r'"([^"]*)"', "request_line"),
-            "%r": (r'"([^"]*)"', "request_line"),
-            "%>s": (r"(\d{3}|-)", "status_code"),
-            "%s": (r"(\d{3}|-)", "status_code"),
-            "%b": (r"(\d+|-)", "response_size"),
-            '"%i"': (r'"([^"]*)"', "header"),
+        # httpd LogFormat tokenizer (reference ParseLog.java drives
+        # nl.basjes httpdlog-parser; this covers its test formats):
+        # %h %l %u %t %r %>s %s %b %D %T %m %q %U %v %p plus
+        # %{Name}i request headers, %{Name}o response headers and
+        # %{NAME}e env vars — any literal text (quotes, brackets)
+        # matches verbatim. Header/env values may contain spaces
+        # (Cookie!), so their groups are lazy and the anchored tail of
+        # the pattern disambiguates via backtracking.
+        simple = {
+            "h": (r"(\S+)", "remote_host"),
+            "a": (r"(\S+)", "remote_ip"),
+            "l": (r"(\S+)", "remote_logname"),
+            "u": (r"(\S+)", "remote_user"),
+            "t": (r"\[([^\]]+)\]", "request_time"),
+            "r": (r"(\S+ +\S+ +\S+|-)", "request_line"),
+            "s": (r"(\d{3}|-)", "status_code"),
+            "b": (r"(\d+|-)", "response_size"),
+            "D": (r"(\d+|-)", "response_time_us"),
+            "T": (r"(\d+|-)", "response_time_s"),
+            "m": (r"(\S+)", "request_method"),
+            "q": (r"(\S*)", "request_query"),
+            "U": (r"(\S+)", "request_url"),
+            "v": (r"(\S+)", "server_name"),
+            "p": (r"(\d+|-)", "server_port"),
         }
+        kinds = {"i": "header", "o": "response_header", "e": "env"}
         parts, names = [], []
-        for tok in fmt.split():
-            if tok in token_map:
-                rx, nm = token_map[tok]
-                parts.append(rx)
+        pos = 0
+        for m in re.finditer(r"%\{([^}]+)\}([ioe])|%(>?[a-zA-Z])", fmt):
+            lit = fmt[pos:m.start()]
+            if lit:
+                parts.append(re.sub(r"\s+", r" ", re.escape(lit)))
+            pos = m.end()
+            if m.group(2):  # %{Name}i / %{Name}o / %{NAME}e
+                nm = kinds[m.group(2)] + "_" + re.sub(r"[^0-9a-zA-Z]+", "_", m.group(1)).strip("_").lower()
+                parts.append(r"(.*?)")
                 names.append(nm)
             else:
-                parts.append(re.escape(tok))
-        pattern = "^" + " ".join(parts)
+                key = m.group(3).lstrip(">")
+                if key not in simple:
+                    raise UsageError(f"parse-as-log: unsupported token %{m.group(3)}")
+                rx, nm = simple[key]
+                parts.append(rx)
+                names.append(nm)
+        tail = fmt[pos:]
+        if tail:
+            parts.append(re.sub(r"\s+", r" ", re.escape(tail)))
+        pattern = "^" + "".join(parts) + "$"
     else:
         raise UsageError(f"parse-as-log: unsupported format {fmt!r}")
 

@@ -1148,19 +1148,32 @@ def _bitxor(a, b):
 
 @_reg("logical", "Not")
 def _lnot(x):
-    return _typed(F.when(x.col.cast("double") == 0, 1).otherwise(0).cast("long"), LNG)
+    """Not(0)=1, Not(nonzero)=0, Not(null)=1 (reference
+    LogicalTest.java: logical:Not(null) == 1)."""
+    v = x.col.cast("double")
+    return _typed(
+        F.when(v.isNull() | (v == 0), 1).otherwise(0).cast("long"), LNG
+    )
 
 
 @_reg("logical", "SetBit")
 def _setbit(n, bit, val):
-    """SetBit(n, pos, 0|1) — set/clear bit `pos` (LSB = 0)."""
+    """SetBit(n, [pos...], 0|1) — set/clear the 1-BASED bit positions
+    (LSB = position 1), reference Logical.java:193-206 (`position - 1`
+    then `1 << position`). Accepts a JEXL array literal `[2,4,8]`
+    (LogicalTest.java: SetBit(356,[2,4,8],1) == 494) or a single
+    position; positions must be compile-time constants so the combined
+    mask folds to one literal."""
     nn = n.col.cast("long")
-    b = bit.col.cast("int")
-    # shiftleft() takes only a literal shift; 2^b stays exact to bit 52
-    mask = F.pow(F.lit(2.0), b).cast("long")
-    cleared = nn.bitwiseAND(F.bitwise_not(mask))
+    positions = bit.lit if isinstance(bit.lit, list) else [bit.lit]
+    if any(p is None for p in positions):
+        raise ExpressionError("logical:SetBit positions must be literal integers")
+    mask = 0
+    for p in positions:
+        mask |= 1 << (int(p) - 1)
+    cleared = nn.bitwiseAND(F.lit(~mask))
     return _typed(
-        F.when(val.col.cast("long") == 0, cleared).otherwise(cleared.bitwiseOR(mask)),
+        F.when(val.col.cast("long") == 0, cleared).otherwise(nn.bitwiseOR(F.lit(mask))),
         LNG,
     )
 
@@ -1710,6 +1723,13 @@ def _geo_infence(lat, lon, fence):
         raise ExpressionError(f"geo:inFence unsupported geometry {t!r}")
 
     rings = _rings(geo)
+    for ring in rings:
+        # reference GeoFences.java rejects open polygons
+        # (GeoFenceTest.testWithOpenPolygon expects IllegalArgumentException)
+        if len(ring) < 4 or ring[0] != ring[-1]:
+            raise ExpressionError(
+                "geo:inFence polygon ring must be closed (first point == last point)"
+            )
 
     def _pip(px, py, ring):
         inside = False

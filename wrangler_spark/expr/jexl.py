@@ -31,10 +31,10 @@ from wrangler_spark.errors import ExpressionError
 _TOKEN_RE = re.compile(
     r"""
     (?P<ws>\s+)
-  | (?P<num>\d+\.\d+([eE][+-]?\d+)?|\d+[lLdDfF]?|\.\d+)
+  | (?P<num>\d+\.\d+([eE][+-]?\d+)?[dDfFbB]?|\d+[lLdDfFbB]?|\.\d+)
   | (?P<str>'(\\.|[^'\\])*'|"(\\.|[^"\\])*")
   | (?P<ident>[A-Za-z_][A-Za-z0-9_]*)
-  | (?P<op>=~|!~|==|!=|<=|>=|&&|\|\||[-+*/%!<>?:().,\[\]{}])
+  | (?P<op>=~|!~|==|!=|<=|>=|&&|\|\||[-+*/%!<>?:().,;=\[\]{}])
     """,
     re.VERBOSE,
 )
@@ -61,8 +61,12 @@ def _tokenize(src: str) -> list[_Tk]:
         if m.lastgroup == "ws":
             continue
         if m.lastgroup == "num":
-            raw = m.group("num").rstrip("lLdDfF")
-            toks.append(_Tk("NUM", float(raw) if "." in raw or "e" in raw.lower() else int(raw)))
+            raw = m.group("num")
+            # JEXL literal suffixes: l=long d=double f=float b=BigDecimal
+            # (NumberFunctionsTest: 43.2534d, 214748364721l, 12.00123b)
+            is_float = "." in raw or "e" in raw.lower() or raw[-1] in "dDfFbB"
+            raw = raw.rstrip("lLdDfFbB")
+            toks.append(_Tk("NUM", float(raw) if is_float else int(raw)))
         elif m.lastgroup == "str":
             s = m.group("str")
             body = s[1:-1]
@@ -76,7 +80,16 @@ def _tokenize(src: str) -> list[_Tk]:
                 toks.append(_Tk("BOOL", lw == "true"))
             elif lw == "null":
                 toks.append(_Tk("NULL", None))
-            elif lw in _KW_OPS:
+            elif lw in _KW_OPS and not (
+                len(toks) >= 2
+                and toks[-1].kind == "OP" and toks[-1].value == ":"
+                and toks[-2].kind == "IDENT"
+                and re.match(r"\s*\(", src[pos:])
+            ):
+                # `ns:Kw(` is a namespaced function call — logical:Not(x)
+                # (reference LogicalTest.java) — not the `!` operator;
+                # a ternary's `: not y` branch stays an operator because
+                # no `(` follows
                 toks.append(_Tk("OP", _KW_OPS[lw]))
             else:
                 toks.append(_Tk("IDENT", w))
@@ -136,6 +149,25 @@ class Index:
     index: object
 
 
+@dataclass
+class Arr:
+    """JEXL array literal `[a, b, c]` (reference LogicalTest.java:
+    logical:SetBit(356, [2,4,8], 1))."""
+
+    items: list
+
+
+@dataclass
+class Block:
+    """JEXL block with local assignments `{ a = 5.0; f(a/2) }`
+    (reference NumberFunctionsTest.java, ELTest.java) — the bindings
+    evaluate in order into a local scope; the final expression is the
+    block's value."""
+
+    bindings: list  # [(name, expr), ...]
+    result: object
+
+
 class _Parser:
     def __init__(self, toks: list[_Tk], src: str):
         self.toks = toks
@@ -166,10 +198,35 @@ class _Parser:
 
     # precedence-climbing
     def parse(self):
-        e = self.ternary()
+        e = self.block() if self._at_block() else self.ternary()
         if self.peek() is not None:
             raise ExpressionError(f"trailing tokens in expression {self.src!r}")
         return e
+
+    def _at_block(self) -> bool:
+        t = self.peek()
+        return bool(t and t.kind == "OP" and t.value == "{")
+
+    def block(self):
+        """`{ a = expr; b = expr; result }` — assignment statements
+        then a value expression (trailing `;` tolerated)."""
+        self.expect_op("{")
+        bindings: list = []
+        result: object = Lit(None)
+        while not self.eat_op("}"):
+            n1, n2 = self.peek(), self.peek(1)
+            if (
+                n1 and n1.kind == "IDENT"
+                and n2 and n2.kind == "OP" and n2.value == "="
+            ):
+                self.i += 2
+                bindings.append((str(n1.value), self.ternary()))
+            else:
+                result = self.ternary()
+            if not self.eat_op(";"):
+                self.expect_op("}")
+                break
+        return Block(bindings, result)
 
     def ternary(self):
         cond = self.or_()
@@ -270,6 +327,15 @@ class _Parser:
             e = self.ternary()
             self.expect_op(")")
             return e
+        if t.kind == "OP" and t.value == "[":
+            items: list = []
+            if not self.eat_op("]"):
+                while True:
+                    items.append(self.ternary())
+                    if self.eat_op("]"):
+                        break
+                    self.expect_op(",")
+            return Arr(items)
         if t.kind == "IDENT":
             name = str(t.value)
             n1, n2 = self.peek(), self.peek(1)
@@ -356,7 +422,8 @@ def _regex_fullmatch(col: Column, pattern: str) -> Column:
 def compile_node(node, schema: T.StructType | None, variables: dict[str, TypedCol] | None = None) -> TypedCol:
     from wrangler_spark.expr.functions import resolve_call
 
-    variables = variables or {}
+    # copy: Block bindings shadow locally, never leak to the caller
+    variables = dict(variables) if variables else {}
 
     def rec(n) -> TypedCol:
         if isinstance(n, Lit):
@@ -370,6 +437,20 @@ def compile_node(node, schema: T.StructType | None, variables: dict[str, TypedCo
                 else T.StringType()
             )
             return TypedCol(F.lit(v), dt, lit=v)
+        if isinstance(n, Block):
+            # bindings shadow columns for the rest of the block
+            for name, expr in n.bindings:
+                variables[name.lower()] = rec(expr)
+            return rec(n.result)
+        if isinstance(n, Arr):
+            items = [rec(it) for it in n.items]
+            elem_dt = next((it.dtype for it in items if it.dtype is not None), None)
+            lit_vals = [it.lit for it in items]
+            return TypedCol(
+                F.array(*[it.col for it in items]),
+                T.ArrayType(elem_dt) if elem_dt is not None else None,
+                lit=lit_vals if all(v is not None for v in lit_vals) else None,
+            )
         if isinstance(n, Var):
             key = n.name.lower()
             if key in variables:
@@ -471,6 +552,40 @@ def compile_node(node, schema: T.StructType | None, variables: dict[str, TypedCo
                 return TypedCol(
                     cnt if cnt is not None else F.lit(0), T.IntegerType()
                 )
+            if (
+                n.ns == "dq" and n.name.lower() in ("columns", "hascolumn")
+                and n.args and isinstance(n.args[0], Var)
+                and n.args[0].name.lower() == "this"
+            ):
+                # reference DataQuality.columns(row)/hascolumn(row, col)
+                # (DataQualityTest.java). Same ragged-row projection as
+                # this.width(): a missing cell is a null cell here, so
+                # columns == non-null count and hascolumn == the named
+                # cell is present (in-schema and non-null).
+                if schema is None:
+                    raise ExpressionError(f"dq:{n.name} requires a known schema")
+                if n.name.lower() == "columns":
+                    cnt = None
+                    for f_ in schema.fields:
+                        e = F.when(F.col(f"`{f_.name}`").isNotNull(), 1).otherwise(0)
+                        cnt = e if cnt is None else (cnt + e)
+                    return TypedCol(
+                        cnt if cnt is not None else F.lit(0), T.IntegerType()
+                    )
+                if len(n.args) != 2:
+                    raise ExpressionError("dq:hascolumn(this, column)")
+                cname = rec(n.args[1]).lit
+                if cname is None:
+                    raise ExpressionError("dq:hascolumn column must be a literal")
+                fld = next(
+                    (f_ for f_ in schema.fields
+                     if f_.name.lower() == str(cname).lower()), None
+                )
+                if fld is None:
+                    return TypedCol(F.lit(False), T.BooleanType())
+                return TypedCol(
+                    F.col(f"`{fld.name}`").isNotNull(), T.BooleanType()
+                )
             args = [rec(a) for a in n.args]
             return resolve_call(n.ns, n.name, args)
         raise ExpressionError(f"unsupported expression node {n!r}")
@@ -526,7 +641,7 @@ def predicate_refs(src: str) -> tuple[set[str], set[str]]:
             walk(n.then)
             walk(n.other)
         elif isinstance(n, Call):
-            if n.name.lower() == "width" and any(
+            if n.name.lower() in ("width", "columns", "hascolumn") and any(
                 isinstance(a, Var) and a.name.lower() == "this" for a in n.args
             ):
                 # this.width() reads EVERY column's nullness — no
@@ -539,6 +654,17 @@ def predicate_refs(src: str) -> tuple[set[str], set[str]]:
         elif isinstance(n, Index):
             walk(n.obj)
             walk(n.index)
+        elif isinstance(n, Arr):
+            for it in n.items:
+                walk(it)
+        elif isinstance(n, Block):
+            # bound names are locals, not column refs — a block
+            # predicate never hoists cleanly, so treat every ref
+            # (including shadowed ones) as a value ref: conservative,
+            # blocks hoisting only when a bound name shadows a column
+            for _, expr in n.bindings:
+                walk(expr)
+            walk(n.result)
         elif isinstance(n, Var):
             vrefs.add(n.name.lower())
 

@@ -317,6 +317,9 @@ RAW_TAIL: dict[str, int] = {
     "parse-as-date-format": 1,
     "format-date": 1,
     "format-datetime": 1,
+    # httpd LogFormat strings contain spaces and quotes
+    # (reference ParseLog.java usage: parse-as-log <col> <format…>)
+    "parse-as-log": 1,
 }
 
 # v1 → v2 directive renames (reference parser/MigrateToV2.java:68-118)
