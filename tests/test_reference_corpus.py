@@ -1149,3 +1149,64 @@ def test_dq_columns_hascolumn_inrange(spark):
     for r in rows.values():
         assert r["has_a"] is True and r["has_z"] is False
         assert (r["r1"], r["r2"], r["r3"]) == (True, False, True)
+
+
+# ------------------------------------------------------------ ELTest
+
+def test_el_decimal_transform(spark):
+    """ELTest.testDecimalTransform over bd = 123456789.123456789, n = 2.
+    Values asserted numerically (Spark decimals carry static scale, so
+    Java's scale-sensitive BigDecimal.equals cases — strip_zero — are
+    checked on value only)."""
+    from decimal import Decimal
+    from pyspark.sql import types as T
+    bd = Decimal("123456789.123456789")
+    df = spark.createDataFrame(
+        [(bd,)], T.StructType([T.StructField("a", T.DecimalType(38, 9))])
+    )
+    ok, _ = execute(spark, [
+        "set-column sc decimal:scale(a)",
+        "set-column un decimal:unscaled(a)",
+        "set-column ab decimal:abs(a)",
+        "set-column ng decimal:negate(a)",
+        "set-column sg decimal:sign(a)",
+        "set-column sz decimal:strip_zero(a)",
+        "set-column pw decimal:pow(a, 2)",
+        "set-column dl decimal:decimal_left(a, 2)",
+        "set-column dr decimal:decimal_right(a, 2)",
+        "set-column ad decimal:add(a, 2)",
+        "set-column su decimal:subtract(a, 2)",
+        "set-column dq decimal:divideq(a, 2)",
+    ], df)
+    r = ok.first()
+    assert r["sc"] == 9
+    assert int(r["un"]) == 123456789123456789
+    assert r["ab"] == bd and r["ng"] == -bd and r["sz"] == bd
+    assert r["sg"] == 1
+    assert abs(Decimal(r["pw"]) - bd * bd) < Decimal("1e-6")
+    assert Decimal(r["dl"]) == Decimal("1234567.89123456789")
+    assert Decimal(r["dr"]) == Decimal("12345678912.3456789")
+    assert Decimal(r["ad"]) == bd + 2 and Decimal(r["su"]) == bd - 2
+    assert abs(Decimal(r["dq"]) - bd / 2) < Decimal("1e-6")
+
+
+def test_el_arithmetic_lcm(spark):
+    """ELTest.testArithmeticOperations: arithmetic:lcm(123.123, 456.456)
+    == 18714.696 (decimal-exact, not double-rounded)."""
+    df = spark.createDataFrame([(123.123, 456.456)], "a double, b double")
+    ok, _ = execute(spark, ["set-column l arithmetic:lcm(a, b)"], df)
+    assert abs(ok.first()["l"] - 18714.696) < 1e-9
+
+
+def test_el_map_indexing(spark):
+    """ELTest.testArrays: nested map indexing with string keys plus
+    math:max over toDouble'd map values."""
+    df = spark.createDataFrame(
+        [({"map": "10"}, {"ABC.EDFG": {"input": "1"}})],
+        "runtime map<string,string>, token map<string,map<string,string>>",
+    )
+    ok, _ = execute(spark, [
+        "set-column v runtime['map'] > token['ABC.EDFG']['input'] && "
+        "math:max(toDouble(runtime['map']), toDouble(token['ABC.EDFG']['input'])) > 9",
+    ], df)
+    assert ok.first()["v"] is True

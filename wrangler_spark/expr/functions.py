@@ -1086,6 +1086,39 @@ def _ar_mod(a, b):
     return _typed(a.col.cast("double") % b.col.cast("double"), DBL)
 
 
+@_reg("arithmetic", "lcm")
+def _ar_lcm(a, b):
+    """LCM of two numbers, decimal-faithful (reference
+    ArithmeticOperations.java:264-295: scale both to integers by
+    10^max(scale), integer lcm, divide back — lcm(123.123, 456.456)
+    == 18714.696). Arrow-batched; exact integer math in Python, no
+    double rounding."""
+    from decimal import Decimal
+
+    from pyspark.sql.functions import pandas_udf as _pudf
+
+    @_pudf(T.DoubleType())
+    def _lcm(xa: pd.Series, xb: pd.Series) -> pd.Series:
+        import math
+
+        out = []
+        for va, vb in zip(xa, xb):
+            if va is None or vb is None:
+                out.append(None)
+                continue
+            da, db = Decimal(str(va)), Decimal(str(vb))
+            s = max(-da.as_tuple().exponent, -db.as_tuple().exponent, 0)
+            ia, ib = int(da.scaleb(s)), int(db.scaleb(s))
+            g = math.gcd(ia, ib)
+            if g == 0:
+                out.append(0.0)
+                continue
+            out.append(float(Decimal(abs(ia * ib) // g).scaleb(-s)))
+        return pd.Series(out, dtype="float64")
+
+    return _typed(_lcm(a.col.cast("double"), b.col.cast("double")), DBL)
+
+
 @_reg("arithmetic", "max")
 def _ar_max(*xs):
     """Reference ArithmeticOperations.max:391 — null-propagating
@@ -1612,32 +1645,55 @@ def _dt_secondssince(src, dst):
 
 @_reg("decimal", "add")
 def _dec_add(a, b):
-    return _typed(a.col.cast("decimal(38,6)") + b.col.cast("decimal(38,6)"), T.DecimalType(38, 6))
+    # operands at (37, s) keep Spark's addition result at p <= 38 with
+    # the scale intact — (38,s)+(38,s) would cap and round off a digit
+    col, s = _dec_in(a)
+    dt, wt = T.DecimalType(38, s), T.DecimalType(37, s)
+    return _typed((col.cast(wt) + b.col.cast(wt)).cast(dt), dt)
 
 
 @_reg("decimal", "subtract")
 def _dec_sub(a, b):
-    return _typed(a.col.cast("decimal(38,6)") - b.col.cast("decimal(38,6)"), T.DecimalType(38, 6))
+    col, s = _dec_in(a)
+    dt, wt = T.DecimalType(38, s), T.DecimalType(37, s)
+    return _typed((col.cast(wt) - b.col.cast(wt)).cast(dt), dt)
 
 
 @_reg("decimal", "multiply")
 def _dec_mul(a, b):
-    return _typed((a.col.cast("decimal(38,6)") * b.col.cast("decimal(38,6)")).cast("decimal(38,6)"), T.DecimalType(38, 6))
+    col, s = _dec_in(a)
+    dt = T.DecimalType(38, s)
+    return _typed((col * b.col.cast(dt)).cast(dt), dt)
 
 
 @_reg("decimal", "divideq")
 def _dec_div(a, b):
-    return _typed((a.col.cast("decimal(38,6)") / b.col.cast("decimal(38,6)")).cast("decimal(38,6)"), T.DecimalType(38, 6))
+    col, s = _dec_in(a)
+    dt = T.DecimalType(38, s)
+    return _typed((col / b.col.cast(dt)).cast(dt), dt)
 
 
 @_reg("decimal", "precision")
 def _dec_precision(a):
+    """BigDecimal.precision() — digit count of the unscaled value.
+    For a decimal-typed input the scale is the column's declared scale
+    (a Spark decimal carries one static scale per column); other
+    inputs go through the (38,6) default with trailing zeros stripped."""
+    if isinstance(a.dtype, T.DecimalType):
+        sc = a.dtype.scale
+        unscaled = (a.col * F.lit(10 ** sc)).cast(T.DecimalType(38, 0))
+        return _typed(F.length(F.abs(unscaled).cast("string")), INT)
     s = F.regexp_replace(F.abs(a.col.cast("decimal(38,6)")).cast("string"), r"[.]", "")
     return _typed(F.length(F.regexp_replace(s, r"0+$", "")), INT)
 
 
 @_reg("decimal", "scale")
 def _dec_scale(a):
+    """BigDecimal.scale() — the declared scale for decimal-typed
+    inputs, else the effective fractional-digit count through the
+    (38,6) default."""
+    if isinstance(a.dtype, T.DecimalType):
+        return _typed(F.lit(a.dtype.scale), INT)
     s = a.col.cast("decimal(38,6)").cast("string")
     frac = F.regexp_extract(s, r"\.(\d*?)0*$", 1)
     return _typed(F.length(frac), INT)
@@ -1645,12 +1701,115 @@ def _dec_scale(a):
 
 @_reg("decimal", "abs")
 def _dec_abs(a):
-    return _typed(F.abs(a.col.cast("decimal(38,6)")), T.DecimalType(38, 6))
+    col, s = _dec_in(a)
+    return _typed(F.abs(col), T.DecimalType(38, s))
 
 
 @_reg("decimal", "negate")
 def _dec_negate(a):
-    return _typed(-a.col.cast("decimal(38,6)"), T.DecimalType(38, 6))
+    col, s = _dec_in(a)
+    return _typed(-col, T.DecimalType(38, s))
+
+
+def _dec_in(a) -> tuple[Column, int]:
+    """(column, scale) — preserve a decimal input's own scale, else
+    adopt the namespace default decimal(38,6)."""
+    if isinstance(a.dtype, T.DecimalType):
+        return a.col, a.dtype.scale
+    return a.col.cast("decimal(38,6)"), 6
+
+
+@_reg("decimal", "unscaled")
+def _dec_unscaled(a):
+    """BigDecimal.unscaledValue() — value × 10^scale as an integer
+    (reference DecimalTransform.java:unscaled, ELTest
+    testDecimalTransform)."""
+    col, s = _dec_in(a)
+    return _typed(
+        (col * F.lit(10 ** s)).cast(T.DecimalType(38, 0)), T.DecimalType(38, 0)
+    )
+
+
+@_reg("decimal", "strip_zero")
+def _dec_strip_zero(a):
+    """stripTrailingZeros — numerically the identity; Spark decimals
+    carry a static scale, so only the VALUE contract is kept
+    (reference DecimalTransform.java:strip_zero)."""
+    col, s = _dec_in(a)
+    return _typed(col, T.DecimalType(38, s))
+
+
+@_reg("decimal", "sign")
+def _dec_sign(a):
+    """-1/0/1 (reference DecimalTransform.java:sign)."""
+    col, _ = _dec_in(a)
+    return _typed(F.signum(col.cast("double")).cast("int"), INT)
+
+
+@_reg("decimal", "pow")
+def _dec_pow(a, n):
+    """bd.pow(n) by repeated decimal multiplication — stays exact where
+    double pow would lose precision past 2^53 (reference
+    DecimalTransform.java:pow). n must be a literal 0..16."""
+    col, s = _dec_in(a)
+    if n.lit is None:
+        raise ExpressionError("decimal:pow exponent must be a literal integer")
+    k = int(n.lit)
+    if not 0 <= k <= 16:
+        raise ExpressionError("decimal:pow exponent must be in 0..16")
+    if k == 0:
+        return _typed(F.lit(1).cast(T.DecimalType(38, s)), T.DecimalType(38, s))
+    # seed with the column itself — a (1 * col) seed would round col
+    # through Spark's capped multiply scale before the first square
+    out = col
+    for _ in range(k - 1):
+        out = (out * col).cast(T.DecimalType(38, s))
+    return _typed(out.cast(T.DecimalType(38, s)), T.DecimalType(38, s))
+
+
+@_reg("decimal", "decimal_left")
+def _dec_left(a, n):
+    """Move the decimal point n places left (reference
+    DecimalTransform.java:decimal_left — divide by 10^n)."""
+    col, s = _dec_in(a)
+    if n.lit is None:
+        raise ExpressionError("decimal:decimal_left n must be a literal integer")
+    k = int(n.lit)
+    t = min(s + k, 18)
+    return _typed(
+        (col.cast(T.DecimalType(38, t)) / F.lit(10 ** k)).cast(T.DecimalType(38, t)),
+        T.DecimalType(38, t),
+    )
+
+
+@_reg("decimal", "decimal_right")
+def _dec_right(a, n):
+    """Move the decimal point n places right, truncating (ROUND_DOWN)
+    to scale max(s-n, 0) (reference DecimalTransform.java:decimal_right)."""
+    col, s = _dec_in(a)
+    if n.lit is None:
+        raise ExpressionError("decimal:decimal_right n must be a literal integer")
+    k = int(n.lit)
+    t = max(s - k, 0)
+    # go through the EXACT unscaled integer (value × 10^s): a direct
+    # col × 10^k multiply trips Spark's capped result scale and rounds
+    # mid-flight; an integer-valued product rounds exactly, and for
+    # k ≤ s the shifted value has exactly s-k fractional digits, so
+    # ROUND_DOWN truncation is a no-op
+    unscaled = (col * F.lit(10 ** s)).cast(T.DecimalType(38, 0))
+    if k >= s:
+        out = (unscaled * F.lit(10 ** (k - s))).cast(T.DecimalType(38, 0))
+    else:
+        # size the dividend so p1 + p2 + 1 <= 38 and Spark's division
+        # keeps a result scale > t (exact, no mid-flight rounding);
+        # bounds the unscaled value to 37-(s-k+1) digits — far beyond
+        # any realistic shift input
+        p2 = (s - k) + 1
+        p1 = 37 - p2
+        out = (unscaled.cast(T.DecimalType(p1, 0)) / F.lit(10 ** (s - k))).cast(
+            T.DecimalType(38, t)
+        )
+    return _typed(out.cast(T.DecimalType(38, t)), T.DecimalType(38, t))
 
 
 # ------------------------------------------------------------ bytes:
