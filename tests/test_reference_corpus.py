@@ -1210,3 +1210,27 @@ def test_el_map_indexing(spark):
         "math:max(toDouble(runtime['map']), toDouble(token['ABC.EDFG']['input'])) > 9",
     ], df)
     assert ok.first()["v"] is True
+
+
+# ------------------------------------------------------ XmlToJsonTest
+
+def test_xml_to_json_auto_conversion(spark):
+    """XmlToJsonTest.testAutoConversionOfStringField: default and
+    explicit-false keep-strings coerce "303246306303E8" to the double
+    3.03246306303E19 (org.json stringToValue); keep-strings true
+    preserves the string."""
+    import json
+    xml = '<?xml version="1.0" encoding="UTF-8" ?><Data><tagid>303246306303E8</tagid></Data>'
+    df = spark.createDataFrame([(xml,)], "body string")
+    ok, _ = execute(spark, [
+        "copy body body_1 true",
+        "copy body body_2 true",
+        "copy body body_3 true",
+        "parse-xml-to-json body_1 1",
+        "parse-xml-to-json body_2 1 false",
+        "parse-xml-to-json body_3 1 true",
+    ], df)
+    r = ok.first()
+    assert json.loads(r["body_1_Data"]) == {"tagid": 3.03246306303e19}
+    assert json.loads(r["body_2_Data"]) == {"tagid": 3.03246306303e19}
+    assert json.loads(r["body_3_Data"]) == {"tagid": "303246306303E8"}

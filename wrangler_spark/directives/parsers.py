@@ -470,13 +470,19 @@ def parse_timestamp(call: DirectiveCall):
 
 @directive("parse-xml-to-json")
 def parse_xml_to_json(call: DirectiveCall):
-    """parse-xml-to-json :col [depth] (reference xml/XmlToJson.java).
+    """parse-xml-to-json :col [depth] [keep-strings] (reference
+    xml/XmlToJson.java, XmlToJsonTest.java).
 
     No XML support in core Spark → Arrow-batched pandas UDF converting
-    XML → JSON string, then the JSON flattening path.
+    XML → JSON string, then the JSON flattening path. keep-strings
+    false (the default) mirrors org.json XML.toJSONObject leaf
+    coercion: true/false/null literals, round-tripping integers, and
+    dotted/exponent forms as doubles — so "303246306303E8" becomes
+    3.03246306303E19 unless keep-strings is true.
     """
     col = call.col(0)
     depth = call.int_(1, default=1)
+    keep_strings = call.bool_(2, default=False)
 
     def tr(df: DataFrame, ctx: RecipeContext) -> DataFrame:
         import json as _json
@@ -484,18 +490,48 @@ def parse_xml_to_json(call: DirectiveCall):
 
         c = _require(df, col)
 
+        def s2v(s):
+            """org.json JSONObject.stringToValue: literal booleans/null,
+            integers only when they round-trip (leading zeros stay
+            strings), '.'/e/E forms as finite doubles."""
+            if keep_strings:
+                return s
+            if s == "true":
+                return True
+            if s == "false":
+                return False
+            if s == "null":
+                return None
+            if s and (s[0].isdigit() or s[0] == "-"):
+                import math as _math
+                if "." in s or "e" in s or "E" in s or s == "-0":
+                    try:
+                        d = float(s)
+                        if not (_math.isinf(d) or _math.isnan(d)):
+                            return d
+                    except ValueError:
+                        pass
+                else:
+                    try:
+                        iv = int(s)
+                        if str(iv) == s:
+                            return iv
+                    except ValueError:
+                        pass
+            return s
+
         def elem_to_obj(e):
             children = list(e)
             obj: dict = {}
             for k, v in e.attrib.items():
-                obj["@" + k] = v
+                obj["@" + k] = s2v(v)
             if not children:
                 text = (e.text or "").strip()
                 if obj:
                     if text:
-                        obj["#text"] = text
+                        obj["#text"] = s2v(text)
                     return obj
-                return text if text else None
+                return s2v(text) if text else None
             for ch in children:
                 val = elem_to_obj(ch)
                 if ch.tag in obj:
