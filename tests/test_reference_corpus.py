@@ -1234,3 +1234,39 @@ def test_xml_to_json_auto_conversion(spark):
     assert json.loads(r["body_1_Data"]) == {"tagid": 3.03246306303e19}
     assert json.loads(r["body_2_Data"]) == {"tagid": 3.03246306303e19}
     assert json.loads(r["body_3_Data"]) == {"tagid": "303246306303E8"}
+
+
+# ----------------------------------------------------- ParseExcelTest
+
+def test_excel_date_formatting(spark):
+    """ParseExcelTest.testDateFormatting: date-styled numeric cells
+    render as formatted dates (column A) equal to the adjacent
+    plain-text expectation (column B) — builtin m/d/yy, custom
+    yyyy-mm-dd, and an h:mm:ss time."""
+    import io
+    import zipfile
+    ns = 'xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"'
+    styles = (
+        f'<styleSheet {ns}>'
+        '<numFmts count="1"><numFmt numFmtId="164" formatCode="yyyy-mm-dd"/></numFmts>'
+        '<cellXfs count="4">'
+        '<xf numFmtId="0"/><xf numFmtId="14"/><xf numFmtId="164"/><xf numFmtId="21"/>'
+        "</cellXfs></styleSheet>"
+    )
+    rows_xml = (
+        '<row r="1"><c r="A1" s="1"><v>44562</v></c>'
+        '<c r="B1" t="inlineStr"><is><t>1/1/22</t></is></c></row>'
+        '<row r="2"><c r="A2" s="2"><v>44562</v></c>'
+        '<c r="B2" t="inlineStr"><is><t>2022-01-01</t></is></c></row>'
+        '<row r="3"><c r="A3" s="3"><v>44562.53125</v></c>'
+        '<c r="B3" t="inlineStr"><is><t>12:45:00</t></is></c></row>'
+    )
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as z:
+        z.writestr("xl/workbook.xml", f'<workbook {ns}><sheets><sheet name="S1" sheetId="1"/></sheets></workbook>')
+        z.writestr("xl/styles.xml", styles)
+        z.writestr("xl/worksheets/sheet1.xml", f'<worksheet {ns}><sheetData>{rows_xml}</sheetData></worksheet>')
+    df = spark.createDataFrame([(buf.getvalue(),)], "body binary")
+    ok, _ = execute(spark, ["parse-as-excel :body '0'"], df)
+    for r in ok.collect():
+        assert r["cells"][0] == r["cells"][1], r["cells"]

@@ -423,8 +423,10 @@ def _xlsx_rows(payload: bytes, sheet: str) -> list[list[str | None]]:
     """Pure-stdlib xlsx reader: an .xlsx is a zip of XML — workbook.xml
     names the sheets, sharedStrings.xml interns strings, and each
     worksheet's sheetData holds rows of typed cells. Covers inline/
-    shared strings, numbers and booleans — the wrangler surface
-    (reference ParseExcel.java reads cells as display values)."""
+    shared strings, numbers, booleans, and date-styled numeric cells
+    (styles.xml numFmt detection + 1899-12-30 serial conversion) — the
+    wrangler surface (reference ParseExcel.java reads cells as display
+    values via POI's DataFormatter; ParseExcelTest.testDateFormatting)."""
     import io
     import re as _re
     import zipfile
@@ -476,6 +478,102 @@ def _xlsx_rows(payload: bytes, sheet: str) -> list[list[str | None]]:
     if "xl/sharedStrings.xml" in zf.namelist():
         ss = ET.fromstring(zf.read("xl/sharedStrings.xml"))
         shared = ["".join(t.text or "" for t in si.iter(f"{NS}t")) for si in ss.iter(f"{NS}si")]
+
+    # style index -> date format string (None = not a date format).
+    # Builtin numFmtIds 14-22/45-47 are date/time; custom formats are
+    # date-like when they contain y/m/d/h/s tokens outside "quoted"
+    # literals and [bracketed] sections.
+    _BUILTIN_DATE_FMTS = {
+        14: "m/d/yy", 15: "d-mmm-yy", 16: "d-mmm", 17: "mmm-yy",
+        18: "h:mm AM/PM", 19: "h:mm:ss AM/PM", 20: "h:mm",
+        21: "h:mm:ss", 22: "m/d/yy h:mm",
+        45: "mm:ss", 46: "[h]:mm:ss", 47: "mmss.0",
+    }
+    style_date_fmt: list[str | None] = []
+    if "xl/styles.xml" in zf.namelist():
+        st = ET.fromstring(zf.read("xl/styles.xml"))
+        custom = {
+            int(nf.get("numFmtId")): nf.get("formatCode", "")
+            for nf in st.iter(f"{NS}numFmt")
+            if nf.get("numFmtId")
+        }
+
+        def _is_date_fmt(code: str) -> bool:
+            bare = _re.sub(r'"[^"]*"|\[[^\]]*\]|\\.', "", code)
+            return bool(_re.search(r"[ymdhs]", bare, _re.IGNORECASE)) and not _re.search(
+                r"[#0?]", bare
+            )
+
+        cellxfs = st.find(f"{NS}cellXfs")
+        for xf in (cellxfs.iter(f"{NS}xf") if cellxfs is not None else ()):
+            fid = int(xf.get("numFmtId", "0"))
+            if fid in _BUILTIN_DATE_FMTS:
+                style_date_fmt.append(_BUILTIN_DATE_FMTS[fid])
+            elif fid in custom and _is_date_fmt(custom[fid]):
+                style_date_fmt.append(custom[fid])
+            else:
+                style_date_fmt.append(None)
+
+    def _serial_to_text(raw: str, code: str) -> str:
+        """Excel serial number → formatted date/time per the cell's
+        number format (token-mapped subset of POI DataFormatter)."""
+        import datetime as _dt
+
+        try:
+            serial = float(raw)
+        except ValueError:
+            return raw
+        when = _dt.datetime(1899, 12, 30) + _dt.timedelta(days=serial)
+        ampm = "AM/PM" in code.upper()
+        bare = _re.sub(r'"[^"]*"|\[[^\]]*\]', "", code)
+        has_date = bool(_re.search(r"[yd]", bare, _re.IGNORECASE))
+        out: list[str] = []
+        i = 0
+        lc = bare.lower()
+        while i < len(bare):
+            ch = lc[i]
+            if bare[i] == '"':  # shouldn't remain, defensive
+                i += 1
+                continue
+            if lc.startswith("am/pm", i):
+                out.append(when.strftime("%p"))
+                i += 5
+                continue
+            if ch in "ymdhs0":
+                j = i
+                while j < len(lc) and lc[j] == ch:
+                    j += 1
+                n = j - i
+                if ch == "y":
+                    out.append(when.strftime("%Y" if n >= 4 else "%y"))
+                elif ch == "d":
+                    out.append(f"{when.day:02d}" if n >= 2 else str(when.day))
+                elif ch == "m":
+                    # month unless the nearest letter-token neighbor is
+                    # h (before) or s (after) — the POI/Excel rule
+                    prev_t = _re.search(r"([a-z])[^a-z]*$", lc[:i])
+                    next_t = _re.match(r"[^a-z]*([a-z])", lc[j:])
+                    if (prev_t and prev_t.group(1) == "h") or (
+                        next_t and next_t.group(1) == "s"
+                    ) or not has_date:
+                        out.append(f"{when.minute:02d}" if n >= 2 else str(when.minute))
+                    elif n >= 3:
+                        out.append(when.strftime("%b" if n == 3 else "%B"))
+                    else:
+                        out.append(f"{when.month:02d}" if n >= 2 else str(when.month))
+                elif ch == "h":
+                    hr = when.hour % 12 or 12 if ampm else when.hour
+                    out.append(f"{hr:02d}" if n >= 2 else str(hr))
+                elif ch == "s":
+                    out.append(f"{when.second:02d}" if n >= 2 else str(when.second))
+                else:  # 0 — fractional seconds digits
+                    out.append(f"{when.microsecond:06d}"[:n])
+                i = j
+                continue
+            out.append(bare[i])
+            i += 1
+        return "".join(out)
+
     ws = ET.fromstring(zf.read(sheet_files[idx]))
 
     def col_idx(ref: str | None, fallback: int) -> int:
@@ -507,6 +605,12 @@ def _xlsx_rows(payload: bytes, sheet: str) -> list[list[str | None]]:
                 val = "True" if v.text == "1" else "False"
             else:
                 val = v.text
+                if ctype == "n" and val is not None:
+                    sidx = cell.get("s")
+                    if sidx is not None and sidx.isdigit() and int(sidx) < len(style_date_fmt):
+                        fmt = style_date_fmt[int(sidx)]
+                        if fmt:
+                            val = _serial_to_text(val, fmt)
             cells[i] = val
         rows.append(cells)
     width = max((len(r) for r in rows), default=0)
