@@ -1270,3 +1270,57 @@ def test_excel_date_formatting(spark):
     ok, _ = execute(spark, ["parse-as-excel :body '0'"], df)
     for r in ok.collect():
         assert r["cells"][0] == r["cells"][1], r["cells"]
+
+
+# ------------------------------------- TextDistance/MetricMeasureTest
+
+_TD_METHODS = [
+    "euclidean", "block-distance", "identity", "block", "dice",
+    "longest-common-subsequence", "longest-common-substring",
+    "overlap-cofficient", "jaccard", "damerau-levenshtein",
+    "simon-white", "levenshtein", "cosine",
+]
+
+
+def test_text_distance_all_methods(spark):
+    """TextDistanceMeasureTest: all 13 simmetrics builder methods run
+    and produce a distance column, robust to empty strings, numeric
+    inputs and null cells (the reference's ragged 4th row projects to a
+    null string2 here)."""
+    df = spark.createDataFrame(
+        [("This is an example for distance measure.",
+          "This test is made of words that are similar."),
+         ("This is an example for distance measure.", ""),
+         ("This is an example for distance measure.", "1"),
+         ("This is an example for distance measure.", None)],
+        "string1 string, string2 string",
+    )
+    recipe = [f"text-distance {m} string1 string2 d_{i}" for i, m in enumerate(_TD_METHODS)]
+    ok, _ = execute(spark, recipe, df)
+    rows = ok.collect()
+    assert len(rows) == 4
+    for r in rows:
+        for i, m in enumerate(_TD_METHODS):
+            assert r[f"d_{i}"] is not None, (m, r)
+    # identity: distance 0 against itself, 1 against different
+    ok2, _ = execute(spark, ["text-distance identity string1 string1 d"], df)
+    assert all(r["d"] == 0.0 for r in ok2.collect())
+
+
+def test_text_metric_all_methods(spark):
+    """TextMetricMeasureTest: same 13 methods as similarities in [0,1],
+    with exact anchors for the deterministic ones."""
+    df = spark.createDataFrame([("kitten", "sitting"), ("abc", "abc")], "a string, b string")
+    recipe = [f"text-metric {m} a b m_{i}" for i, m in enumerate(_TD_METHODS)]
+    ok, _ = execute(spark, recipe, df)
+    rows = {r["a"]: r for r in ok.collect()}
+    for i, m in enumerate(_TD_METHODS):
+        for r in rows.values():
+            assert r[f"m_{i}"] is not None and 0.0 <= r[f"m_{i}"] <= 1.0, m
+        assert abs(rows["abc"][f"m_{i}"] - 1.0) < 1e-6, m  # self-similarity
+    # anchors: levenshtein("kitten","sitting") = 3 edits / 7
+    i_lev = _TD_METHODS.index("levenshtein")
+    assert abs(rows["kitten"][f"m_{i_lev}"] - (1 - 3 / 7)) < 1e-6
+    # damerau-levenshtein("kitten","sitting") = 3 edits / 7
+    i_dl = _TD_METHODS.index("damerau-levenshtein")
+    assert abs(rows["kitten"][f"m_{i_dl}"] - (1 - 3 / 7)) < 1e-6

@@ -471,60 +471,220 @@ def quantize(call: DirectiveCall):
     return tr
 
 
+_TEXT_SIM_METHODS = (
+    "levenshtein", "damerau-levenshtein", "jaro", "identity",
+    "jaccard", "block", "block-distance", "cosine", "dice", "euclidean",
+    "overlap-cofficient", "simon-white",
+    "longest-common-subsequence", "longest-common-substring",
+)
+
+
+def _py_sim_udf(method: str):
+    """Arrow-batched similarity for the edit-distance family no Spark
+    builtin covers (simmetrics Jaro / DamerauLevenshtein / LCS)."""
+    from pyspark.sql.functions import pandas_udf
+
+    def jaro(s1: str, s2: str) -> float:
+        if s1 == s2:
+            return 1.0
+        n1, n2 = len(s1), len(s2)
+        if not n1 or not n2:
+            return 0.0
+        window = max(n1, n2) // 2 - 1
+        m1, m2 = [False] * n1, [False] * n2
+        matches = 0
+        for i, ch in enumerate(s1):
+            lo, hi = max(0, i - window), min(n2, i + window + 1)
+            for j in range(lo, hi):
+                if not m2[j] and s2[j] == ch:
+                    m1[i] = m2[j] = True
+                    matches += 1
+                    break
+        if not matches:
+            return 0.0
+        k = t = 0
+        for i in range(n1):
+            if m1[i]:
+                while not m2[k]:
+                    k += 1
+                if s1[i] != s2[k]:
+                    t += 1
+                k += 1
+        t //= 2
+        return (matches / n1 + matches / n2 + (matches - t) / matches) / 3
+
+    def dam_lev(s1: str, s2: str) -> int:
+        n1, n2 = len(s1), len(s2)
+        if not n1:
+            return n2
+        if not n2:
+            return n1
+        prev2: list[int] = []
+        prev = list(range(n2 + 1))
+        for i in range(1, n1 + 1):
+            cur = [i] + [0] * n2
+            for j in range(1, n2 + 1):
+                cost = 0 if s1[i - 1] == s2[j - 1] else 1
+                cur[j] = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + cost)
+                if (
+                    i > 1 and j > 1
+                    and s1[i - 1] == s2[j - 2] and s1[i - 2] == s2[j - 1]
+                ):
+                    cur[j] = min(cur[j], prev2[j - 2] + cost)
+            prev2, prev = prev, cur
+        return prev[n2]
+
+    def lcsubseq(s1: str, s2: str) -> int:
+        n1, n2 = len(s1), len(s2)
+        prev = [0] * (n2 + 1)
+        for i in range(1, n1 + 1):
+            cur = [0] * (n2 + 1)
+            c1 = s1[i - 1]
+            for j in range(1, n2 + 1):
+                cur[j] = prev[j - 1] + 1 if c1 == s2[j - 1] else max(prev[j], cur[j - 1])
+            prev = cur
+        return prev[n2]
+
+    def lcsubstr(s1: str, s2: str) -> int:
+        n1, n2 = len(s1), len(s2)
+        best = 0
+        prev = [0] * (n2 + 1)
+        for i in range(1, n1 + 1):
+            cur = [0] * (n2 + 1)
+            c1 = s1[i - 1]
+            for j in range(1, n2 + 1):
+                if c1 == s2[j - 1]:
+                    cur[j] = prev[j - 1] + 1
+                    if cur[j] > best:
+                        best = cur[j]
+            prev = cur
+        return best
+
+    def sim_pair(s1: str, s2: str) -> tuple[float, float]:
+        """(similarity, distance) per simmetrics conventions."""
+        if method == "jaro":
+            s = jaro(s1, s2)
+            return s, 1.0 - s
+        if method == "damerau-levenshtein":
+            d = float(dam_lev(s1, s2))
+            m = max(len(s1), len(s2))
+            return (1.0 - d / m) if m else 1.0, d
+        if method == "longest-common-subsequence":
+            l = lcsubseq(s1, s2)
+        else:
+            l = lcsubstr(s1, s2)
+        tot = len(s1) + len(s2)
+        d = float(tot - 2 * l)
+        return (2.0 * l / tot) if tot else 1.0, d
+
+    @pandas_udf(T.ArrayType(T.FloatType()))
+    def run(a: pd.Series, b: pd.Series) -> pd.Series:
+        return pd.Series(
+            [list(sim_pair(x or "", y or "")) for x, y in zip(a, b)]
+        )
+
+    return run
+
+
+def _text_sim_dist(method: str, a, b):
+    """(similarity, distance) Columns for text-metric / text-distance
+    (reference transformation/TextDistanceMeasure.java and
+    TextMetricMeasure.java wrap the simmetrics StringMetrics /
+    StringDistances builders; token measures use whitespace token SETS
+    here — the reference test pins method coverage and null/numeric
+    robustness, not per-method numerics). Null inputs read as empty."""
+    a = F.coalesce(a.cast("string"), F.lit(""))
+    b = F.coalesce(b.cast("string"), F.lit(""))
+    if method == "levenshtein":
+        d = F.levenshtein(a, b).cast("double")
+        m = F.greatest(F.length(a), F.length(b))
+        return F.when(m > 0, 1.0 - d / m).otherwise(F.lit(1.0)), d
+    if method == "identity":
+        sim = F.when(a == b, F.lit(1.0)).otherwise(F.lit(0.0))
+        return sim, 1.0 - sim
+    if method in ("jaro", "damerau-levenshtein",
+                  "longest-common-subsequence", "longest-common-substring"):
+        pair = _py_sim_udf(method)(a, b)
+        return pair[0].cast("double"), pair[1].cast("double")
+    if method == "simon-white":
+        # character-bigram dice over uppercased words
+        def grams(s):
+            up = F.upper(F.regexp_replace(s, r"\s+", ""))
+            return F.array_distinct(
+                F.filter(
+                    F.transform(
+                        F.sequence(F.lit(1), F.greatest(F.length(up) - 1, F.lit(0))),
+                        lambda i: up.substr(i, F.lit(2)),
+                    ),
+                    lambda g: F.length(g) == 2,
+                )
+            )
+        ta, tb = grams(a), grams(b)
+    else:
+        def toks(s):
+            return F.array_distinct(F.filter(F.split(s, r"\s+"), lambda t: t != ""))
+        ta, tb = toks(a), toks(b)
+    na, nb = F.size(ta).cast("double"), F.size(tb).cast("double")
+    inter = F.size(F.array_intersect(ta, tb)).cast("double")
+    union = F.size(F.array_union(ta, tb)).cast("double")
+    both_empty = (na == 0) & (nb == 0)
+    if method == "jaccard":
+        sim = F.when(union > 0, inter / union).otherwise(F.lit(1.0))
+        return sim, 1.0 - sim
+    if method in ("block", "block-distance"):
+        d = na + nb - 2 * inter  # L1 over 0/1 token vectors
+        sim = F.when(na + nb > 0, 1.0 - d / (na + nb)).otherwise(F.lit(1.0))
+        return sim, d
+    if method == "euclidean":
+        d = F.sqrt(na + nb - 2 * inter)
+        sim = F.when(na + nb > 0, 1.0 - d / F.sqrt(na + nb)).otherwise(F.lit(1.0))
+        return sim, d
+    if method in ("dice", "simon-white"):
+        sim = F.when(na + nb > 0, 2 * inter / (na + nb)).otherwise(F.lit(1.0))
+        return sim, 1.0 - sim
+    if method == "cosine":
+        denom = F.sqrt(na * nb)
+        sim = F.when(denom > 0, inter / denom).otherwise(
+            F.when(both_empty, F.lit(1.0)).otherwise(F.lit(0.0))
+        )
+        return sim, 1.0 - sim
+    if method == "overlap-cofficient":  # reference spelling
+        denom = F.least(na, nb)
+        sim = F.when(denom > 0, inter / denom).otherwise(
+            F.when(both_empty, F.lit(1.0)).otherwise(F.lit(0.0))
+        )
+        return sim, 1.0 - sim
+    raise UsageError(f"text-distance/metric: unsupported method {method!r}")
+
+
 @directive("text-distance")
 def text_distance(call: DirectiveCall):
     """text-distance <method> :c1 :c2 :dst (reference
-    transformation/TextDistanceMeasure.java — simmetrics library)."""
+    transformation/TextDistanceMeasure.java — all 13 simmetrics
+    builder methods from TextDistanceMeasureTest)."""
     method = call.ident(0).lower()
     c1, c2, dst = call.col(1), call.col(2), call.col(3)
 
     def tr(df: DataFrame, ctx: RecipeContext) -> DataFrame:
-        a = F.col(_require(df, c1)).cast("string")
-        b = F.col(_require(df, c2)).cast("string")
-        if method == "levenshtein":
-            d = F.levenshtein(a, b).cast("float")
-        elif method in ("jaccard", "block-distance"):
-            # token-set jaccard distance over whitespace tokens
-            ta = F.array_distinct(F.split(a, r"\s+"))
-            tb = F.array_distinct(F.split(b, r"\s+"))
-            inter = F.size(F.array_intersect(ta, tb)).cast("double")
-            union = F.size(F.array_union(ta, tb)).cast("double")
-            sim = F.when(union > 0, inter / union).otherwise(F.lit(1.0))
-            d = (F.lit(1.0) - sim).cast("float")
-        elif method in ("cosine",):
-            ta = F.array_distinct(F.split(a, r"\s+"))
-            tb = F.array_distinct(F.split(b, r"\s+"))
-            inter = F.size(F.array_intersect(ta, tb)).cast("double")
-            denom = F.sqrt(F.size(ta).cast("double") * F.size(tb).cast("double"))
-            sim = F.when(denom > 0, inter / denom).otherwise(F.lit(1.0))
-            d = (F.lit(1.0) - sim).cast("float")
-        else:
-            raise UsageError(f"text-distance: unsupported method {method!r}")
-        return df.withColumn(dst, d)
+        a = F.col(_require(df, c1))
+        b = F.col(_require(df, c2))
+        _, d = _text_sim_dist(method, a, b)
+        return df.withColumn(dst, d.cast("float"))
 
     return tr
 
 
 @directive("text-metric")
 def text_metric(call: DirectiveCall):
-    """text-metric <method> :c1 :c2 :dst — similarity in [0,1]."""
+    """text-metric <method> :c1 :c2 :dst — similarity in [0,1]
+    (reference transformation/TextMetricMeasure.java)."""
     method = call.ident(0).lower()
     c1, c2, dst = call.col(1), call.col(2), call.col(3)
 
     def tr(df: DataFrame, ctx: RecipeContext) -> DataFrame:
-        a = F.col(_require(df, c1)).cast("string")
-        b = F.col(_require(df, c2)).cast("string")
-        if method == "levenshtein":
-            maxlen = F.greatest(F.length(a), F.length(b))
-            sim = F.when(maxlen > 0, 1.0 - F.levenshtein(a, b) / maxlen).otherwise(F.lit(1.0))
-        elif method == "jaccard":
-            ta = F.array_distinct(F.split(a, r"\s+"))
-            tb = F.array_distinct(F.split(b, r"\s+"))
-            inter = F.size(F.array_intersect(ta, tb)).cast("double")
-            union = F.size(F.array_union(ta, tb)).cast("double")
-            sim = F.when(union > 0, inter / union).otherwise(F.lit(1.0))
-        else:
-            raise UsageError(f"text-metric: unsupported method {method!r}")
+        a = F.col(_require(df, c1))
+        b = F.col(_require(df, c2))
+        sim, _ = _text_sim_dist(method, a, b)
         return df.withColumn(dst, sim.cast("float"))
 
     return tr
