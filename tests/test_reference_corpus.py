@@ -1324,3 +1324,78 @@ def test_text_metric_all_methods(spark):
     # damerau-levenshtein("kitten","sitting") = 3 edits / 7
     i_dl = _TD_METHODS.index("damerau-levenshtein")
     assert abs(rows["kitten"][f"m_{i_dl}"] - (1 - 3 / 7)) < 1e-6
+
+
+# --------------------------------------- Trim / LeftTrim / RightTrim
+
+def test_trim_unicode_whitespace(spark):
+    """TrimTest.testSingleWordTrim: trims tabs and carriage returns,
+    not just spaces (reference Trimmer.WHITESPACE_CHARS)."""
+    expected = "TITLE IS TITLE"
+    df = spark.createDataFrame(
+        [(expected,), ("  " + expected,), (expected + "  ",),
+         (" " + expected + " ",), ("\t\r" + expected + "\r\t",),
+         ("  " + expected + "　",)],
+        "body string",
+    )
+    ok, _ = execute(spark, ["trim body"], df)
+    assert [r["body"] for r in ok.collect()] == [expected] * 6
+
+
+def test_ltrim_rtrim_unicode(spark):
+    """LeftTrimTest / RightTrimTest: one-sided trims strip the same
+    whitespace set."""
+    df = spark.createDataFrame([("\t hello \r",)], "body string")
+    ok, _ = execute(spark, ["copy body l true", "copy body r true",
+                            "ltrim l", "rtrim r"], df)
+    r = ok.first()
+    assert r["l"] == "hello \r" and r["r"] == "\t hello"
+
+
+# --------------------------------------------------- UrlEncodeTest
+
+def test_url_encode_java_semantics(spark):
+    """UrlEncodeTest: java.net.URLEncoder form encoding — space
+    becomes '+', reserved chars percent-encode."""
+    df = spark.createDataFrame([("http://www.yahoo.com?a=b c&b=ab&xyz=1",)], "url string")
+    ok, _ = execute(spark, ["url-encode url"], df)
+    assert ok.first()["url"] == "http%3A%2F%2Fwww.yahoo.com%3Fa%3Db+c%26b%3Dab%26xyz%3D1"
+    ok2, _ = execute(spark, ["url-encode url", "url-decode url"], df)
+    assert ok2.first()["url"] == "http://www.yahoo.com?a=b c&b=ab&xyz=1"
+
+
+# ---------------------------------------------- ParseAsCurrencyTest
+
+def test_parse_as_currency_error_routing(spark):
+    """ParseAsCurrencyTest.testDefaultOption: 7 parse, the bare
+    '1234.56' (no $) routes to the error channel."""
+    vals = ["$1.56", "$45.56", "$6.78", "$0.09", "1234.56",
+            "$8,976.78", "$58,976.78", "$1,234,678.67"]
+    df = spark.createDataFrame([(v,) for v in vals], "src string")
+    ok, err = execute(spark, [
+        "parse-as-currency :src :dst",
+        "parse-as-currency :src :dst1 'en_US'",
+    ], df)
+    got = sorted(round(r["dst"], 2) for r in ok.collect())
+    assert got == sorted([1.56, 45.56, 6.78, 0.09, 8976.78, 58976.78, 1234678.67])
+    errs = err.collect()
+    assert len(errs) == 1 and '"src":"1234.56"' in errs[0]["record"]
+    got1 = sorted(round(r["dst1"], 2) for r in ok.collect())
+    assert got1 == got
+
+
+# ------------------------------------------------- MessageHashTest
+
+def test_message_hash_sha384_and_invalid(spark):
+    """MessageHashTest: hash replaces the column in place; an unknown
+    algorithm (SHA-385) raises."""
+    import hashlib
+    import pytest as _pytest
+
+    from wrangler_spark.errors import UsageError
+    msg = "This is a very secret message and a digest will be created."
+    df = spark.createDataFrame([(msg,)], "message1 string")
+    ok, _ = execute(spark, ["hash message1 SHA-384 true"], df)
+    assert ok.first()["message1"] == hashlib.sha384(msg.encode()).hexdigest()
+    with _pytest.raises(UsageError):
+        execute(spark, ["hash message1 SHA-385 true"], df)

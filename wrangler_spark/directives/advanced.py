@@ -82,9 +82,20 @@ def parse_as_currency(call: DirectiveCall):
 
     def tr(df: DataFrame, ctx: RecipeContext) -> DataFrame:
         c = _require(df, src)
-        s = F.col(c).cast("string")
-        s = F.regexp_replace(s, r"[^\d" + re.escape(spec["group"] + spec["dec"]) + r"\-()]", "")
-        neg = F.col(c).cast("string").rlike(r"^\(.*\)$") | s.startswith("-")
+        raw = F.col(c).cast("string")
+        # Java NumberFormat.getCurrencyInstance REQUIRES the currency
+        # symbol — a bare "1234.56" throws ParseException and the row
+        # routes to the error channel (ParseAsCurrencyTest: 7 parse,
+        # 1 error). Valid: optional (...) negatives, symbol, grouped
+        # digits, optional decimal part.
+        g, d, sym = re.escape(spec["group"]), re.escape(spec["dec"]), re.escape(spec["symbol"])
+        valid_re = rf"^\s*\(?\s*-?{sym}\s*[\d{g}]+({d}\d+)?\s*\)?\s*$"
+        bad = raw.isNotNull() & ~raw.rlike(valid_re)
+        df = ctx.route_error(
+            df, bad, f"parse-as-currency: value not parseable as {locale} currency"
+        )
+        s = F.regexp_replace(raw, r"[^\d" + re.escape(spec["group"] + spec["dec"]) + r"\-()]", "")
+        neg = raw.rlike(r"^\(.*\)$") | s.startswith("-")
         s = F.regexp_replace(s, r"[()\-]", "")
         s = F.replace(s, F.lit(spec["group"]), F.lit(""))
         if spec["dec"] != ".":

@@ -57,9 +57,17 @@ def _simple(name: str, fn):
 _simple("uppercase", F.upper)
 _simple("lowercase", F.lower)
 _simple("titlecase", F.initcap)
-_simple("trim", F.trim)
-_simple("ltrim", F.ltrim)
-_simple("rtrim", F.rtrim)
+
+# Spark's trim/ltrim/rtrim strip only ' ' — the reference's Trimmer
+# (transformation/Trimmer.java WHITESPACE_CHARS; TrimTest trims \t\r)
+# strips the full unicode whitespace set, so use that class explicitly.
+_WS_CLASS = (
+    "[\\t\\n\\x0B\\f\\r \\u0085\\u00A0\\u1680\\u180E\\u2000-\\u200A"
+    "\\u2028\\u2029\\u202F\\u205F\\u3000]"
+)
+_simple("trim", lambda s: F.regexp_replace(s, f"^{_WS_CLASS}+|{_WS_CLASS}+$", ""))
+_simple("ltrim", lambda s: F.regexp_replace(s, f"^{_WS_CLASS}+", ""))
+_simple("rtrim", lambda s: F.regexp_replace(s, f"{_WS_CLASS}+$", ""))
 _simple("url-encode", F.url_encode)
 _simple("url-decode", F.url_decode)
 
