@@ -1399,3 +1399,33 @@ def test_message_hash_sha384_and_invalid(spark):
     assert ok.first()["message1"] == hashlib.sha384(msg.encode()).hexdigest()
     with _pytest.raises(UsageError):
         execute(spark, ["hash message1 SHA-385 true"], df)
+
+
+# ------------------------------------------------------ SetHeaderTest
+
+def test_set_header_empty_names_raise(spark):
+    """SetHeaderTest: empty names from leading, doubled or trailing
+    commas are compile-time errors (RecipeException in the reference)."""
+    import pytest as _pytest
+
+    from wrangler_spark.errors import UsageError
+    df = spark.createDataFrame([(1, 2, 3)], "a int, b int, c int")
+    for bad in ["set-header ,A,B", "set-header A,B, ,D",
+                "set-header A,B,D,", "set-header A,B,D,,"]:
+        with _pytest.raises(UsageError):
+            execute(spark, [bad], df)
+    ok, _ = execute(spark, ["set-header A,B,D"], df)
+    assert ok.columns == ["A", "B", "D"]
+
+
+# ------------------------------------------------------- StemmingTest
+
+def test_stemming_array_column(spark):
+    """StemmingTest.testStemming: Porter over an array column, exact
+    reference expectations."""
+    words = ["how", "are", "you", "doing", "do", "you", "have", "apples"]
+    df = spark.createDataFrame([(words,)], "words array<string>")
+    ok, _ = execute(spark, ["stemming words"], df)
+    assert ok.first()["words_porter"] == [
+        "how", "ar", "you", "do", "do", "you", "have", "appl"
+    ]

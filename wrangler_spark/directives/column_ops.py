@@ -121,9 +121,22 @@ def swap(call: DirectiveCall):
     return tr
 
 
-@directive("set-headers", "set-columns")
+@directive("set-headers", "set-columns", "set-header")
 def set_headers(call: DirectiveCall):
+    # validate on the RAW list — an empty segment (leading, doubled, or
+    # trailing comma) is a compile-time error in the reference
+    # (SetHeaderTest: `set-header ,A,B` etc. throw RecipeException);
+    # call.cols() silently drops empties, so inspect the raw token
+    raw = call.toks[0].raw if call.has(0) else ""
+    if raw and "," in raw and not raw.startswith(":"):
+        if any(not p.strip() for p in raw.split(",")):
+            raise UsageError(
+                f"set-headers: empty column name in {raw!r} "
+                "(leading/trailing/doubled comma)"
+            )
     names = call.cols(0)
+    if not names or any(not n.strip() for n in names):
+        raise UsageError("set-headers: column names must be non-empty")
 
     def tr(df: DataFrame, ctx: RecipeContext) -> DataFrame:
         if len(names) != len(df.columns):
