@@ -1429,3 +1429,118 @@ def test_stemming_array_column(spark):
     assert ok.first()["words_porter"] == [
         "how", "ar", "you", "do", "do", "you", "have", "appl"
     ]
+
+
+# -------------------- CleanseColumnNames / ColumnsReplace / CreateRecord
+
+def test_cleanse_column_names_exact(spark):
+    """CleanseColumnNamesTest: lowercase + non-alnum -> underscore."""
+    df = spark.createDataFrame([("1", "2", "3", "4", "5")],
+                               "`COL1` string, `col:2` string, `Col3` string, "
+                               "`COLUMN4` string, `col!5` string")
+    ok, _ = execute(spark, ["cleanse-column-names"], df)
+    assert ok.columns == ["col1", "col_2", "col3", "column4", "col_5"]
+
+
+def test_columns_replace_exact(spark):
+    """ColumnsReplaceTest: sed s/^data_//g over column names — only the
+    anchored prefix strips, inner data_ stays."""
+    df = spark.createDataFrame(
+        [(1, 2, 3, 4, 5, 6)],
+        "data_a int, data_b int, data_timestamp int, data_data_confuse int, "
+        "no_data int, whatever int",
+    )
+    ok, _ = execute(spark, ["columns-replace s/^data_//g"], df)
+    assert ok.columns == ["a", "b", "timestamp", "data_confuse", "no_data", "whatever"]
+
+
+def test_create_and_flatten_record_roundtrip(spark):
+    """CreateRecordTest + FlattenRecordTest: create-record packs
+    columns into a struct; flatten-record unpacks to prefixed columns."""
+    df = spark.createDataFrame([("A", "B", "C")], "col1 string, col2 string, col3 string")
+    ok, _ = execute(spark, ["create-record :result :col1, :col2, :col3"], df)
+    r = ok.first()
+    assert r["result"]["col1"] == "A" and r["result"]["col3"] == "C"
+    ok2, _ = execute(spark, [
+        "create-record :struct :col1, :col2, :col3",
+        "keep :struct",
+        "flatten-record :struct",
+    ], df)
+    r2 = ok2.first()
+    assert (r2["struct_col1"], r2["struct_col2"], r2["struct_col3"]) == ("A", "B", "C")
+
+
+# ----------------------------- RowConditionFilter / RowRegexFilter
+
+def test_filter_row_if_true_string_numeric(spark):
+    """RowConditionFilterTest: `filter-row-if-true Fare < 10` over
+    string-typed CSV columns — the numeric comparison coerces."""
+    df = spark.createDataFrame(
+        [('1,0,3,"Braund, Mr. Owen Harris",male,22,1,0,A/5 21171,7.25,,S',),
+         ('2,1,1,"Cumings, Mrs. John Bradley (Florence Briggs Thayer)",female,'
+          '38,1,0,PC 17599,71.2833,C85,C',)],
+        "body string",
+    )
+    ok, _ = execute(spark, [
+        "parse-as-csv body ,",
+        "drop body",
+        "set columns PassengerId,Survived,Pclass,Name,Sex,Age,SibSp,Parch,Ticket,Fare,Cabin,Embarked",
+        "filter-row-if-true Fare < 10",
+    ], df)
+    rows = ok.collect()
+    assert len(rows) == 1 and rows[0]["PassengerId"] == "2"
+
+
+def test_filter_by_regex_chain(spark):
+    """RowRegexFilterTest: chained if-matched regex filters plus the v1
+    filter-rows-on regex-match form."""
+    data = [
+        "1098,Root,Joltie,01/26/1956,root@joltie.io,32,11.79,150 Mars Ave,Palo Alto,CA,USA,32826",
+        "1091,Root,Harris,01/26/1956,root@mars.com,32,11.79,150 Mars Ave,Palo Alto,CA,USA,32826",
+        "1092,Root,Joltie,01/26/1956,NULL,32,11.79,150 Mars Ave,Palo Alto,CA,USA,32826",
+    ]
+    df = spark.createDataFrame([(d,) for d in data], "__col string")
+    ok, _ = execute(spark, [
+        "parse-as-csv __col ,",
+        "drop __col",
+        "set columns id,first,last,dob,email,age,hrlywage,address,city,state,country,zip",
+        "filter-by-regex if-matched :email 'NULL'",
+        "filter-by-regex if-matched :email '.*@joltie.io'",
+        "filter-rows-on regex-match last .*(?i)harris.*",
+    ], df)
+    rows = ok.collect()
+    assert len(rows) == 0  # every row matches one of the filters
+
+
+# ------------------------------------ WriteAsCSV / WriteAsJsonMap
+
+def test_write_as_csv_and_json_map(spark):
+    """WriteAsCSVTest / WriteAsJsonMapTest: serialize the full row."""
+    import json
+    df = spark.createDataFrame(
+        [("http://www.yahoo.com?a=b c&b=ab&xyz=1", 1, 1.8)],
+        "url string, i1 int, d1 double",
+    )
+    ok, _ = execute(spark, ["copy url u2 true", "write-as-csv test", "keep test"], df)
+    line = ok.first()["test"]
+    assert line == "http://www.yahoo.com?a=b c&b=ab&xyz=1,1,1.8,http://www.yahoo.com?a=b c&b=ab&xyz=1"
+    # a value containing the delimiter must quote
+    df_c = spark.createDataFrame([("a,b", 1)], "s string, i int")
+    okc, _ = execute(spark, ["write-as-csv t", "keep t"], df_c)
+    assert okc.first()["t"] == '"a,b",1' 
+    ok2, _ = execute(spark, ["write-as-json-map test", "keep test"], df)
+    m = json.loads(ok2.first()["test"])
+    assert m["url"].startswith("http://") and m["i1"] == 1 and abs(m["d1"] - 1.8) < 1e-9
+
+
+def test_write_as_json_object_selected(spark):
+    """WriteAsJsonObjectTest: pack selected columns into one object."""
+    import json
+    df = spark.createDataFrame([(37.77, -122.41, "sf")],
+                               "latitude double, longitude double, name string")
+    ok, _ = execute(spark, [
+        "write-as-json-object coordinates latitude,longitude",
+        "keep coordinates",
+    ], df)
+    o = json.loads(ok.first()["coordinates"])
+    assert abs(o["latitude"] - 37.77) < 1e-9 and abs(o["longitude"] + 122.41) < 1e-9
