@@ -1544,3 +1544,28 @@ def test_write_as_json_object_selected(spark):
     ], df)
     o = json.loads(ok.first()["coordinates"])
     assert abs(o["latitude"] - 37.77) < 1e-9 and abs(o["longitude"] + 122.41) < 1e-9
+
+
+# --------------------------------------------------- FormatDateTimeTest
+
+def test_format_datetime_patterns(spark):
+    """FormatDateTimeTest: all four reference patterns, including the
+    DateTimeFormatter optional section [xxx] over a zone-less datetime
+    and the yyyyMMdd h:mm a AM/PM form."""
+    import datetime
+    ldt = datetime.datetime(2000, 8, 22, 20, 36, 45)
+    df = spark.createDataFrame(
+        [(ldt, ldt, ldt, ldt)],
+        "col1 timestamp_ntz, col2 timestamp_ntz, col3 timestamp_ntz, col4 timestamp_ntz",
+    )
+    ok, _ = execute(spark, [
+        'format-datetime :col1 "MM/dd/yyyy HH:mm"',
+        'format-datetime :col2 "yyyy-MM-dd\'T\'HH:mm:ss"',
+        'format-datetime :col3 "yyyy-MM-dd\'T\'HH:mm:ss[xxx]"',
+        'format-datetime :col4 "yyyyMMdd h:mm a"',
+    ], df)
+    r = ok.first()
+    assert r["col1"] == "08/22/2000 20:36"
+    assert r["col2"] == "2000-08-22T20:36:45"
+    assert r["col3"] == "2000-08-22T20:36:45"
+    assert r["col4"] == "20000822 8:36 PM"

@@ -6,6 +6,7 @@ Reference classes under io/cdap/directives/date/ and datetime/.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import types as T
 
 from wrangler_spark.recipe.parser import DirectiveCall
 from wrangler_spark.recipe.registry import RecipeContext, directive
@@ -25,6 +26,29 @@ def format_date(call: DirectiveCall):
     return tr
 
 
+def _compile_optional_sections(fmt: str, has_zone: bool) -> str:
+    """Java DateTimeFormatter `[...]` optional sections print only when
+    the wrapped field exists; Spark's formatter has no such construct,
+    but field presence is type-static here — a datetime column either
+    carries a zone or it doesn't. So compile the pattern: drop optional
+    groups that need a zone/offset (x X Z O V z) when the input has
+    none, inline them otherwise (reference FormatDateTimeTest pattern
+    `yyyy-MM-dd'T'HH:mm:ss[xxx]` over a LocalDateTime)."""
+    import re as _re
+
+    def repl(m: "_re.Match[str]") -> str:
+        body = m.group(1)
+        bare = _re.sub(r"'[^']*'", "", body)
+        needs_zone = bool(_re.search(r"[xXZOVz]", bare))
+        if needs_zone and not has_zone:
+            return ""
+        # Spark's pattern subset has no lowercase x offsets — X is the
+        # closest (prints 'Z' at +00:00 where Java x prints '+00:00')
+        return _re.sub(r"x+", lambda mm: "X" * len(mm.group()), body)
+
+    return _re.sub(r"\[([^\]]*)\]", repl, fmt)
+
+
 @directive("format-datetime")
 def format_datetime(call: DirectiveCall):
     col = call.col(0)
@@ -32,7 +56,10 @@ def format_datetime(call: DirectiveCall):
 
     def tr(df: DataFrame, ctx: RecipeContext) -> DataFrame:
         c = _require(df, col)
-        return df.withColumn(c, F.date_format(F.col(c).cast("timestamp"), fmt))
+        dt = df.schema[c].dataType
+        has_zone = isinstance(dt, T.TimestampType)  # ntz/string carry none
+        eff = _compile_optional_sections(fmt, has_zone)
+        return df.withColumn(c, F.date_format(F.col(c).cast("timestamp"), eff))
 
     return tr
 
