@@ -1267,6 +1267,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["text_stats"] = q_legacy_text_stats
 
+    def q_profile_types(spark, d):
+        """Semantic-type profile (reference statistics/BasicStatistics.java
+        FinderEngine battery): plant SSN/zip/URL-shaped columns, run the
+        one-pass rlike aggregation, return (column, type, matches,
+        non_null, frac) rows."""
+        from wrangler_spark.pipeline.profile import semantic_profile
+
+        docs = _t(spark, d, "documents").select(
+            F.concat(
+                F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"), F.lit("-"),
+                F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0"), F.lit("-"),
+                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            ).alias("ssn"),
+            F.lpad((F.col("doc_id") % 100000).cast("string"), 5, "0").alias("zip"),
+            F.concat(
+                F.lit("https://"), F.col("source"), F.lit("/d/"),
+                F.col("doc_id").cast("string"),
+            ).alias("url"),
+        )
+        return semantic_profile(docs)
+    q["profile_types"] = q_profile_types
+
     return q
 
 
@@ -1640,6 +1662,16 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, CAST(CASE WHEN length(trim(text)) = 0 THEN 0 "
             "ELSE len(string_split_regex(trim(text), '\\s+')) END AS INTEGER) AS n_tokens, "
             "CAST(length(text) AS INTEGER) AS len_chars FROM documents"
+        ),
+        # planted ssn/zip/url columns match exactly these (column, type)
+        # pairs with 100% frac: ssn→ssn; zip→{zip_code,integer,number};
+        # url→url (see q_profile_types)
+        "profile_types": (
+            "WITH n AS (SELECT COUNT(*) AS c FROM documents) "
+            "SELECT v.col AS \"column\", v.typ AS \"type\", n.c AS matches, "
+            "n.c AS non_null, 1.0 AS frac FROM n, (VALUES "
+            "('ssn','ssn'), ('zip','integer'), ('zip','number'), "
+            "('zip','zip_code'), ('url','url')) AS v(col, typ)"
         ),
         "set_variable": (
             "SELECT doc_id, n_chars * 2 + 1 AS dbl, "

@@ -483,3 +483,27 @@ def test_ivf_reuse_trained_centroids(spark):
     top = ivf_topk(emb, q, dim=8, k=3, centroids=cents, n_probe=1).collect()
     assert top and {r["q_id"] for r in top} == {0}
     assert any(r["vec_id"] == 0 for r in top)  # self is in the probed list
+
+
+def test_semantic_profile_basic_statistics(spark):
+    """Reference statistics/BasicStatisticsTest.testMetaBasic shape:
+    the finder battery classifies SSN / phone / zip / date / currency /
+    URL cells and reports per-column match fractions."""
+    from wrangler_spark.pipeline.profile import semantic_profile
+
+    df = spark.createDataFrame(
+        [("111-11-1111", "650-897-3839", "32826", "02/29/2000", "$1,234.56", "http://www.yahoo.com"),
+         ("111-12-1111", "670-897-3839", "32826", "02/01/2011", "$56,789", "http://mars.io"),
+         ("222", "670-897-3839", "32826", "9/14/2016", "", "http://mars.io")],
+        "ssn string, phone string, zip string, dob string, amount string, site string",
+    )
+    out = {(r["column"], r["type"]): r for r in semantic_profile(df).collect()}
+    assert out[("ssn", "ssn")]["matches"] == 2
+    assert out[("phone", "us_phone")]["matches"] == 3
+    assert out[("zip", "zip_code")]["frac"] == 1.0
+    assert out[("dob", "date")]["matches"] == 3
+    assert out[("amount", "currency")]["matches"] == 2
+    assert out[("site", "url")]["frac"] == 1.0
+    # non-string columns are skipped, empty battery result is typed
+    df2 = spark.createDataFrame([(1,)], "x int")
+    assert semantic_profile(df2).count() == 0

@@ -89,3 +89,63 @@ def profile(df: DataFrame, columns: list[str] | None = None, approx: bool = True
         "max_value string, numeric_frac double"
     )
     return df.sparkSession.createDataFrame(out_rows, schema)
+
+
+# --------------------------------------------------------- semantic types
+# The reference's BasicStatistics (statistics/BasicStatistics.java) runs
+# a FinderEngine regex battery (resources/wrangler-finder.xml) over every
+# cell and reports per-column type percentages through the /summary
+# service. Same surface here, as ONE global aggregation: for each string
+# column x type, a map-side rlike sum — full-scan + partial agg, no extra
+# shuffle, so it holds at 100 TB. Patterns are standard forms written
+# fresh (SSN, US phone, zip, ipv4, email, URL, date, currency, ...).
+
+SEMANTIC_TYPES: dict[str, str] = {
+    "ssn": r"^\d{3}[- ]\d{2}[- ]\d{4}$",
+    "us_phone": r"^(\+?1[-. ])?(\(\d{3}\)|\d{3})[-. ]\d{3}[-. ]\d{4}$",
+    "zip_code": r"^\d{5}(-\d{4})?$",
+    "ipv4": r"^((25[0-5]|2[0-4]\d|1?\d?\d)\.){3}(25[0-5]|2[0-4]\d|1?\d?\d)$",
+    "mac_address": r"^([0-9A-Fa-f]{2}:){5}[0-9A-Fa-f]{2}$",
+    "email": r"^[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}$",
+    "url": r"^(https?|ftp)://[^\s/$.?#].[^\s]*$",
+    "date": r"^(\d{1,2}/\d{1,2}/\d{4}|\d{4}-\d{2}-\d{2})$",
+    "time": r"^\d{1,2}:\d{2}(:\d{2})?( ?[AaPp][Mm])?$",
+    "currency": r"^\(?[$€£¥]\s?[\d,]+(\.\d+)?\)?$",
+    "gender": r"^(?i)(m|f|male|female|non-binary|nb)$",
+    "boolean": r"^(?i)(true|false|yes|no|t|f|y|n)$",
+    "integer": r"^[+-]?\d+$",
+    "number": r"^[+-]?(\d+\.?\d*|\.\d+)([eE][+-]?\d+)?$",
+}
+
+
+def semantic_profile(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+    """Long-format (column, type, matches, non_null, frac) for every
+    string column x semantic type with at least one match."""
+    fields = {f.name: f.dataType for f in df.schema.fields}
+    cols = [
+        c for c in (columns or df.columns)
+        if isinstance(fields[c], T.StringType)
+    ]
+    aggs = []
+    for c in cols:
+        sc = F.col(c)
+        aggs.append(F.count(sc).alias(f"{c}__nn"))
+        for tname, rx in SEMANTIC_TYPES.items():
+            aggs.append(
+                F.sum(F.when(sc.rlike(rx), 1).otherwise(0)).alias(f"{c}__{tname}")
+            )
+    if not aggs:
+        return df.sparkSession.createDataFrame(
+            [], "column string, type string, matches long, non_null long, frac double"
+        )
+    row = df.agg(*aggs).first()
+    out = []
+    for c in cols:
+        nn = int(row[f"{c}__nn"] or 0)
+        for tname in SEMANTIC_TYPES:
+            m = int(row[f"{c}__{tname}"] or 0)
+            if m:
+                out.append((c, tname, m, nn, float(m) / nn if nn else 0.0))
+    return df.sparkSession.createDataFrame(
+        out, "column string, type string, matches long, non_null long, frac double"
+    )
