@@ -1569,3 +1569,27 @@ def test_format_datetime_patterns(spark):
     assert r["col2"] == "2000-08-22T20:36:45"
     assert r["col3"] == "2000-08-22T20:36:45"
     assert r["col4"] == "20000822 8:36 PM"
+
+
+# ------------------------------------------------ LineageOperationsTest
+
+def test_column_lineage_operations(spark):
+    """LineageOperationsTest.testDropLineage / testColumnExpression /
+    testIdentityLineage: per-directive field operations — inputs read,
+    columns added and dropped."""
+    from wrangler_spark.recipe.compiler import compile_recipe
+
+    df = spark.createDataFrame(
+        [(1, 2, 3, 4, 5)], "a int, b int, c int, d int, h int"
+    )
+    recipe = compile_recipe(["drop a,b,c,d", "set-column :o exp:{h * 2}"],
+                            hoist_filters=False)
+    ops = recipe.lineage(df)
+    assert len(ops) == 2
+    assert ops[0]["directive"] == "drop"
+    assert sorted(ops[0]["dropped"]) == ["a", "b", "c", "d"]
+    assert ops[1]["directive"] == "set-column"
+    assert ops[1]["inputs"] == ["h"] and ops[1]["added"] == ["o"]
+    # identity: a no-op recipe reads nothing, changes nothing
+    ident = compile_recipe(["uppercase :a"], hoist_filters=False).lineage(df)
+    assert ident[0]["inputs"] == ["a"] and ident[0]["added"] == [] and ident[0]["dropped"] == []

@@ -60,6 +60,61 @@ class CompiledRecipe:
     def names(self) -> list[str]:
         return [c.name for c in self.calls]
 
+    def lineage(self, df: DataFrame) -> list[dict]:
+        """Column-level lineage: one record per directive with the
+        input columns it read and the columns it added/dropped/kept —
+        the reference's FieldOperation stream (wrangler-core
+        utils/LineageOperations.java; LineageOperationsTest). Computed
+        by stepping the compiled transforms over a ONE-ROW slice of the
+        input — parsers infer their output columns from data, so a
+        schema-only pass would miss them; the only jobs that run are
+        the directives' own compile-time peeks, each over one row.
+
+        Each record: {step, directive, inputs, added, dropped}.
+        `inputs` are the pre-existing columns the directive referenced —
+        named column arguments plus identifiers in any expression
+        argument."""
+        from wrangler_spark.expr.jexl import predicate_refs
+
+        ctx = RecipeContext(spark=df.sparkSession)
+        cur = df.limit(1)
+        ops: list[dict] = []
+        for i, (call, tr) in enumerate(zip(self.calls, self.transforms)):
+            before = list(cur.columns)
+            before_lower = {c.lower(): c for c in before}
+            inputs: set[str] = set()
+            for t in call.toks:
+                if t.kind in ("COL", "IDENT") and str(t.value).lower() in before_lower:
+                    inputs.add(before_lower[str(t.value).lower()])
+                elif t.kind == "COLLIST":
+                    for v in t.value:
+                        if str(v).lower() in before_lower:
+                            inputs.add(before_lower[str(v).lower()])
+                elif t.kind == "EXPR":
+                    try:
+                        vrefs, nrefs = predicate_refs(str(t.value))
+                    except Exception:
+                        continue
+                    for r in vrefs | nrefs:
+                        if r in before_lower:
+                            inputs.add(before_lower[r])
+            ctx.step = i
+            ctx.current_name = call.name
+            cur = tr(cur, ctx)
+            after = set(cur.columns)
+            dropped = [c for c in before if c not in after]
+            inputs.update(dropped)  # a dropped column was read by the op
+            ops.append(
+                {
+                    "step": i,
+                    "directive": call.name,
+                    "inputs": sorted(inputs),
+                    "added": [c for c in cur.columns if c not in set(before)],
+                    "dropped": dropped,
+                }
+            )
+        return ops
+
     def renames(self) -> dict[str, str]:
         """old→new column renames declared by the recipe (top-level
         `rename` directives, composed in order). The CDC layer maps
