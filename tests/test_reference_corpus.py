@@ -1593,3 +1593,78 @@ def test_column_lineage_operations(spark):
     # identity: a no-op recipe reads nothing, changes nothing
     ident = compile_recipe(["uppercase :a"], hoist_filters=False).lineage(df)
     assert ident[0]["inputs"] == ["a"] and ident[0]["added"] == [] and ident[0]["dropped"] == []
+
+
+# ------------------------------------------- v1 grammar breadth (Migrator)
+
+def test_v1_grammar_full_surface_compiles(spark):
+    """GrammarMigratorTest's full v1 statement list: every statement
+    parses and resolves to a registered directive (compile-level —
+    the migrator's output surface is the v2 grammar we execute)."""
+    from wrangler_spark.recipe import registry
+    from wrangler_spark.recipe.parser import parse_recipe
+    stmts = [
+        "set column salary salary > 100 ? 100 : salary",
+        "set columns fname,lname,address,city,state,country,zipcode",
+        "rename body_fname fname", "set-type value int",
+        "drop fname,lname,address,zipcode,city", "merge fname lname name ,",
+        "uppercase name", "lowercase name", "titlecase name",
+        "indexsplit department 1 10 zone", "split name , fname lname",
+        "filter-row-if-matched address .*?", "filter-row-if-not-matched address .*?",
+        "filter-row-if-true age < 10.0",
+        "filter-row-if-false age < 10.0 && gender == 'm'",
+        "set-variable test count > 10", "increment-variable test 1 count > 10",
+        "mask-number ssn xxx-xx-####", "mask-shuffle address",
+        "format-date startdate yyyy-MM-dd",
+        "format-unix-timestamp timestamp yyyy/MM/dd",
+        "quantize col1 col2 1:2=test,3:4=test1", "find-and-replace name s/test//g",
+        "parse-as-csv body , true", "parse-as-json body 1",
+        "parse-as-protobuf body test event 1.0", "json-path source target a/b/c",
+        "set-charset body utf-8",
+        "invoke-http http://a.b/json fname,lname,address a=b,x=y",
+        "set-record-delim body , 10", "parse-as-fixed-length body 3,4,5,6,7,8 #",
+        "split-to-rows body ,", "split-to-columns body ,",
+        "parse-xml-to-json body 1", "parse-as-xml xml",
+        "xpath name fname /items/item/first_name",
+        "xpath-array name fname /items/item/first_name",
+        "flatten a,b,c,d", "copy source target true", "fill-null-or-empty value ,",
+        "cut-character phone areacode 1-3", "generate-uuid ssn",
+        "url-encode url", "url-decode url", "parse-as-log body %m-%y-%{HOSTNAME}",
+        "parse-as-date date UTC", "parse-as-simple-date date yyyy-MM-dd",
+        "diff-date date1 date2 diffdate", "keep fname,lname,address,city,zipcode",
+        "parse-as-hl7 body 1", "split-email email", "swap col1 col2",
+        "hash col SHA1 true", "write-as-json-map output",
+        "write-as-json-object output fname,lname,address", "write-as-csv output",
+        "parse-as-avro-file body", "send-to-error Fare < 8.06", "fail Fare < 8.06",
+        "text-distance abc col1 col2 output", "text-metric abc col1 col2 output",
+        "catalog-lookup ICD-9 value", "table-lookup value mylookup-table",
+        "stemming text", "columns-replace s/body_//g",
+        "extract-regex-groups body s/body_//g", "split-url url",
+        "cleanse-column-names", "change-column-case upper",
+        "set-column value output > 10 ? 'test' : 'non-test'",
+        "encode base64 binary", "decode base64 binary",
+        "trim name", "ltrim name", "rtrim name",
+    ]
+    for s in stmts:
+        for c in parse_recipe([s]):
+            registry.lookup(c.name)
+
+
+def test_parse_as_xml_and_xpath(spark):
+    """XPATH / XPATH-ARRAY / PARSE-AS-XML (reference cheatsheet +
+    MigrateToV2.java:439-459): element text, attribute form, array
+    form, and malformed-XML error routing."""
+    xml = ('<items><item id="1"><first_name>Root</first_name></item>'
+           '<item id="2"><first_name>Joltie</first_name></item></items>')
+    df = spark.createDataFrame([(xml,), ("<bad",)], "name string")
+    ok, err = execute(spark, [
+        "parse-as-xml name",
+        "xpath name fname /items/item/first_name",
+        "xpath-array name all /items/item/first_name",
+        "xpath name first_id /items/item/@id",
+    ], df)
+    r = ok.first()
+    assert r["fname"] == "Root"
+    assert r["all"] == ["Root", "Joltie"]
+    assert r["first_id"] == "1"
+    assert ok.count() == 1 and err.count() == 1

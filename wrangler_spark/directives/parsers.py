@@ -567,3 +567,115 @@ def parse_as_json_inline(df: DataFrame, col: str, depth: int) -> DataFrame:
 
     call = _DC(name="parse-as-json", toks=[_Tok("COL", col, f":{col}"), _Tok("NUM", depth, str(depth))])
     return parse_as_json(call)(df, RecipeContext(spark=df.sparkSession))
+
+
+# ----------------------------------------------------------- xml / xpath
+
+@directive("parse-as-xml")
+def parse_as_xml(call: DirectiveCall):
+    """parse-as-xml :col — parse a column as XML (reference cheatsheet
+    PARSE-AS-XML; v1 grammar via parser/MigrateToV2.java:439-445). The
+    reference stores a parsed VTD-XML handle in the row; here the
+    canonical form is the validated XML text itself — xpath /
+    xpath-array re-parse per batch (ElementTree is fast relative to
+    Arrow transfer, and strings keep the column plannable/pushdownable).
+    Unparseable rows route to the error channel."""
+    col = call.col(0)
+
+    def tr(df: DataFrame, ctx: RecipeContext) -> DataFrame:
+        import xml.etree.ElementTree as ET
+
+        c = _require(df, col)
+
+        @pandas_udf(T.BooleanType())
+        def is_valid(v: pd.Series) -> pd.Series:
+            def ok(x):
+                if x is None:
+                    return True
+                try:
+                    ET.fromstring(x)
+                    return True
+                except ET.ParseError:
+                    return False
+            return v.map(ok)
+
+        df = ctx.route_error(
+            df, ~is_valid(F.col(c).cast("string")), "parse-as-xml: malformed XML"
+        )
+        return df.withColumn(c, F.trim(F.col(c).cast("string")))
+
+    return tr
+
+
+def _xpath_eval(call: DirectiveCall, array: bool):
+    """Shared xpath / xpath-array (reference cheatsheet XPATH,
+    XPATH-ARRAY; MigrateToV2.java:447-459): evaluate an XPath over a
+    parse-as-xml'd column. ElementTree's XPath subset plus a trailing
+    /@attribute form; absolute paths resolve against the document root."""
+    col, dst = call.col(0), call.col(1)
+    path = call.text(2)
+
+    def tr(df: DataFrame, ctx: RecipeContext) -> DataFrame:
+        import xml.etree.ElementTree as ET
+
+        c = _require(df, col)
+        attr = None
+        p = path
+        m = re.search(r"/@([A-Za-z_][\w.-]*)$", p)
+        if m:
+            attr = m.group(1)
+            p = p[: m.start()]
+
+        def rel(root_tag: str) -> str | None:
+            """Absolute /a/b/c against root <a> → b/c ('.' if just /a)."""
+            if not p.startswith("/"):
+                return p
+            parts = [q for q in p.split("/") if q]
+            if not parts or parts[0] != root_tag:
+                return None
+            return "/".join(parts[1:]) or "."
+
+        def extract(x):
+            if x is None:
+                return None
+            try:
+                root = ET.fromstring(x)
+            except ET.ParseError:
+                return None
+            rp = rel(root.tag)
+            if rp is None:
+                return [] if array else None
+            nodes = root.findall(rp)
+            vals = []
+            for nd in nodes:
+                if attr is not None:
+                    if attr in nd.attrib:
+                        vals.append(nd.attrib[attr])
+                else:
+                    vals.append("".join(nd.itertext()))
+            if array:
+                return vals
+            return vals[0] if vals else None
+
+        if array:
+            @pandas_udf(T.ArrayType(T.StringType()))
+            def xp(v: pd.Series) -> pd.Series:
+                return v.map(extract)
+        else:
+            @pandas_udf(T.StringType())
+            def xp(v: pd.Series) -> pd.Series:
+                return v.map(extract)
+
+        return df.withColumn(dst, xp(F.col(c).cast("string")))
+
+    return tr
+
+
+@directive("xpath")
+def xpath(call: DirectiveCall):
+    return _xpath_eval(call, array=False)
+
+
+@directive("xpath-array")
+def xpath_array(call: DirectiveCall):
+    return _xpath_eval(call, array=True)
