@@ -1668,3 +1668,32 @@ def test_parse_as_xml_and_xpath(spark):
     assert r["all"] == ["Root", "Joltie"]
     assert r["first_id"] == "1"
     assert ok.count() == 1 and err.count() == 1
+
+
+# ------------------------------------------- ConfigDirectiveContextTest
+
+_DIRECTIVE_CONFIG = {
+    "exclusions": ["parse-as-csv", "parse-as-excel", "set", "invoke-http", "js-parser"],
+    "aliases": {"json-parser": "parse-as-json", "js-parser": "parse-as-json"},
+}
+
+
+def test_directive_config_exclusions_and_aliases(spark):
+    """ConfigDirectiveContextTest: excluded directives fail compilation
+    (including an excluded alias), a non-excluded alias rewrites to its
+    target, and an empty config changes nothing."""
+    import pytest as _pytest
+
+    from wrangler_spark.errors import UsageError
+    from wrangler_spark.recipe.compiler import compile_recipe
+    with _pytest.raises(UsageError):
+        compile_recipe(["parse-as-csv body , true"], config=_DIRECTIVE_CONFIG)
+    with _pytest.raises(UsageError):
+        compile_recipe(["js-parser body"], config=_DIRECTIVE_CONFIG)
+    r = compile_recipe(["json-parser body"], config=_DIRECTIVE_CONFIG)
+    assert r.names == ["parse-as-json"]
+    df = spark.createDataFrame([('{"a": 5}',)], "body string")
+    ok, _ = r.apply(df)
+    assert ok.first()["body_a"] == 5
+    r2 = compile_recipe(["parse-as-csv body , true"], config={})
+    assert r2.names == ["parse-as-csv"]

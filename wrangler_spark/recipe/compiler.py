@@ -14,6 +14,7 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame
 
+from wrangler_spark.errors import UsageError
 from wrangler_spark.recipe import registry
 from wrangler_spark.recipe.parser import DirectiveCall, parse_recipe
 from wrangler_spark.recipe.registry import RecipeContext, Transform
@@ -135,8 +136,30 @@ class CompiledRecipe:
         return out
 
 
-def compile_recipe(recipe: str | list[str], hoist_filters: bool = True) -> CompiledRecipe:
+def compile_recipe(
+    recipe: str | list[str],
+    hoist_filters: bool = True,
+    config: dict | None = None,
+) -> CompiledRecipe:
+    """config is the reference's DirectiveConfig JSON shape
+    (parser/ConfigDirectiveContext.java; ConfigDirectiveContextTest):
+    {"exclusions": [names...], "aliases": {alias: target}}. An excluded
+    name — including an excluded alias — fails compilation; a non-
+    excluded alias rewrites to its target before registry lookup."""
     calls = parse_recipe(recipe)
+    if config:
+        excl = {str(e).lower() for e in config.get("exclusions", [])}
+        aliases = {
+            str(k).lower(): str(v) for k, v in config.get("aliases", {}).items()
+        }
+        for c in calls:
+            if c.name.lower() in excl:
+                raise UsageError(
+                    f"directive {c.name!r} is excluded by configuration "
+                    f"(line {c.line_no}: {c.source!r})"
+                )
+            if c.name.lower() in aliases:
+                c.name = aliases[c.name.lower()]
     if calls:
         _load_udds(calls[0].pragmas.get("load_directives", []))
     if hoist_filters:
