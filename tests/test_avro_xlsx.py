@@ -297,3 +297,24 @@ def test_xlsx_unresolvable_rid_keeps_sheets_paired():
     assert _xlsx_rows(payload, "A")[0] == ["one"]
     assert _xlsx_rows(payload, "B")[0] == ["two"]    # positional fallback
     assert _xlsx_rows(payload, "C")[0] == ["three"]  # NOT shifted to sheet2
+
+
+def test_avro_decode_stream_concatenated():
+    """BinaryAvroDecoderTest.testBasicFunctionality: two records written
+    back-to-back into one buffer decode to two rows."""
+    from wrangler_spark.directives._avro_binary import decode_stream, encode
+
+    schema = {
+        "type": "record", "name": "User", "fields": [
+            {"name": "name", "type": "string"},
+            {"name": "favorite_number", "type": ["int", "null"]},
+            {"name": "favorite_color", "type": ["string", "null"]},
+        ],
+    }
+    u1 = {"name": "Root", "favorite_number": 8, "favorite_color": None}
+    u2 = {"name": "Ben", "favorite_number": 7, "favorite_color": "red"}
+    payload = encode(u1, schema) + encode(u2, schema)
+    rows = decode_stream(payload, schema)
+    assert len(rows) == 2
+    assert rows[0]["name"] == "Root" and rows[1]["name"] == "Ben"
+    assert rows[1]["favorite_color"] == "red"

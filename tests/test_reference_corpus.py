@@ -1697,3 +1697,21 @@ def test_directive_config_exclusions_and_aliases(spark):
     assert ok.first()["body_a"] == 5
     r2 = compile_recipe(["parse-as-csv body , true"], config={})
     assert r2.names == ["parse-as-csv"]
+
+
+# --------------------------------------------- RecipePipelineExecutorTest
+
+def test_pipeline_executor_end_to_end(spark):
+    """RecipePipelineExecutorTest.testPipeline: parse → drop → set
+    columns → rename → drop, output schema and values."""
+    df = spark.createDataFrame([("a,b,c,d,e,f,1.0",)], "__col string")
+    ok, _ = execute(spark, [
+        "parse-as-csv __col ,",
+        "drop __col",
+        "set columns a,b,c,d,e,f,g",
+        "rename a first",
+        "drop b",
+    ], df)
+    assert ok.columns == ["first", "c", "d", "e", "f", "g"]
+    r = ok.first()
+    assert (r["first"], r["c"], r["g"]) == ("a", "c", "1.0")

@@ -109,6 +109,18 @@ def decode(payload: bytes, schema: Any) -> Any:
     return _decode(_Reader(payload), schema)
 
 
+def decode_stream(payload: bytes, schema: Any) -> list:
+    """Decode a buffer of CONCATENATED Avro-binary datums — the
+    reference's BinaryAvroDecoder.decode returns one Row per datum
+    until the bytes are exhausted (BinaryAvroDecoderTest writes two
+    records into one stream)."""
+    r = _Reader(payload)
+    out = []
+    while r.pos < len(payload):
+        out.append(_decode(r, schema))
+    return out
+
+
 # --------------------------------------------------------------- encoder
 # (test fixtures and round-trip checks)
 
