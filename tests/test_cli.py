@@ -109,3 +109,24 @@ def test_spark_submit_deployment(tmp_path, spark):
     rows, digest = state_digest(exp)
     assert v["rows"] == rows
     assert v["table_digest"] == digest
+
+
+def test_cli_lineage(tmp_path, spark):
+    """lineage command: one JSON line per directive with column graph."""
+    import json as _json
+    import subprocess
+    import sys
+
+    src = str(tmp_path / "in.parquet")
+    spark.createDataFrame([("a", "b")], "x string, y string").write.parquet(src)
+    recipe = tmp_path / "r.txt"
+    recipe.write_text("drop :y\nset-column :z concat(x, '!')\n")
+    out = subprocess.run(
+        [sys.executable, "-m", "wrangler_spark.cli", "lineage",
+         "--input", src, "--recipe", str(recipe)],
+        capture_output=True, text=True, cwd="/root/repo", timeout=600,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    ops = [_json.loads(l) for l in out.stdout.splitlines() if l.startswith("{")]
+    assert ops[0]["dropped"] == ["y"]
+    assert ops[1]["inputs"] == ["x"] and ops[1]["added"] == ["z"]

@@ -286,6 +286,23 @@ def cmd_changes(args) -> int:
     return 0
 
 
+def cmd_lineage(args) -> int:
+    """Column-level lineage of a recipe over a table's schema: one JSON
+    line per directive with inputs read / columns added / dropped
+    (reference wrangler-core utils/LineageOperations.java — the
+    FieldOperation stream CDAP field-level lineage consumes)."""
+    from wrangler_spark.recipe.compiler import compile_recipe
+
+    spark = _spark(args)
+    df = spark.read.parquet(args.input)
+    with open(args.recipe) as f:
+        recipe = f.read()
+    compiled = compile_recipe(recipe, hoist_filters=False)
+    for op in compiled.lineage(df):
+        print(json.dumps(op))
+    return 0
+
+
 def cmd_package(args) -> int:
     print(json.dumps({"zip": package_pyfiles(args.out)}))
     return 0
@@ -405,6 +422,11 @@ def build_parser() -> argparse.ArgumentParser:
     cg.add_argument("--to-version", type=int, default=None)
     cg.add_argument("--out", default=None, help="write changelog parquet here")
     cg.set_defaults(fn=cmd_changes)
+
+    ln = sub.add_parser("lineage", help="column-level recipe lineage (one JSON line per directive)")
+    ln.add_argument("--input", required=True, help="parquet path supplying the input schema")
+    ln.add_argument("--recipe", required=True, help="recipe file")
+    ln.set_defaults(fn=cmd_lineage)
 
     z = sub.add_parser("package", help="zip package for --py-files")
     z.add_argument("--out", default=None)
