@@ -1715,3 +1715,25 @@ def test_pipeline_executor_end_to_end(spark):
     assert ok.columns == ["first", "c", "d", "e", "f", "g"]
     r = ok.first()
     assert (r["first"], r["c"], r["g"]) == ("a", "c", "1.0")
+
+
+# --------------------------------------------- GrammarBasedParserTest
+
+def test_grammar_pragmas_macros_comments(spark):
+    """GrammarBasedParserTest.testBasic / testCommentOnlyRecipe: version
+    pragma ignored, load-directives collected, ${macro} statements
+    tolerated at parse time (2 real directives), comment-only recipe
+    parses to nothing."""
+    from wrangler_spark.recipe.parser import parse_recipe
+    calls = parse_recipe([
+        "#pragma version 2.0;",
+        "rename :col1 :col2",
+        "parse-as-csv :body ',' true;",
+        "#pragma load-directives text-reverse, text-exchange;",
+        "${macro} ${macro_2}",
+        "${macro_${test}}",
+    ])
+    assert [c.name for c in calls] == ["rename", "parse-as-csv"]
+    assert calls[0].pragmas.get("load_directives") == ["text-reverse", "text-exchange"]
+    assert len(calls[0].pragmas.get("macros")) == 2
+    assert parse_recipe(["// test"]) == []
