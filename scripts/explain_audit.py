@@ -318,6 +318,24 @@ def main() -> None:
         plan_of(probe_h),
     ))
 
+    # semantic-type profile — one global aggregation, no extra shuffle
+    from wrangler_spark.pipeline.profile import SEMANTIC_TYPES
+
+    docs_sp = spark.read.parquet(f"{SF}/documents.parquet").select("lang", "source")
+    aggs = [F.count(F.col(c)).alias(f"{c}__nn") for c in ("lang", "source")]
+    for c in ("lang", "source"):
+        for tname, rx in SEMANTIC_TYPES.items():
+            aggs.append(F.sum(F.when(F.col(c).rlike(rx), 1).otherwise(0)).alias(f"{c}__{tname}"))
+    sections.append((
+        "Semantic-type profile (finder battery)",
+        "Every (column x type) counter is a map-side partial aggregate over "
+        "one scan — a single HashAggregate pair with no joins and no extra "
+        "shuffle beyond the final 1-row exchange, so the battery's cost at "
+        "100 TB is the scan itself. ReadSchema prunes to the profiled "
+        "columns.",
+        plan_of(docs_sp.agg(*aggs)),
+    ))
+
     out = ["# PLANS — physical-plan audit of the load-bearing paths",
            "",
            "Generated by `python scripts/explain_audit.py` (Spark "
