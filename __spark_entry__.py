@@ -1669,7 +1669,7 @@ def oracle_sql() -> dict[str, str]:
         "profile_types": (
             "WITH n AS (SELECT COUNT(*) AS c FROM documents) "
             "SELECT v.col AS \"column\", v.typ AS \"type\", n.c AS matches, "
-            "n.c AS non_null, 1.0 AS frac FROM n, (VALUES "
+            "n.c AS non_null, CAST(1.0 AS DOUBLE) AS frac FROM n, (VALUES "
             "('ssn','ssn'), ('zip','integer'), ('zip','number'), "
             "('zip','zip_code'), ('url','url')) AS v(col, typ)"
         ),
