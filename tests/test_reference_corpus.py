@@ -1737,3 +1737,36 @@ def test_grammar_pragmas_macros_comments(spark):
     assert calls[0].pragmas.get("load_directives") == ["text-reverse", "text-exchange"]
     assert len(calls[0].pragmas.get("macros")) == 2
     assert parse_recipe(["// test"]) == []
+
+
+# ---------------------------------------------- ParseSimpleDateTest
+
+def test_parse_simple_date_all_patterns(spark):
+    """ParseSimpleDateTest.testSimpleDateParser: all 12 SimpleDateFormat
+    patterns, timezone-bearing values normalized to UTC instants."""
+    cases = [
+        ("yyyy.MM.dd G 'at' HH:mm:ss z", "2001.07.04 AD at 12:08:56 PDT",
+         "2001-07-04 19:08:56"),
+        ("EEE, MMM d, ''yy", "Wed, Jul 4, '01", "2001-07-04 00:00:00"),
+        ("h:mm a", "12:08 PM", "1970-01-01 12:08:00"),
+        ("hh 'o''clock' a, zzzz", "12 o'clock PM, Pacific Daylight Time",
+         "1970-01-01 19:00:00"),
+        ("K:mm a, z", "0:08 PM, PDT", "1970-01-01 19:08:00"),
+        ("yyyy.MMMMM.dd GGG hh:mm aaa", "2001.July.04 AD 12:08 PM",
+         "2001-07-04 12:08:00"),
+        ("EEE, d MMM yyyy HH:mm:ss Z", "Wed, 4 Jul 2001 12:08:56 -0700",
+         "2001-07-04 19:08:56"),
+        ("yyMMddHHmmssZ", "010704120856-0700", "2001-07-04 19:08:56"),
+        ("yyyy-MM-dd'T'HH:mm:ss.SSSZ", "2001-07-04T12:08:56.235-0700",
+         "2001-07-04 19:08:56.235000"),
+        ("yyyy-MM-dd'T'HH:mm:ss.SSSXXX", "2001-07-04T12:08:56.235-07:00",
+         "2001-07-04 19:08:56.235000"),
+        ("MM/dd/yyyy HH:mm", "07/04/2001 12:09", "2001-07-04 12:09:00"),
+        ("yyyy.MM.dd", "2001.07.04", "2001-07-04 00:00:00"),
+    ]
+    for fmt, val, expected in cases:
+        df = spark.createDataFrame([(val,)], "col string")
+        q = fmt.replace('"', '\\"')
+        ok, _ = execute(spark, [f'parse-as-simple-date :col "{q}"'], df)
+        got = str(ok.first()["col"])
+        assert got == expected, (fmt, got, expected)
