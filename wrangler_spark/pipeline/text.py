@@ -74,13 +74,20 @@ def quality_score_expr(text_col: Column) -> Column:
     )
 
 
-def fingerprint_expr(text_col: Column, window: int = 8) -> Column:
+def fingerprint_expr(text_col: Column, window: int = 8, stride: int = 4) -> Column:
     """Rolling-hash document fingerprint: min xxhash64 over character
     windows (winnowing-lite) — stable under small appends, unlike a
-    whole-document hash."""
+    whole-document hash.
+
+    Windows are sampled every `stride` characters from position 1: the
+    sketch is a global min, and a longer text's stride positions are a
+    superset of a prefix's, so append-monotonicity (fp(text||suffix) <=
+    fp(text)) holds exactly as with stride 1 while hashing `stride`x
+    fewer windows — the substring+hash per window is the whole cost of
+    this expression at scale."""
     s = F.coalesce(text_col, F.lit(""))
     n = F.length(s)
-    idx = F.sequence(F.lit(1), F.greatest(n - window + 1, F.lit(1)))
+    idx = F.sequence(F.lit(1), F.greatest(n - window + 1, F.lit(1)), F.lit(stride))
     hashes = F.transform(idx, lambda i: F.xxhash64(F.substring(s, i, window)))
     return F.array_min(hashes)
 
