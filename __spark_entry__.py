@@ -1289,6 +1289,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return semantic_profile(docs)
     q["profile_types"] = q_profile_types
 
+    def q_repetition_stats(spark, d):
+        """Gopher-style repetition/format filters (pipeline/text.py
+        repetition_stats_expr): duplicate-line fraction, bullet-line and
+        ellipsis-line fractions, symbol/word ratio — computed over text
+        with planted list/boilerplate tails so every signal is non-zero
+        for half the corpus; the oracle recomputes all four in DuckDB."""
+        from wrangler_spark.pipeline.text import repetition_stats_expr
+
+        plant = "\nline A\nline A\n- item one\n- item two\nend...\n"
+        docs = _t(spark, d, "documents").withColumn(
+            "text2",
+            F.concat(
+                F.col("text"),
+                F.when(F.col("doc_id") % 2 == 1, F.lit(plant)).otherwise(F.lit("")),
+            ),
+        )
+        st = repetition_stats_expr(F.col("text2"))
+        return docs.select(
+            "doc_id",
+            F.round(st.getField("dup_line_frac"), 6).alias("dup_line_frac"),
+            F.round(st.getField("bullet_frac"), 6).alias("bullet_frac"),
+            F.round(st.getField("ellipsis_frac"), 6).alias("ellipsis_frac"),
+            F.round(st.getField("symbol_word_ratio"), 6).alias("symbol_word_ratio"),
+        )
+    q["repetition_stats"] = q_repetition_stats
+
     return q
 
 
@@ -1662,6 +1688,20 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, CAST(CASE WHEN length(trim(text)) = 0 THEN 0 "
             "ELSE len(string_split_regex(trim(text), '\\s+')) END AS INTEGER) AS n_tokens, "
             "CAST(length(text) AS INTEGER) AS len_chars FROM documents"
+        ),
+        "repetition_stats": (
+            "WITH t AS (SELECT doc_id, text || CASE WHEN doc_id % 2 = 1 THEN "
+            "e'\\nline A\\nline A\\n- item one\\n- item two\\nend...\\n' ELSE '' END AS text2 "
+            "FROM documents), "
+            "l AS (SELECT doc_id, text2, list_filter(string_split(text2, chr(10)), "
+            "x -> length(trim(x)) > 0) AS lines FROM t) "
+            "SELECT doc_id, "
+            "round(CASE WHEN len(lines) > 0 THEN 1.0 - CAST(len(list_distinct(lines)) AS DOUBLE) / len(lines) ELSE 0.0 END, 6) AS dup_line_frac, "
+            "round(CASE WHEN len(lines) > 0 THEN CAST(len(list_filter(lines, x -> regexp_matches(trim(x), '^[-*•]'))) AS DOUBLE) / len(lines) ELSE 0.0 END, 6) AS bullet_frac, "
+            "round(CASE WHEN len(lines) > 0 THEN CAST(len(list_filter(lines, x -> regexp_matches(rtrim(x), '(\\.\\.\\.|…)$'))) AS DOUBLE) / len(lines) ELSE 0.0 END, 6) AS ellipsis_frac, "
+            "round(CASE WHEN length(trim(text2)) = 0 OR len(string_split_regex(trim(text2), '\\s+')) = 0 THEN 0.0 "
+            "ELSE CAST(len(string_split_regex(text2, '#|\\.\\.\\.|…')) - 1 AS DOUBLE) / len(string_split_regex(trim(text2), '\\s+')) END, 6) AS symbol_word_ratio "
+            "FROM l"
         ),
         # planted ssn/zip/url columns match exactly these (column, type)
         # pairs with 100% frac: ssn→ssn; zip→{zip_code,integer,number};

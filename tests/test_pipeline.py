@@ -507,3 +507,24 @@ def test_semantic_profile_basic_statistics(spark):
     # non-string columns are skipped, empty battery result is typed
     df2 = spark.createDataFrame([(1,)], "x int")
     assert semantic_profile(df2).count() == 0
+
+
+def test_repetition_stats_gopher_rules(spark):
+    """Gopher repetition filters: duplicate lines, bullets, ellipses and
+    symbol ratio detected; clean prose scores zero everywhere."""
+    from wrangler_spark.pipeline.text import repetition_stats_expr
+
+    from pyspark.sql import functions as F
+    listy = "intro\nsame line\nsame line\n- a\n- b\n- c\nmore...\nend..."
+    clean = "This is one honest paragraph of prose with no lists at all."
+    df = spark.createDataFrame([(1, listy), (2, clean)], "id int, text string")
+    out = {r["id"]: r for r in df.select(
+        "id", repetition_stats_expr(F.col("text")).alias("st")).collect()}
+    st1 = out[1]["st"]
+    assert abs(st1["dup_line_frac"] - 1 / 8) < 1e-9      # 8 lines, 7 distinct
+    assert abs(st1["bullet_frac"] - 3 / 8) < 1e-9
+    assert abs(st1["ellipsis_frac"] - 2 / 8) < 1e-9
+    assert st1["symbol_word_ratio"] > 0
+    st2 = out[2]["st"]
+    assert st2["dup_line_frac"] == 0.0 and st2["bullet_frac"] == 0.0
+    assert st2["ellipsis_frac"] == 0.0 and st2["symbol_word_ratio"] == 0.0

@@ -74,6 +74,43 @@ def quality_score_expr(text_col: Column) -> Column:
     )
 
 
+def repetition_stats_expr(text_col: Column) -> Column:
+    """Gopher-style repetition / format signals as one struct column —
+    the standard pretraining-corpus filters (Rae et al. 2021 §A1.1)
+    that catch boilerplate and scraped-list pages:
+
+      dup_line_frac   — 1 - distinct(non-empty lines)/lines
+      bullet_frac     — fraction of lines starting with a bullet
+                        (-, *, •) after leading whitespace
+      ellipsis_frac   — fraction of lines ending with '...' or '…'
+      symbol_word_ratio — (#, …, ...) occurrences per word
+
+    Pure Column algebra over the split-lines array: no shuffle, no
+    Python — the cost at 100 TB is the scan.
+    """
+    s = F.coalesce(text_col, F.lit(""))
+    lines = F.filter(F.split(s, r"\n"), lambda l: F.length(F.trim(l)) > 0)
+    n_lines = F.size(lines)
+    dup_line_frac = F.when(
+        n_lines > 0, 1.0 - F.size(F.array_distinct(lines)) / n_lines
+    ).otherwise(F.lit(0.0))
+    bullets = F.filter(lines, lambda l: F.trim(l).rlike(r"^[-*•]"))
+    bullet_frac = F.when(n_lines > 0, F.size(bullets) / n_lines).otherwise(F.lit(0.0))
+    ellipsis = F.filter(lines, lambda l: F.rtrim(l).rlike(r"(\.\.\.|…)$"))
+    ellipsis_frac = F.when(n_lines > 0, F.size(ellipsis) / n_lines).otherwise(F.lit(0.0))
+    n_words = F.when(F.length(F.trim(s)) == 0, 0).otherwise(
+        F.size(F.split(F.trim(s), r"\s+"))
+    )
+    n_symbols = F.size(F.split(s, r"#|\.\.\.|…")) - 1
+    symbol_word_ratio = F.when(n_words > 0, n_symbols / n_words).otherwise(F.lit(0.0))
+    return F.struct(
+        dup_line_frac.cast("double").alias("dup_line_frac"),
+        bullet_frac.cast("double").alias("bullet_frac"),
+        ellipsis_frac.cast("double").alias("ellipsis_frac"),
+        symbol_word_ratio.cast("double").alias("symbol_word_ratio"),
+    )
+
+
 def fingerprint_expr(text_col: Column, window: int = 8, stride: int = 4) -> Column:
     """Rolling-hash document fingerprint: min xxhash64 over character
     windows (winnowing-lite) — stable under small appends, unlike a
