@@ -1315,6 +1315,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["repetition_stats"] = q_repetition_stats
 
+    def q_decontaminate(spark, d):
+        """Benchmark decontamination (pipeline/dedup.py decontaminate):
+        flag docs sharing any word 13-gram with a benchmark set — here
+        the benchmark is 13-token slices (tokens 6..18) of every 100th
+        doc, so those docs (and any accidental repeats) must flag. The
+        oracle recomputes contamination as token-aligned substring
+        containment, which is equivalent to 13-gram-set intersection."""
+        from wrangler_spark.pipeline.dedup import decontaminate
+
+        docs = _t(spark, d, "documents").select("doc_id", "text")
+        toks = F.filter(
+            F.split(
+                F.lower(F.trim(F.regexp_replace(F.col("text"), r"[^\w\s']", " "))),
+                r"\s+",
+            ),
+            lambda t: t != "",
+        )
+        bench = (
+            docs.filter(F.col("doc_id") % 100 == 0)
+            .select(toks.alias("t"))
+            .filter(F.size("t") >= 18)
+            .select(F.concat_ws(" ", F.slice("t", 6, 13)).alias("text"))
+        )
+        return decontaminate(docs, bench).select("doc_id", "contaminated")
+    q["decontaminate"] = q_decontaminate
+
     return q
 
 
@@ -1688,6 +1714,19 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, CAST(CASE WHEN length(trim(text)) = 0 THEN 0 "
             "ELSE len(string_split_regex(trim(text), '\\s+')) END AS INTEGER) AS n_tokens, "
             "CAST(length(text) AS INTEGER) AS len_chars FROM documents"
+        ),
+        # token-aligned substring containment == 13-gram-set intersection
+        "decontaminate": (
+            "WITH tok AS (SELECT doc_id, list_filter(string_split_regex("
+            "lower(trim(regexp_replace(text, '[^\\w\\s'']', ' ', 'g'))), '\\s+'), "
+            "x -> x != '') AS t FROM documents), "
+            "bench AS (SELECT array_to_string(t[6:18], ' ') AS s FROM tok "
+            "WHERE doc_id % 100 = 0 AND len(t) >= 18), "
+            "norm AS (SELECT doc_id, ' ' || array_to_string(t, ' ') || ' ' AS ns, "
+            "len(t) AS k FROM tok) "
+            "SELECT doc_id, (k >= 13 AND EXISTS (SELECT 1 FROM bench b "
+            "WHERE norm.ns LIKE '%' || ' ' || b.s || ' ' || '%')) AS contaminated "
+            "FROM norm"
         ),
         "repetition_stats": (
             "WITH t AS (SELECT doc_id, text || CASE WHEN doc_id % 2 = 1 THEN "

@@ -528,3 +528,25 @@ def test_repetition_stats_gopher_rules(spark):
     st2 = out[2]["st"]
     assert st2["dup_line_frac"] == 0.0 and st2["bullet_frac"] == 0.0
     assert st2["ellipsis_frac"] == 0.0 and st2["symbol_word_ratio"] == 0.0
+
+
+def test_decontaminate_13gram(spark):
+    """Benchmark decontamination: a doc sharing a 13-gram with the
+    benchmark flags; unrelated and too-short docs do not."""
+    from wrangler_spark.pipeline.dedup import decontaminate
+
+    corpus = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog while counting one two three four"),
+         (2, "totally different content talking about query engines and shuffle partitions"),
+         (3, "short doc")],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [("quick brown fox jumps over the lazy dog while counting one two three",)],
+        "text string",
+    )
+    out = {r["doc_id"]: r["contaminated"] for r in decontaminate(corpus, bench).collect()}
+    assert out == {1: True, 2: False, 3: False}
+    # plan shape: the benchmark side broadcasts
+    plan = decontaminate(corpus, bench)._jdf.queryExecution().executedPlan().toString()
+    assert "Broadcast" in plan

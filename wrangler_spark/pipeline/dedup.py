@@ -429,3 +429,55 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+# ------------------------------------------------------ decontamination
+
+def word_ngram_hashes(text_col, n: int = 13):
+    """Distinct xxhash64 of each word n-gram (lowercased, punctuation
+    stripped) — the unit of benchmark-decontamination overlap. Docs
+    shorter than n tokens have no n-grams."""
+    toks = F.filter(
+        F.split(
+            F.lower(F.trim(F.regexp_replace(text_col, r"[^\w\s']", " "))), r"\s+"
+        ),
+        lambda t: t != "",
+    )
+    k = F.size(toks)
+    idx = F.sequence(F.lit(1), F.greatest(k - n + 1, F.lit(0)))
+    return F.when(k >= n, F.array_distinct(
+        F.transform(idx, lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i, n))))
+    )).otherwise(F.array().cast("array<bigint>"))
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    bench_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 13,
+) -> DataFrame:
+    """Flag corpus documents sharing any word n-gram with a benchmark
+    set — the standard eval-decontamination pass (GPT-3 appendix C /
+    The Pile §6.3 use 13-grams). Scale shape: the benchmark's distinct
+    n-gram hashes BROADCAST (eval sets are tiny next to a 100 TB
+    corpus), the corpus explodes per-partition and semi-joins map-side,
+    so the only shuffle is the per-doc hit dedup on id_col.
+
+    Returns the corpus with a boolean `contaminated` column.
+    """
+    bench_h = (
+        benchmark.select(F.explode(word_ngram_hashes(F.col(bench_col), n)).alias("h"))
+        .distinct()
+    )
+    doc_h = corpus.select(
+        F.col(id_col), F.explode(word_ngram_hashes(F.col(text_col), n)).alias("h")
+    )
+    hits = (
+        doc_h.join(F.broadcast(bench_h), "h", "left_semi")
+        .select(id_col)
+        .distinct()
+        .withColumn("contaminated", F.lit(True))
+    )
+    return corpus.join(hits, id_col, "left").na.fill({"contaminated": False})
