@@ -1341,6 +1341,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return decontaminate(docs, bench).select("doc_id", "contaminated")
     q["decontaminate"] = q_decontaminate
 
+    def q_redact_pii(spark, d):
+        """redact-pii directive (pipeline/text.py REDACT_PATTERNS):
+        plant email / US-phone / SSN shapes into text, redact, and let
+        the oracle apply the same regexp_replace chain in DuckDB."""
+        docs = _t(spark, d, "documents").withColumn(
+            "pii",
+            F.concat(
+                F.lit("contact "), F.col("source"), F.lit("@example.com tel 650-555-"),
+                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+                F.lit(" ssn "),
+                F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+                F.lit("-"),
+                F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0"),
+                F.lit("-"),
+                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+                F.lit(" end"),
+            ),
+        )
+        out = _run(spark, docs, ["redact-pii :pii"])
+        return out.select("doc_id", "pii")
+    q["redact_pii"] = q_redact_pii
+
     return q
 
 
@@ -1714,6 +1736,21 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, CAST(CASE WHEN length(trim(text)) = 0 THEN 0 "
             "ELSE len(string_split_regex(trim(text), '\\s+')) END AS INTEGER) AS n_tokens, "
             "CAST(length(text) AS INTEGER) AS len_chars FROM documents"
+        ),
+        # same chain order as pipeline/text.py REDACT_PATTERNS
+        "redact_pii": (
+            "WITH t AS (SELECT doc_id, 'contact ' || source || '@example.com tel 650-555-' || "
+            "lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' ssn ' || "
+            "lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-' || "
+            "lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') || '-' || "
+            "lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' end' AS pii FROM documents) "
+            "SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(pii, "
+            "'\\b(?:\\d[ -]?){13,16}\\b', '[CREDIT_CARD]', 'g'), "
+            "'\\b\\d{3}[- ]\\d{2}[- ]\\d{4}\\b', '[SSN]', 'g'), "
+            "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[EMAIL]', 'g'), "
+            "'(\\+?1[-. ])?(\\(\\d{3}\\)|\\b\\d{3})[-. ]\\d{3}[-. ]\\d{4}\\b', '[US_PHONE]', 'g'), "
+            "'\\b((25[0-5]|2[0-4]\\d|1?\\d?\\d)\\.){3}(25[0-5]|2[0-4]\\d|1?\\d?\\d)\\b', '[IPV4]', 'g') AS pii "
+            "FROM t"
         ),
         # token-aligned substring containment == 13-gram-set intersection
         "decontaminate": (

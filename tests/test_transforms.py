@@ -172,3 +172,25 @@ def test_light_recipe_end_to_end(spark):
     assert len(rows) == 1
     assert rows[0]["demo_2"] == "ANN"
     assert rows[0]["demo_4"] == "xxx-xx-5678"
+
+
+def test_redact_pii_directive(spark):
+    """redact-pii masks SSN/email/phone/credit-card/IPv4 in free text;
+    kinds argument restricts the battery; unknown kinds raise."""
+    import pytest as _pytest
+
+    from wrangler_spark import execute
+    from wrangler_spark.errors import UsageError
+    txt = ("call 650-897-3839 or mail root@joltie.io, ssn 111-11-1111, "
+           "card 4111 1111 1111 1111, host 10.0.0.1")
+    df = spark.createDataFrame([(txt,)], "t string")
+    ok, _ = execute(spark, ["redact-pii :t"], df)
+    out = ok.first()["t"]
+    assert ("[US_PHONE]" in out and "[EMAIL]" in out and "[SSN]" in out
+            and "[CREDIT_CARD]" in out and "[IPV4]" in out)
+    assert "650-897" not in out and "joltie" not in out
+    ok2, _ = execute(spark, ["redact-pii :t email"], df)
+    out2 = ok2.first()["t"]
+    assert "[EMAIL]" in out2 and "650-897-3839" in out2
+    with _pytest.raises(UsageError):
+        execute(spark, ["redact-pii :t bogus"], df)

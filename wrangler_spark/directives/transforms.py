@@ -708,3 +708,27 @@ def set_charset(call: DirectiveCall):
         return df.withColumn(c, F.decode(F.col(c).cast("binary"), charset))
 
     return tr
+
+
+@directive("redact-pii")
+def redact_pii(call: DirectiveCall):
+    """redact-pii :col [kinds,...] — mask SSN / email / US-phone /
+    credit-card / IPv4 occurrences inside free text with [TYPE]
+    placeholders (pipeline/text.py REDACT_PATTERNS; corpus
+    sanitization before pretraining). Kinds defaults to all."""
+    from wrangler_spark.pipeline.text import REDACT_PATTERNS, redact_pii_expr
+
+    col = call.col(0)
+    kinds = None
+    if call.has(1):
+        kinds = [k.strip().lower() for k in call.text(1).split(",") if k.strip()]
+        known = {k for k, _ in REDACT_PATTERNS}
+        bad = [k for k in kinds if k not in known]
+        if bad:
+            raise UsageError(f"redact-pii: unknown kind(s) {bad} — known: {sorted(known)}")
+
+    def tr(df: DataFrame, ctx: RecipeContext) -> DataFrame:
+        c = _require(df, col)
+        return df.withColumn(c, redact_pii_expr(F.col(c).cast("string"), kinds))
+
+    return tr

@@ -139,3 +139,28 @@ def analyze(df: DataFrame, text_col: str = "text") -> DataFrame:
         .withColumn("quality", quality_score_expr(c))
         .withColumn("fingerprint", fingerprint_expr(c))
     )
+
+
+# PII patterns for in-text redaction — UNANCHORED variants of the
+# semantic-profile battery (profile.py SEMANTIC_TYPES matches whole
+# cells; redaction masks occurrences inside free text). Order matters:
+# credit-card before phone so 16-digit groups don't half-match.
+REDACT_PATTERNS: list[tuple[str, str]] = [
+    ("credit_card", r"\b(?:\d[ -]?){13,16}\b"),
+    ("ssn", r"\b\d{3}[- ]\d{2}[- ]\d{4}\b"),
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("us_phone", r"(\+?1[-. ])?(\(\d{3}\)|\b\d{3})[-. ]\d{3}[-. ]\d{4}\b"),
+    ("ipv4", r"\b((25[0-5]|2[0-4]\d|1?\d?\d)\.){3}(25[0-5]|2[0-4]\d|1?\d?\d)\b"),
+]
+
+
+def redact_pii_expr(text_col: Column, kinds: list[str] | None = None) -> Column:
+    """Mask PII occurrences inside free text with [TYPE] placeholders —
+    the corpus-sanitization pass run before pretraining. A chain of
+    regexp_replace Columns: JVM-side, codegen-fused, no shuffle."""
+    out = F.coalesce(text_col, F.lit(""))
+    selected = kinds or [k for k, _ in REDACT_PATTERNS]
+    for kind, rx in REDACT_PATTERNS:
+        if kind in selected:
+            out = F.regexp_replace(out, rx, f"[{kind.upper()}]")
+    return out
