@@ -1363,6 +1363,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return out.select("doc_id", "pii")
     q["redact_pii"] = q_redact_pii
 
+    def q_chunk_documents(spark, d):
+        """Fixed-token-window chunking with overlap (pipeline/text.py
+        chunk_documents) — the sequence-packing prep before pretraining;
+        the oracle recomputes every window by list slicing in DuckDB."""
+        from wrangler_spark.pipeline.text import chunk_documents
+
+        docs = _t(spark, d, "documents").select("doc_id", "text")
+        return chunk_documents(docs, max_tokens=32, overlap=8)
+    q["chunk_documents"] = q_chunk_documents
+
     return q
 
 
@@ -1736,6 +1746,18 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, CAST(CASE WHEN length(trim(text)) = 0 THEN 0 "
             "ELSE len(string_split_regex(trim(text), '\\s+')) END AS INTEGER) AS n_tokens, "
             "CAST(length(text) AS INTEGER) AS len_chars FROM documents"
+        ),
+        # windows of 32 tokens, step 24 (overlap 8), starts while
+        # start <= max(len-overlap, 1); empty docs emit no chunks
+        "chunk_documents": (
+            "WITH tok AS (SELECT doc_id, list_filter(string_split_regex("
+            "trim(text), '\\s+'), x -> x != '') AS t FROM documents), "
+            "st AS (SELECT doc_id, t, len(t) AS k, "
+            "unnest(generate_series(1, greatest(len(t) - 8, 1), 24)) AS s FROM tok "
+            "WHERE len(t) > 0) "
+            "SELECT doc_id, CAST((s - 1) / 24 AS INTEGER) AS chunk_idx, "
+            "array_to_string(t[s:s+31], ' ') AS chunk_text, "
+            "CAST(least(32, k - s + 1) AS INTEGER) AS n_chunk_tokens FROM st"
         ),
         # same chain order as pipeline/text.py REDACT_PATTERNS
         "redact_pii": (

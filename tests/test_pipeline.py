@@ -550,3 +550,28 @@ def test_decontaminate_13gram(spark):
     # plan shape: the benchmark side broadcasts
     plan = decontaminate(corpus, bench)._jdf.queryExecution().executedPlan().toString()
     assert "Broadcast" in plan
+
+
+def test_chunk_documents_windows(spark):
+    """Fixed-token chunking: 25 tokens at window 10 / overlap 3 yields
+    starts 1,8,15,22; shorter docs one chunk; empty docs none."""
+    from wrangler_spark.pipeline.text import chunk_documents
+
+    text = " ".join(f"w{i}" for i in range(25))
+    df = spark.createDataFrame(
+        [(1, text), (2, "short doc here"), (3, "")], "doc_id long, text string"
+    )
+    out = chunk_documents(df, max_tokens=10, overlap=3).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert len(by_doc[1]) == 4
+    assert by_doc[1][0]["chunk_text"].startswith("w0 ")
+    assert by_doc[1][1]["chunk_text"].startswith("w7 ")
+    assert by_doc[1][3]["n_chunk_tokens"] == 4
+    assert len(by_doc[2]) == 1 and by_doc[2][0]["n_chunk_tokens"] == 3
+    assert 3 not in by_doc
+    # every adjacent pair shares exactly `overlap` tokens
+    t0 = by_doc[1][0]["chunk_text"].split()
+    t1 = by_doc[1][1]["chunk_text"].split()
+    assert t0[-3:] == t1[:3]

@@ -164,3 +164,49 @@ def redact_pii_expr(text_col: Column, kinds: list[str] | None = None) -> Column:
         if kind in selected:
             out = F.regexp_replace(out, rx, f"[{kind.upper()}]")
     return out
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_tokens: int = 512,
+    overlap: int = 64,
+) -> DataFrame:
+    """Split documents into fixed-token-window chunks with overlap —
+    the sequence-packing prep step before pretraining/embedding. One
+    row per chunk: (id, chunk_idx, chunk_text, n_chunk_tokens).
+
+    All JVM-side: tokens split once, chunk starts are a sequence with
+    step (max_tokens - overlap), each chunk a slice+concat — the
+    explode is the only row-multiplying op and it stays in-partition
+    (no shuffle), so the cost at 100 TB is the scan plus output write.
+    """
+    if overlap >= max_tokens:
+        raise ValueError("chunk_documents: overlap must be < max_tokens")
+    step = max_tokens - overlap
+    s = F.trim(F.coalesce(F.col(text_col), F.lit("")))
+    toks = F.filter(F.split(s, r"\s+"), lambda t: t != "")
+    k = F.size(toks)
+    # starts: 1, 1+step, ... while start <= max(k - overlap, 1) so the
+    # last chunk is never pure overlap of the previous one
+    starts = F.sequence(F.lit(1), F.greatest(k - overlap, F.lit(1)), F.lit(step))
+    chunks = F.transform(
+        starts,
+        lambda st: F.struct(
+            F.concat_ws(" ", F.slice(toks, st, max_tokens)).alias("chunk_text"),
+            F.least(F.lit(max_tokens), k - st + 1).alias("n_chunk_tokens"),
+        ),
+    )
+    out = df.select(
+        F.col(id_col),
+        F.posexplode(F.when(k > 0, chunks).otherwise(F.array())).alias(
+            "chunk_idx", "c"
+        ),
+    )
+    return out.select(
+        id_col,
+        "chunk_idx",
+        F.col("c.chunk_text").alias("chunk_text"),
+        F.col("c.n_chunk_tokens").cast("int").alias("n_chunk_tokens"),
+    )
