@@ -575,3 +575,56 @@ def test_chunk_documents_windows(spark):
     t0 = by_doc[1][0]["chunk_text"].split()
     t1 = by_doc[1][1]["chunk_text"].split()
     assert t0[-3:] == t1[:3]
+
+
+def test_chunk_documents_properties(spark):
+    """Property (hypothesis): with overlap=0 the chunks partition the
+    token stream exactly — concatenating chunk_texts in order
+    reconstructs the tokenized document; with overlap>0 every token
+    still appears and adjacent chunks share exactly `overlap` tokens."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from wrangler_spark.pipeline.text import chunk_documents
+
+    word = st.text(alphabet="abcxyz01", min_size=1, max_size=6)
+
+    @settings(max_examples=15, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(words=st.lists(word, min_size=1, max_size=60),
+           max_tokens=st.integers(min_value=2, max_value=12),
+           overlap=st.integers(min_value=0, max_value=5))
+    def run(words, max_tokens, overlap):
+        if overlap >= max_tokens:
+            overlap = max_tokens - 1
+        text = " ".join(words)
+        df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+        rows = sorted(
+            chunk_documents(df, max_tokens=max_tokens, overlap=overlap).collect(),
+            key=lambda r: r["chunk_idx"],
+        )
+        toks = text.split()
+        if overlap == 0:
+            rebuilt = " ".join(r["chunk_text"] for r in rows).split()
+            assert rebuilt == toks
+        step = max_tokens - overlap
+        for i, r in enumerate(rows):
+            expect = toks[i * step: i * step + max_tokens]
+            assert r["chunk_text"].split() == expect
+            assert r["n_chunk_tokens"] == len(expect)
+
+    run()
+
+
+def test_redact_pii_idempotent(spark):
+    """redact(redact(x)) == redact(x) — placeholders never re-match."""
+    from pyspark.sql import functions as F
+
+    from wrangler_spark.pipeline.text import redact_pii_expr
+
+    txt = ("a 650-897-3839 b root@joltie.io c 111-11-1111 d "
+           "4111 1111 1111 1111 e 10.0.0.1 f")
+    df = spark.createDataFrame([(txt,)], "t string")
+    once = df.select(redact_pii_expr(F.col("t")).alias("r"))
+    twice = once.select(redact_pii_expr(F.col("r")).alias("r"))
+    assert once.first()["r"] == twice.first()["r"]
