@@ -628,3 +628,35 @@ def test_redact_pii_idempotent(spark):
     once = df.select(redact_pii_expr(F.col("t")).alias("r"))
     twice = once.select(redact_pii_expr(F.col("r")).alias("r"))
     assert once.first()["r"] == twice.first()["r"]
+
+
+def test_pack_sequences_greedy(spark):
+    """Sequence packing: greedy per-shard fill never exceeds the
+    budget, preserves (doc, chunk) order inside packs, and oversized
+    chunks get their own pack."""
+    from pyspark.sql import functions as F
+
+    from wrangler_spark.pipeline.text import pack_sequences
+
+    rows = [(1, i, t) for i, t in enumerate([300, 300, 300, 300, 600, 100])]
+    df = spark.createDataFrame(rows, "doc_id long, chunk_idx int, n_chunk_tokens int")
+    out = pack_sequences(df, budget=512, shards=1).orderBy("doc_id", "chunk_idx").collect()
+    # greedy: [300], [300], ... budget 512 -> 300+300 > 512 so one per pack
+    # until 600 (capped to 512, own pack), then 100 joins nothing after
+    packs = {}
+    for r in out:
+        packs.setdefault(r["pack_id"], []).append(r)
+    for pid, members in packs.items():
+        total = sum(min(m["n_chunk_tokens"], 512) for m in members)
+        assert total <= 512, (pid, total)
+        assert [m["pack_pos"] for m in members] == list(range(len(members)))
+    # order preserved globally within the shard
+    flat = sorted(out, key=lambda r: (r["pack_id"], r["pack_pos"]))
+    assert [r["chunk_idx"] for r in flat] == [0, 1, 2, 3, 4, 5]
+    # a fuller mix packs tightly: 5x100 fits one 512 pack
+    df2 = spark.createDataFrame(
+        [(2, i, 100) for i in range(5)], "doc_id long, chunk_idx int, n_chunk_tokens int"
+    )
+    out2 = pack_sequences(df2, budget=512, shards=1).collect()
+    assert {r["pack_id"] for r in out2} == {0}
+    assert sorted(r["pack_pos"] for r in out2) == [0, 1, 2, 3, 4]

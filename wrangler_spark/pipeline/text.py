@@ -210,3 +210,60 @@ def chunk_documents(
         F.col("c.chunk_text").alias("chunk_text"),
         F.col("c.n_chunk_tokens").cast("int").alias("n_chunk_tokens"),
     )
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget: int,
+    token_col: str = "n_chunk_tokens",
+    id_cols: tuple[str, str] = ("doc_id", "chunk_idx"),
+    shards: int = 256,
+) -> DataFrame:
+    """Assign chunks to fixed-token training sequences (sequence
+    packing): within a shard, walk chunks in (doc, chunk) order and
+    open a new pack whenever the running total would exceed `budget` —
+    exact greedy fill, so no pack ever exceeds budget (a chunk larger
+    than budget gets a pack of its own).
+
+    Scale shape: packing is SHARD-LOCAL (hash of doc id -> shard), the
+    standard pack-within-shards layout — greedy fill is inherently
+    sequential, so it runs per shard in one Arrow batch stream
+    (applyInPandas); size `shards` so a shard's chunk metadata fits an
+    executor. Returns the input plus (shard, pack_id, pack_pos).
+    """
+    import pandas as pd  # noqa: F401 (applyInPandas annotations)
+    from pyspark.sql import types as T
+
+    d0, d1 = id_cols
+    out_schema = T.StructType(
+        list(df.schema.fields)
+        + [
+            T.StructField("shard", T.IntegerType()),
+            T.StructField("pack_id", T.IntegerType()),
+            T.StructField("pack_pos", T.IntegerType()),
+        ]
+    )
+    with_shard = df.withColumn(
+        "__shard", (F.abs(F.xxhash64(F.col(d0))) % shards).cast("int")
+    )
+
+    def pack(pdf):
+        pdf = pdf.sort_values([d0, d1]).reset_index(drop=True)
+        pack_ids, positions = [], []
+        cur_pack, cur_tokens, cur_pos = 0, 0, 0
+        for t in pdf[token_col]:
+            t = min(int(t), budget)
+            if cur_tokens + t > budget and cur_tokens > 0:
+                cur_pack += 1
+                cur_tokens, cur_pos = 0, 0
+            pack_ids.append(cur_pack)
+            positions.append(cur_pos)
+            cur_tokens += t
+            cur_pos += 1
+        res = pdf.copy()
+        res["shard"] = res["__shard"]
+        res["pack_id"] = pack_ids
+        res["pack_pos"] = positions
+        return res.drop(columns=["__shard"])
+
+    return with_shard.groupBy("__shard").applyInPandas(pack, out_schema)
