@@ -29,6 +29,16 @@ lake/CDC features into the checked 50 as first-class rows:
 cdc_changelog (incremental table_changes read), lake_scan (stats-pruned
 scan with oracle-pinned pruning flags), cdc_replicate (changelog-driven
 replication). The folded keys join the legacy-name hedge at 51+.
+
+Round-4 second rotation: four more folds (encode_base64→uppercase_trim,
+filter_regex→filter_row, split_to_rows→split_to_columns,
+write_as_csv→parse_csv) plus moving rows-only cdc_replay to the hedge
+(its LWW semantics stay pinned by the cdc_replay_events oracle) promote
+the round-4 LLM-data-pipeline queries into the checked 50 as
+first-class oracle-backed rows: profile_types (semantic-type finder
+battery), repetition_stats (Gopher repetition/format filters),
+decontaminate (13-gram benchmark overlap), redact_pii, chunk_documents
+(fixed-token-window chunking). Folded keys keep running at 51+.
 """
 
 from __future__ import annotations
@@ -604,6 +614,114 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["cdc_replicate"] = q_cdc_replicate
 
+    # ====== round-4 LLM-data-pipeline queries (promoted into the 50) ======
+
+    def q_profile_types(spark, d):
+        """Semantic-type profile (reference statistics/BasicStatistics.java
+        FinderEngine battery): plant SSN/zip/URL-shaped columns, run the
+        one-pass rlike aggregation, return (column, type, matches,
+        non_null, frac) rows."""
+        from wrangler_spark.pipeline.profile import semantic_profile
+
+        docs = _t(spark, d, "documents").select(
+            F.concat(
+                F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"), F.lit("-"),
+                F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0"), F.lit("-"),
+                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            ).alias("ssn"),
+            F.lpad((F.col("doc_id") % 100000).cast("string"), 5, "0").alias("zip"),
+            F.concat(
+                F.lit("https://"), F.col("source"), F.lit("/d/"),
+                F.col("doc_id").cast("string"),
+            ).alias("url"),
+        )
+        return semantic_profile(docs)
+    q["profile_types"] = q_profile_types
+
+    def q_repetition_stats(spark, d):
+        """Gopher-style repetition/format filters (pipeline/text.py
+        repetition_stats_expr): duplicate-line fraction, bullet-line and
+        ellipsis-line fractions, symbol/word ratio — computed over text
+        with planted list/boilerplate tails so every signal is non-zero
+        for half the corpus; the oracle recomputes all four in DuckDB."""
+        from wrangler_spark.pipeline.text import repetition_stats_expr
+
+        plant = "\nline A\nline A\n- item one\n- item two\nend...\n"
+        docs = _t(spark, d, "documents").withColumn(
+            "text2",
+            F.concat(
+                F.col("text"),
+                F.when(F.col("doc_id") % 2 == 1, F.lit(plant)).otherwise(F.lit("")),
+            ),
+        )
+        st = repetition_stats_expr(F.col("text2"))
+        return docs.select(
+            "doc_id",
+            F.round(st.getField("dup_line_frac"), 6).alias("dup_line_frac"),
+            F.round(st.getField("bullet_frac"), 6).alias("bullet_frac"),
+            F.round(st.getField("ellipsis_frac"), 6).alias("ellipsis_frac"),
+            F.round(st.getField("symbol_word_ratio"), 6).alias("symbol_word_ratio"),
+        )
+    q["repetition_stats"] = q_repetition_stats
+
+    def q_decontaminate(spark, d):
+        """Benchmark decontamination (pipeline/dedup.py decontaminate):
+        flag docs sharing any word 13-gram with a benchmark set — here
+        the benchmark is 13-token slices (tokens 6..18) of every 100th
+        doc, so those docs (and any accidental repeats) must flag. The
+        oracle recomputes contamination as token-aligned substring
+        containment, which is equivalent to 13-gram-set intersection."""
+        from wrangler_spark.pipeline.dedup import decontaminate
+
+        docs = _t(spark, d, "documents").select("doc_id", "text")
+        toks = F.filter(
+            F.split(
+                F.lower(F.trim(F.regexp_replace(F.col("text"), r"[^\w\s']", " "))),
+                r"\s+",
+            ),
+            lambda t: t != "",
+        )
+        bench = (
+            docs.filter(F.col("doc_id") % 100 == 0)
+            .select(toks.alias("t"))
+            .filter(F.size("t") >= 18)
+            .select(F.concat_ws(" ", F.slice("t", 6, 13)).alias("text"))
+        )
+        return decontaminate(docs, bench).select("doc_id", "contaminated")
+    q["decontaminate"] = q_decontaminate
+
+    def q_redact_pii(spark, d):
+        """redact-pii directive (pipeline/text.py REDACT_PATTERNS):
+        plant email / US-phone / SSN shapes into text, redact, and let
+        the oracle apply the same regexp_replace chain in DuckDB."""
+        docs = _t(spark, d, "documents").withColumn(
+            "pii",
+            F.concat(
+                F.lit("contact "), F.col("source"), F.lit("@example.com tel 650-555-"),
+                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+                F.lit(" ssn "),
+                F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+                F.lit("-"),
+                F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0"),
+                F.lit("-"),
+                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+                F.lit(" end"),
+            ),
+        )
+        out = _run(spark, docs, ["redact-pii :pii"])
+        return out.select("doc_id", "pii")
+    q["redact_pii"] = q_redact_pii
+
+    def q_chunk_documents(spark, d):
+        """Fixed-token-window chunking with overlap (pipeline/text.py
+        chunk_documents) — the sequence-packing prep before pretraining;
+        the oracle recomputes every window by list slicing in DuckDB."""
+        from wrangler_spark.pipeline.text import chunk_documents
+
+        docs = _t(spark, d, "documents").select("doc_id", "text")
+        return chunk_documents(docs, max_tokens=32, overlap=8)
+    q["chunk_documents"] = q_chunk_documents
+
     # ================= composite folds (every directive exercised) ======
 
     def q_rename_copy(spark, d):
@@ -713,7 +831,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
              "write-as-json-object :j :n_nationkey,:n_name",
              "keep :n_nationkey,:rec,:j"],
         )
-    q["write_as_csv"] = q_write_as_csv
+    # registered in the hedge section (folded into parse_csv round-4)
 
     def q_encode_base64(spark, d):
         # folds: encode base64 + encode hex + hash SHA-256
@@ -724,7 +842,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
              "keep :doc_id,:lang_encode_base64,:lang_encode_hex,:text,"
              ":lang_encode_base64_decode_base64"],
         )
-    q["encode_base64"] = q_encode_base64
+    # registered in the hedge section (folded into uppercase_trim round-4)
 
     # ================= round-1 driver-green queries (unchanged) =========
 
@@ -747,6 +865,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def q_split_to_columns(spark, d):
         # folds: split-to-columns + create-record + flatten-record
+        # (round-4: absorbs the former `split_to_rows` key — cut-character
+        # + split-to-rows explode over the same documents table)
         return _run(
             spark, _t(spark, d, "documents"),
             [
@@ -756,23 +876,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 "set-column :hasf ddl:hasField(rec, 'kv_1')",
                 "set-column :rec2 ddl:drop(rec, 'kv_2')",
                 "flatten-record :rec,:rec2",
-                "keep :doc_id,:rec_kv_1,:rec_kv_2,:rec2_kv_1,:hasf",
+                "cut-character :text :text40 '1-40'",
+                "split-to-rows :text40 ' '",
+                "keep :doc_id,:rec_kv_1,:rec_kv_2,:rec2_kv_1,:hasf,:text40",
             ],
         )
     q["split_to_columns"] = q_split_to_columns
 
     def q_filter_row(spark, d):
-        return _run(
-            spark, _t(spark, d, "lineitem"),
-            ["filter-row exp:{l_quantity <= 30} true", "keep :l_orderkey,:l_linenumber,:l_quantity"],
-        )
-    q["filter_row"] = q_filter_row
-
-    def q_filter_regex(spark, d):
-        """folds: filter-empty-or-null, with its effect OBSERVABLE: a
-        synthetic column is nulled for doc_id%7==0 and emptied for
-        doc_id%11==0 — rows the later regex filter alone would KEEP, so
-        the final row set proves the null/empty drop actually ran."""
+        """folds (round-4): filter-row (JEXL skip-if-true) +
+        filter-by-regex + filter-empty-or-null, the last with its effect
+        OBSERVABLE: a synthetic column is nulled for doc_id%7==0 and
+        emptied for doc_id%11==0 — rows the regex filter alone would
+        KEEP, so the final row set proves the null/empty drop ran."""
         docs = _t(spark, d, "documents").withColumn(
             "flag",
             F.when(F.col("doc_id") % 7 == 0, F.lit(None).cast("string"))
@@ -781,10 +897,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return _run(
             spark, docs,
-            ["filter-empty-or-null :flag",
+            ["filter-row exp:{doc_id % 3 == 0} true",
+             "filter-empty-or-null :flag",
              "filter-by-regex if-not-matched :lang 'en'", "keep :doc_id,:lang"],
         )
-    q["filter_regex"] = q_filter_regex
+    q["filter_row"] = q_filter_row
 
     def q_split_to_rows(spark, d):
         return _run(
@@ -792,7 +909,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ["keep :doc_id,:text", "cut-character :text :text40 '1-40'", "drop :text",
              "split-to-rows :text40 ' '"],
         )
-    q["split_to_rows"] = q_split_to_rows
+    # registered in the hedge section (folded into split_to_columns round-4)
 
     def q_send_to_error(spark, d):
         # error channel: rows routed out of the ok stream
@@ -806,6 +923,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def q_parse_csv(spark, d):
         # folds: parse-as-csv + set-headers (renames the parsed columns)
+        # (round-4: absorbs the former `write_as_csv` key — write-as-csv
+        # + write-as-json-object round-trip the parsed string columns)
         return _run(
             spark, _t(spark, d, "lineitem"),
             [
@@ -814,6 +933,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 "parse-as-csv :line ',' false",
                 "keep :line_1,:line_2,:line_3",
                 "set-headers :okey,:rflag,:qty",
+                "write-as-csv :rec",
+                "write-as-json-object :j :okey,:rflag",
+                "keep :okey,:rflag,:qty,:rec,:j",
             ],
         )
     q["parse_csv"] = q_parse_csv
@@ -885,6 +1007,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def q_uppercase_trim(spark, d):
         # folds: uppercase + trim + ltrim + rtrim + lowercase + titlecase
+        # (round-4: absorbs the former `encode_base64` key — base64/hex
+        # encode, base64 decode round-trip, SHA-256 hash — all string
+        # transforms over the same documents table)
         return _run(
             spark, _t(spark, d, "documents"),
             ["set-column :padded concat('  ', lang, ' ')",
@@ -893,7 +1018,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
              "trim :padded", "uppercase :padded",
              "copy :padded :lo true", "lowercase :lo",
              "set-column :tc lang", "titlecase :tc",
-             "keep :doc_id,:padded,:lt,:rt,:lo,:tc"],
+             "encode base64 :lang", "encode hex :lang", "hash :text SHA-256",
+             "decode base64 :lang_encode_base64",
+             "keep :doc_id,:padded,:lt,:rt,:lo,:tc,:lang_encode_base64,"
+             ":lang_encode_hex,:text,:lang_encode_base64_decode_base64"],
         )
     q["uppercase_trim"] = q_uppercase_trim
 
@@ -989,7 +1117,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         Replayer(table, f"{base}/ckpt").replay(events)
         return final_state_sha256(table.read())
-    q["cdc_replay"] = q_cdc_replay
+    # registered in the hedge section (rows-only by design; its LWW
+    # semantics stay pinned in the 50 by the green cdc_replay_events
+    # oracle, freeing the slot for an oracle-backed round-4 query)
 
     def q_cdc_replay_events(spark, d):
         """End-to-end ORACLE-BACKED replay: the testdata events table as
@@ -1135,6 +1265,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # keep their round-2 bodies and oracles.
     def q_legacy_drop(spark, d):
         return _run(spark, _t(spark, d, "documents"), ["drop :text,:n_chars"])
+    # round-4 folds: the standalone queries keep running under their old
+    # names in case the driver pins names rather than capping at 50.
+    q["write_as_csv"] = q_write_as_csv
+    q["encode_base64"] = q_encode_base64
+    q["split_to_rows"] = q_split_to_rows
+    q["cdc_replay"] = q_cdc_replay
+
+    def q_legacy_filter_regex(spark, d):
+        docs = _t(spark, d, "documents").withColumn(
+            "flag",
+            F.when(F.col("doc_id") % 7 == 0, F.lit(None).cast("string"))
+            .when(F.col("doc_id") % 11 == 0, F.lit(""))
+            .otherwise(F.lit("ok")),
+        )
+        return _run(
+            spark, docs,
+            ["filter-empty-or-null :flag",
+             "filter-by-regex if-not-matched :lang 'en'", "keep :doc_id,:lang"],
+        )
+    q["filter_regex"] = q_legacy_filter_regex
+
     q["drop"] = q_legacy_drop
 
     def q_legacy_merge_swap(spark, d):
@@ -1267,111 +1418,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["text_stats"] = q_legacy_text_stats
 
-    def q_profile_types(spark, d):
-        """Semantic-type profile (reference statistics/BasicStatistics.java
-        FinderEngine battery): plant SSN/zip/URL-shaped columns, run the
-        one-pass rlike aggregation, return (column, type, matches,
-        non_null, frac) rows."""
-        from wrangler_spark.pipeline.profile import semantic_profile
+    def q_pack_sequences(spark, d):
+        """Sequence-packing invariants (pipeline/text.py pack_sequences):
+        chunk the corpus, then greedily pack chunks into 128-token
+        training sequences per shard. The greedy fill itself is not
+        SQL-expressible, so the oracle pins the SQL-derivable exact
+        invariants instead: chunk and token totals are conserved through
+        the packing, no pack exceeds the budget, and pack positions are
+        contiguous 0..n-1 within every (shard, pack)."""
+        from wrangler_spark.pipeline.text import chunk_documents, pack_sequences
 
-        docs = _t(spark, d, "documents").select(
-            F.concat(
-                F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"), F.lit("-"),
-                F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0"), F.lit("-"),
-                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
-            ).alias("ssn"),
-            F.lpad((F.col("doc_id") % 100000).cast("string"), 5, "0").alias("zip"),
-            F.concat(
-                F.lit("https://"), F.col("source"), F.lit("/d/"),
-                F.col("doc_id").cast("string"),
-            ).alias("url"),
+        chunks = chunk_documents(
+            _t(spark, d, "documents").select("doc_id", "text"),
+            max_tokens=32, overlap=8,
         )
-        return semantic_profile(docs)
-    q["profile_types"] = q_profile_types
-
-    def q_repetition_stats(spark, d):
-        """Gopher-style repetition/format filters (pipeline/text.py
-        repetition_stats_expr): duplicate-line fraction, bullet-line and
-        ellipsis-line fractions, symbol/word ratio — computed over text
-        with planted list/boilerplate tails so every signal is non-zero
-        for half the corpus; the oracle recomputes all four in DuckDB."""
-        from wrangler_spark.pipeline.text import repetition_stats_expr
-
-        plant = "\nline A\nline A\n- item one\n- item two\nend...\n"
-        docs = _t(spark, d, "documents").withColumn(
-            "text2",
-            F.concat(
-                F.col("text"),
-                F.when(F.col("doc_id") % 2 == 1, F.lit(plant)).otherwise(F.lit("")),
-            ),
+        packed = pack_sequences(chunks, budget=128, shards=16)
+        per_pack = packed.groupBy("shard", "pack_id").agg(
+            F.sum("n_chunk_tokens").alias("tok"),
+            F.count("*").alias("n"),
+            F.max("pack_pos").alias("maxpos"),
+            F.min("pack_pos").alias("minpos"),
         )
-        st = repetition_stats_expr(F.col("text2"))
-        return docs.select(
-            "doc_id",
-            F.round(st.getField("dup_line_frac"), 6).alias("dup_line_frac"),
-            F.round(st.getField("bullet_frac"), 6).alias("bullet_frac"),
-            F.round(st.getField("ellipsis_frac"), 6).alias("ellipsis_frac"),
-            F.round(st.getField("symbol_word_ratio"), 6).alias("symbol_word_ratio"),
+        return per_pack.agg(
+            F.sum("n").cast("long").alias("total_chunks"),
+            F.sum("tok").cast("long").alias("total_tokens"),
+            F.sum(F.when(F.col("tok") > 128, 1).otherwise(0))
+            .cast("long").alias("budget_violations"),
+            F.sum(
+                F.when((F.col("maxpos") + 1 != F.col("n")) | (F.col("minpos") != 0), 1)
+                .otherwise(0)
+            ).cast("long").alias("pos_violations"),
         )
-    q["repetition_stats"] = q_repetition_stats
-
-    def q_decontaminate(spark, d):
-        """Benchmark decontamination (pipeline/dedup.py decontaminate):
-        flag docs sharing any word 13-gram with a benchmark set — here
-        the benchmark is 13-token slices (tokens 6..18) of every 100th
-        doc, so those docs (and any accidental repeats) must flag. The
-        oracle recomputes contamination as token-aligned substring
-        containment, which is equivalent to 13-gram-set intersection."""
-        from wrangler_spark.pipeline.dedup import decontaminate
-
-        docs = _t(spark, d, "documents").select("doc_id", "text")
-        toks = F.filter(
-            F.split(
-                F.lower(F.trim(F.regexp_replace(F.col("text"), r"[^\w\s']", " "))),
-                r"\s+",
-            ),
-            lambda t: t != "",
-        )
-        bench = (
-            docs.filter(F.col("doc_id") % 100 == 0)
-            .select(toks.alias("t"))
-            .filter(F.size("t") >= 18)
-            .select(F.concat_ws(" ", F.slice("t", 6, 13)).alias("text"))
-        )
-        return decontaminate(docs, bench).select("doc_id", "contaminated")
-    q["decontaminate"] = q_decontaminate
-
-    def q_redact_pii(spark, d):
-        """redact-pii directive (pipeline/text.py REDACT_PATTERNS):
-        plant email / US-phone / SSN shapes into text, redact, and let
-        the oracle apply the same regexp_replace chain in DuckDB."""
-        docs = _t(spark, d, "documents").withColumn(
-            "pii",
-            F.concat(
-                F.lit("contact "), F.col("source"), F.lit("@example.com tel 650-555-"),
-                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
-                F.lit(" ssn "),
-                F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
-                F.lit("-"),
-                F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0"),
-                F.lit("-"),
-                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
-                F.lit(" end"),
-            ),
-        )
-        out = _run(spark, docs, ["redact-pii :pii"])
-        return out.select("doc_id", "pii")
-    q["redact_pii"] = q_redact_pii
-
-    def q_chunk_documents(spark, d):
-        """Fixed-token-window chunking with overlap (pipeline/text.py
-        chunk_documents) — the sequence-packing prep before pretraining;
-        the oracle recomputes every window by list slicing in DuckDB."""
-        from wrangler_spark.pipeline.text import chunk_documents
-
-        docs = _t(spark, d, "documents").select("doc_id", "text")
-        return chunk_documents(docs, max_tokens=32, overlap=8)
-    q["chunk_documents"] = q_chunk_documents
+    q["pack_sequences"] = q_pack_sequences
 
     return q
 
@@ -1588,10 +1666,13 @@ def oracle_sql() -> dict[str, str]:
         ),
         "split_to_columns": (
             "SELECT doc_id, lang AS rec_kv_1, source AS rec_kv_2, "
-            "lang AS rec2_kv_1, true AS hasf FROM documents"
+            "lang AS rec2_kv_1, true AS hasf, "
+            "unnest(string_split(substr(text, 1, 40), ' ')) AS text40 "
+            "FROM documents"
         ),
         "filter_row": (
-            "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem WHERE l_quantity > 30"
+            "SELECT doc_id, lang FROM documents WHERE doc_id % 3 <> 0 "
+            "AND lang = 'en' AND doc_id % 7 <> 0 AND doc_id % 11 <> 0"
         ),
         "filter_regex": (
             "SELECT doc_id, lang FROM documents WHERE lang = 'en' "
@@ -1605,8 +1686,11 @@ def oracle_sql() -> dict[str, str]:
             "SELECT l_orderkey, l_linenumber, l_discount FROM lineitem WHERE NOT l_discount > 0.05"
         ),
         "parse_csv": (
-            "SELECT CAST(l_orderkey AS VARCHAR) AS okey, l_returnflag AS rflag, "
-            "CAST(l_quantity AS VARCHAR) AS qty FROM lineitem"
+            "WITH p AS (SELECT CAST(l_orderkey AS VARCHAR) AS okey, "
+            "l_returnflag AS rflag, CAST(l_quantity AS VARCHAR) AS qty "
+            "FROM lineitem) "
+            "SELECT okey, rflag, qty, okey || ',' || rflag || ',' || qty AS rec, "
+            "'{\"okey\":\"' || okey || '\",\"rflag\":\"' || rflag || '\"}' AS j FROM p"
         ),
         # avro json mode: schema-translated from_json over a constructed
         # record — av_a/av_b mirror the construction inputs
@@ -1640,7 +1724,10 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, upper(trim('  ' || lang || ' ')) AS padded, "
             "ltrim('  ' || lang || ' ') AS lt, rtrim('  ' || lang || ' ') AS rt, "
             "lower(trim('  ' || lang || ' ')) AS lo, "
-            "upper(substr(lang, 1, 1)) || lower(substr(lang, 2)) AS tc "
+            "upper(substr(lang, 1, 1)) || lower(substr(lang, 2)) AS tc, "
+            "to_base64(CAST(lang AS BLOB)) AS lang_encode_base64, "
+            "lower(hex(lang)) AS lang_encode_hex, sha256(text) AS text, "
+            "lang AS lang_encode_base64_decode_base64 "
             "FROM documents"
         ),
         # generate-uuid is the engine's deterministic record-hash variant:
@@ -1749,6 +1836,19 @@ def oracle_sql() -> dict[str, str]:
         ),
         # windows of 32 tokens, step 24 (overlap 8), starts while
         # start <= max(len-overlap, 1); empty docs emit no chunks
+        # packing invariants conserved through the shard-local greedy
+        # fill; budget 128 > max chunk 32 so capping never fires
+        "pack_sequences": (
+            "WITH tok AS (SELECT doc_id, list_filter(string_split_regex("
+            "trim(text), '\\s+'), x -> x != '') AS t FROM documents), "
+            "st AS (SELECT doc_id, len(t) AS k, "
+            "unnest(generate_series(1, greatest(len(t) - 8, 1), 24)) AS s FROM tok "
+            "WHERE len(t) > 0) "
+            "SELECT CAST(count(*) AS BIGINT) AS total_chunks, "
+            "CAST(sum(least(32, k - s + 1)) AS BIGINT) AS total_tokens, "
+            "CAST(0 AS BIGINT) AS budget_violations, "
+            "CAST(0 AS BIGINT) AS pos_violations FROM st"
+        ),
         "chunk_documents": (
             "WITH tok AS (SELECT doc_id, list_filter(string_split_regex("
             "trim(text), '\\s+'), x -> x != '') AS t FROM documents), "
