@@ -1683,7 +1683,10 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents"
         ),
         "send_to_error": (
-            "SELECT l_orderkey, l_linenumber, l_discount FROM lineitem WHERE NOT l_discount > 0.05"
+            # and-continue matches leave the main flow too (reference
+            # RecipePipelineExecutor.java:145-151 clears cumulativeRows)
+            "SELECT l_orderkey, l_linenumber, l_discount FROM lineitem "
+            "WHERE NOT l_discount > 0.05 AND NOT l_tax > 0.04"
         ),
         "parse_csv": (
             "WITH p AS (SELECT CAST(l_orderkey AS VARCHAR) AS okey, "

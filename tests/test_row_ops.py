@@ -45,8 +45,12 @@ def test_send_to_error(spark, df):
 
 
 def test_send_to_error_and_continue(spark, df):
+    """Matched rows leave the main flow, same as send-to-error — the
+    reference executor clears cumulativeRows on ReportErrorAndProceed
+    (RecipePipelineExecutor.java:145-151), so the row lands ONLY in the
+    error collector."""
     ok, err = execute(spark, ["send-to-error-and-continue exp:{amount < 10}"], df)
-    assert ok.count() == 3
+    assert ok.count() == 2
     assert err.count() == 1
 
 

@@ -90,12 +90,42 @@ def diff_date(call: DirectiveCall):
     return tr
 
 
+def _valid_zone(zone: str, directive_name: str) -> str:
+    """Compile-time zone validation, mirroring the reference's
+    ZoneId.of() throwing ZoneRulesException at initialize()
+    (datetime/CurrentDateTime.java:66-74, DateTimeToTimeStamp.java;
+    CurrentDateTimeTest.testInvalidZone expects RecipeException)."""
+    import zoneinfo
+
+    norm = {"UTC", "GMT", "Z"}
+    if zone in norm:
+        return "UTC"
+    try:
+        zoneinfo.ZoneInfo(zone)
+    except Exception:
+        # fixed offsets like +05:30 are valid ZoneIds but not IANA keys
+        import re as _re
+
+        if not _re.fullmatch(r"[+-]\d{2}:?\d{2}", zone):
+            raise UsageError(
+                f"{directive_name}: invalid timezone {zone!r}"
+            ) from None
+    return zone
+
+
 @directive("current-datetime")
 def current_datetime(call: DirectiveCall):
+    """current-datetime :col ['zone'] — wall-clock now in the given zone
+    (reference datetime/CurrentDateTime.java: optional zone, default
+    UTC, invalid zone fails at initialize)."""
     col = call.col(0)
+    zone = _valid_zone(call.text(1, default="UTC"), "current-datetime")
 
     def tr(df: DataFrame, ctx: RecipeContext) -> DataFrame:
-        return df.withColumn(col, F.current_timestamp().cast("timestamp_ntz"))
+        now = F.convert_timezone(
+            F.lit("UTC"), F.lit(zone), F.current_timestamp().cast("timestamp_ntz")
+        )
+        return df.withColumn(col, now)
 
     return tr
 
@@ -113,7 +143,7 @@ def current_date(call: DirectiveCall):
 @directive("datetime-to-timestamp")
 def datetime_to_timestamp(call: DirectiveCall):
     col = call.col(0)
-    tz = call.text(1, default="UTC")
+    tz = _valid_zone(call.text(1, default="UTC"), "datetime-to-timestamp")
 
     def tr(df: DataFrame, ctx: RecipeContext) -> DataFrame:
         c = _require(df, col)

@@ -199,21 +199,20 @@ def send_to_error(call: DirectiveCall):
 
 @directive("send-to-error-and-continue")
 def send_to_error_and_continue(call: DirectiveCall):
-    """Tags matching rows to the error channel but keeps them flowing
-    (reference row/SendToErrorAndContinue.java:65)."""
+    """Routes matching rows to the error channel and REMOVES them from
+    the main flow, exactly like send-to-error — in the reference both
+    paths drop the row from results (RecipePipelineExecutor.java:145-158:
+    ReportErrorAndProceed clears cumulativeRows and breaks); the variant
+    differs only in error-record metadata (original row, cumulative
+    messages, shown-in-wrangler flag), not in row routing
+    (row/SendToErrorAndContinue.java:104-133). SendToErrorAndContinueTest
+    pins this: 2 of 3 rows matching → errors==2, results==1."""
     expr_src = call.expr(0)
     message = _error_extras(call, expr_src, "send-to-error-and-continue")
 
     def tr(df: DataFrame, ctx: RecipeContext) -> DataFrame:
         c = _cond(expr_src, df, ctx)
-        err = df.filter(_keep_when(c)).select(
-            F.lit(ctx.step).alias("step"),
-            F.lit(ctx.current_name).alias("directive"),
-            F.lit(message).alias("message"),
-            F.to_json(F.struct(*[F.col(x) for x in df.columns])).alias("record"),
-        )
-        ctx.errors.append(err)
-        return df
+        return ctx.route_error(df, c, message)
 
     return tr
 

@@ -147,15 +147,31 @@ def extract_regex_groups(call: DirectiveCall):
 
 @directive("split-email")
 def split_email(call: DirectiveCall):
+    """split-email :col → <col>_account / <col>_domain.
+
+    Reference transformation/SplitEmail.java:83-123: a `Name <addr>`
+    wrapper is unwrapped between the last '<' and last '>' (unclosed
+    '<' → null/null), then the address splits at the LAST '@'
+    (lastIndexOf — quoted accounts like joltie."@."root."@".@yahoo.com
+    keep their inner @s); no '@' at all → null/null."""
     col = call.col(0)
 
     def tr(df: DataFrame, ctx: RecipeContext) -> DataFrame:
         c = _require(df, col)
         s = F.col(c).cast("string")
-        valid = s.contains("@")
+        # unwrap display-name form: greedy .*< pins the LAST '<', the
+        # trailing [^>]*$ pins the LAST '>'
+        addr = F.when(
+            s.contains("<"),
+            F.when(s.contains(">"), F.regexp_extract(s, r"^.*<(.*)>[^>]*$", 1)),
+        ).otherwise(s)
+        # greedy (.*)@ pins the LAST '@' (Java lastIndexOf semantics)
+        valid = addr.contains("@")
         return df.withColumn(
-            f"{c}_account", F.when(valid, F.substring_index(s, "@", 1))
-        ).withColumn(f"{c}_domain", F.when(valid, F.substring_index(s, "@", -1)))
+            f"{c}_account", F.when(valid, F.regexp_extract(addr, r"^(.*)@[^@]*$", 1))
+        ).withColumn(
+            f"{c}_domain", F.when(valid, F.regexp_extract(addr, r"^.*@([^@]*)$", 1))
+        )
 
     return tr
 

@@ -92,6 +92,10 @@ class DirectiveCall:
             return t.raw
         if t.kind == "EXPR":
             return str(t.value)
+        if t.kind in ("NUMLIST", "COLLIST"):
+            # unquoted range/list specs read as text — `cut-character
+            # body five 1,2,3` (CharacterCutTest.testBasicCharacterCut)
+            return t.raw
         raise UsageError(f"{self.name}: argument #{i + 1} should be text, got {t.raw!r}")
 
     def num(self, i: int, default: float | None = None) -> float:
