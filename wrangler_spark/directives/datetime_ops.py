@@ -8,6 +8,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql import types as T
 
+from wrangler_spark.errors import UsageError
 from wrangler_spark.recipe.parser import DirectiveCall
 from wrangler_spark.recipe.registry import RecipeContext, directive
 from wrangler_spark.directives.column_ops import _require

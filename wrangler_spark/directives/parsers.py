@@ -397,6 +397,18 @@ def _fmt_arg(call: DirectiveCall, i: int) -> str:
     return s
 
 
+def _parse_or_error(df: DataFrame, ctx: RecipeContext, c: str, ts, name: str, fmt: str) -> DataFrame:
+    """Unparseable non-null values route the ORIGINAL row to the error
+    channel (reference ParseSimpleDate.java:105-111 /
+    ParseDateTime.java:92-94 throw ErrorRowException;
+    ParseDateTimeTest.testInvalidData expects empty results)."""
+    bad = F.col(c).cast("string").isNotNull() & ts.isNull()
+    ok = ctx.route_error(
+        df, bad, f"{name}: value is not in expected format {fmt!r}"
+    )
+    return ok.withColumn(c, ts)
+
+
 @directive("parse-as-simple-date", "parse-as-date-format")
 def parse_as_simple_date(call: DirectiveCall):
     col = call.col(0)
@@ -404,20 +416,49 @@ def parse_as_simple_date(call: DirectiveCall):
 
     def tr(df: DataFrame, ctx: RecipeContext) -> DataFrame:
         c = _require(df, col)
-        return df.withColumn(c, F.to_timestamp(F.col(c).cast("string"), _java_to_spark_fmt(fmt)))
+        ts = F.to_timestamp(F.col(c).cast("string"), _java_to_spark_fmt(fmt))
+        return _parse_or_error(df, ctx, c, ts, "parse-as-simple-date", fmt)
 
     return tr
+
+
+_DTF_LETTERS = set("GuyDMLdQqYwWEeFcahKkHmsSAnNVvzOXxZpB")
+
+
+def _datetime_fmt(fmt: str, name: str) -> str:
+    """Validate a java.time DateTimeFormatter pattern at compile time
+    (reference parser/ParseDateTime.java initialize(): ofPattern throws
+    on unknown letters — ParseDateTimeTest.testInvalidFormat) and
+    reduce it to the LEGACY-parser-safe prefix: the target type is a
+    LocalDateTime, so offset/zone tail sections ([xxx], '['VV']') only
+    need to be TOLERATED, which SimpleDateFormat's trailing-text
+    leniency already gives — truncate at the first unquoted '['."""
+    in_quote = False
+    for i, ch in enumerate(fmt):
+        if ch == "'":
+            in_quote = not in_quote
+            continue
+        if in_quote:
+            continue
+        if ch.isalpha() and ch not in _DTF_LETTERS:
+            raise UsageError(f"{name}: invalid datetime pattern {fmt!r} "
+                             f"(unknown pattern letter {ch!r})")
+        if ch == "[":
+            return fmt[:i]
+    return fmt
 
 
 @directive("parse-as-datetime")
 def parse_as_datetime(call: DirectiveCall):
     col = call.col(0)
-    fmt = _fmt_arg(call, 1)
+    fmt = _datetime_fmt(_fmt_arg(call, 1), "parse-as-datetime")
 
     def tr(df: DataFrame, ctx: RecipeContext) -> DataFrame:
         c = _require(df, col)
         ts = F.to_timestamp(F.col(c).cast("string"), _java_to_spark_fmt(fmt))
-        return df.withColumn(c, ts.cast("timestamp_ntz"))
+        return _parse_or_error(
+            df, ctx, c, ts.cast("timestamp_ntz"), "parse-as-datetime", fmt
+        )
 
     return tr
 
