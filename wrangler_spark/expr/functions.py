@@ -789,18 +789,108 @@ def _lower_keys_rec(obj):
     return obj
 
 
+def _jsonpath_eval(obj, path: str):
+    """Jayway-subset JsonPath over parsed JSON: $ . [n] [*] .* ..key —
+    wildcard / recursive steps make the path INDEFINITE, so the result
+    is the flat list of every match (JsonPath.read semantics the
+    reference's json:Select exposes, JsonFunctionsTest.testJsonSelect:
+    '$.list[*].set.*' → the six inner objects)."""
+    import re as _re
+
+    steps = _re.findall(r"\.\.[A-Za-z_][\w]*|\.\*|\.[A-Za-z_][\w]*|\[\*\]|\[\d+\]", path)
+    definite = True
+    nodes = [obj]
+    for st in steps:
+        nxt = []
+        if st == ".*":
+            definite = False
+            for n in nodes:
+                if isinstance(n, dict):
+                    nxt.extend(n.values())
+                elif isinstance(n, list):
+                    nxt.extend(n)
+        elif st == "[*]":
+            definite = False
+            for n in nodes:
+                if isinstance(n, list):
+                    nxt.extend(n)
+        elif st.startswith(".."):
+            definite = False
+            key = st[2:].lower()
+
+            def walk(n, out):
+                if isinstance(n, dict):
+                    for k, v in n.items():
+                        if k == key:
+                            out.append(v)
+                        walk(v, out)
+                elif isinstance(n, list):
+                    for v in n:
+                        walk(v, out)
+
+            for n in nodes:
+                walk(n, nxt)
+        elif st.startswith("["):
+            i = int(st[1:-1])
+            for n in nodes:
+                if isinstance(n, list) and i < len(n):
+                    nxt.append(n[i])
+        else:
+            key = st[1:].lower()
+            for n in nodes:
+                if isinstance(n, dict) and key in n:
+                    nxt.append(n[key])
+        nodes = nxt
+    if definite:
+        return nodes[0] if nodes else None
+    return nodes
+
+
+def _json_select_py(path: str):
+    """Arrow-batched JsonPath for the indefinite constructs
+    get_json_object can't express (.* wildcards, .. descent)."""
+    from pyspark.sql.functions import pandas_udf as _pudf
+
+    import json as _json
+
+    @_pudf(T.StringType())
+    def fn(v: pd.Series) -> pd.Series:
+        def one(t):
+            if t is None:
+                return None
+            try:
+                obj = _lower_keys_rec(_json.loads(t))
+            except Exception:
+                return None
+            got = _jsonpath_eval(obj, path)
+            if got is None:
+                return None
+            return _json.dumps(got, separators=(",", ":"))
+
+        return v.map(one)
+
+    return fn
+
+
 @_reg("json", "select")
 def _json_select(x, *paths):
     """JsonFunctions.select (java:61-93): keys are LOWERCASED first
     (toLower defaults true — '$.name.fname' matches "Fname"), then each
     JsonPath is read; multiple paths return a JSON array of the
     results. Key-lowering is an Arrow batch, the path reads stay
-    JVM-side get_json_object."""
-    lowered = _json_rewrite("selectLower", _lower_keys_rec)(_s(x))
+    JVM-side get_json_object — except indefinite Jayway constructs
+    (.* / ..), which fall back to the batched Python evaluator."""
     ps = [_lit_value(p, "json:select path") for p in paths]
+
+    def read_one(lowered, p):
+        if ".*" in p or ".." in p:
+            return _json_select_py(p)(_s(x))
+        return F.get_json_object(lowered, p)
+
+    lowered = _json_rewrite("selectLower", _lower_keys_rec)(_s(x))
     if len(ps) == 1:
-        return _typed(F.get_json_object(lowered, ps[0]), STR)
-    return _typed(F.to_json(F.array(*[F.get_json_object(lowered, p) for p in ps])), STR)
+        return _typed(read_one(lowered, ps[0]), STR)
+    return _typed(F.to_json(F.array(*[read_one(lowered, p) for p in ps])), STR)
 
 
 @_reg("json", "IsValid")
@@ -1945,18 +2035,35 @@ def _ddl_drop(rec, *paths):
 
 @_reg("ddl", "select")
 def _ddl_select(rec, path):
-    """ddl:select(record, path) — the value at a dotted path.
-    DDL.java:317 → chained getField."""
+    """ddl:select(record, path) — the value at a dotted path, with
+    `a[0]` array indexing and `m[key]` map access (DDL.java:317
+    parsePath: NAME ( '[' INDEX-or-KEY ']' )* per dotted segment;
+    DDLTest.testGetRecursiveRecord pins rec1.rec2[1].x and m[rec2].x)."""
+    import re as _re
+
     p = _lit_value(path, "ddl:select path")
     col, dt = rec.col, rec.dtype
     for part in p.split("."):
-        col = col.getField(part)
+        m = _re.fullmatch(r"([\w]+)((?:\[[^\]]+\])*)", part.strip())
+        name = m.group(1) if m else part
+        col = col.getField(name)
         if isinstance(dt, T.StructType):
             dt = next(
-                (f.dataType for f in dt.fields if f.name.lower() == part.lower()), None
+                (f.dataType for f in dt.fields if f.name.lower() == name.lower()), None
             )
         else:
             dt = None
+        for key in _re.findall(r"\[([^\]]+)\]", m.group(2) if m else ""):
+            if key.isdigit() and isinstance(dt, (T.ArrayType, type(None))):
+                col = col.getItem(int(key))
+            else:
+                col = col.getItem(key.strip("'\""))
+            if isinstance(dt, T.ArrayType):
+                dt = dt.elementType
+            elif isinstance(dt, T.MapType):
+                dt = dt.valueType
+            else:
+                dt = None
     return _typed(col, dt)
 
 
