@@ -303,6 +303,17 @@ def cmd_lineage(args) -> int:
     return 0
 
 
+def cmd_migrate(args) -> int:
+    """Rewrite a v1 (or mixed) recipe as canonical v2 text (reference
+    parser/MigrateToV2.java; the design-time service exposes the same
+    rewrite). No Spark session needed."""
+    from wrangler_spark.recipe.migrate import migrate_to_v2
+
+    with open(args.recipe) as f:
+        print(migrate_to_v2(f.read()))
+    return 0
+
+
 def cmd_package(args) -> int:
     print(json.dumps({"zip": package_pyfiles(args.out)}))
     return 0
@@ -427,6 +438,10 @@ def build_parser() -> argparse.ArgumentParser:
     ln.add_argument("--input", required=True, help="parquet path supplying the input schema")
     ln.add_argument("--recipe", required=True, help="recipe file")
     ln.set_defaults(fn=cmd_lineage)
+
+    mg = sub.add_parser("migrate", help="rewrite a v1 recipe as canonical v2 text")
+    mg.add_argument("--recipe", required=True, help="recipe file")
+    mg.set_defaults(fn=cmd_migrate)
 
     z = sub.add_parser("package", help="zip package for --py-files")
     z.add_argument("--out", default=None)
