@@ -1451,6 +1451,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["pack_sequences"] = q_pack_sequences
 
+    def q_ann_ivf(spark, d):
+        """IVF ANN (k-means coarse quantizer + inverted-list probe,
+        pipeline/similarity.py:ivf_topk) with the same QUANTIFIED
+        recall floor as ann_lsh: recall@5 vs the exact oracle ≥ 0.8
+        per query. Trained centroids are computed once and passed in —
+        the 100 TB shape (train once, probe per batch)."""
+        from wrangler_spark.pipeline.similarity import (
+            brute_force_topk, ivf_topk, kmeans_centroids,
+        )
+
+        emb = _t(spark, d, "embeddings")
+        queries_df = emb.filter(F.col("vec_id") < 3).select(
+            F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+        )
+        exact = brute_force_topk(emb, queries_df, k=5).select("q_id", "vec_id")
+        cents = kmeans_centroids(emb, dim=64, k=8, n_iter=4)
+        approx = ivf_topk(
+            emb, queries_df, dim=64, k=5, n_centroids=8, n_probe=6,
+            centroids=cents,
+        ).select("q_id", "vec_id")
+        hits = exact.join(approx, ["q_id", "vec_id"]).groupBy("q_id").agg(
+            F.count(F.lit(1)).alias("n_hit")
+        )
+        return (
+            exact.groupBy("q_id")
+            .agg(F.count(F.lit(1)).alias("k"))
+            .join(hits, "q_id", "left")
+            .select(
+                "q_id",
+                F.col("k").cast("int").alias("k"),
+                (F.coalesce(F.col("n_hit"), F.lit(0)) / F.col("k") >= 0.8).alias(
+                    "recall_floor_met"
+                ),
+            )
+        )
+    q["ann_ivf"] = q_ann_ivf
+
     return q
 
 
@@ -1565,6 +1602,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         # recall@5 of LSH top-k vs the exact ranking must clear 0.8
         "ann_lsh": (
+            "SELECT vec_id AS q_id, 5 AS k, true AS recall_floor_met "
+            "FROM embeddings WHERE vec_id < 3"
+        ),
+        "ann_ivf": (
             "SELECT vec_id AS q_id, 5 AS k, true AS recall_floor_met "
             "FROM embeddings WHERE vec_id < 3"
         ),
