@@ -59,3 +59,15 @@ def test_pragmas_survive():
     out = migrate_to_v2("#pragma version 2.0;\nkeep :a;")
     assert out.splitlines()[0] == "#pragma version 2.0;"
     assert out.splitlines()[1] == "keep :a;"
+
+
+def test_cli_migrate(tmp_path, capsys):
+    """`wrangler_spark.cli migrate --recipe f` prints the v2 text
+    without needing a Spark session."""
+    from wrangler_spark.cli import main
+
+    f = tmp_path / "r.wr"
+    f.write_text("set column doubled amount * 2\ndrop a,b")
+    assert main(["migrate", "--recipe", str(f)]) == 0
+    out = capsys.readouterr().out
+    assert "set-column doubled exp:{amount * 2};" in out
