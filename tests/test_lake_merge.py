@@ -274,3 +274,49 @@ def test_degraded_shuffle_merge_path(spark, table):
     assert ("r20", "f20.py") not in {
         (r["repo"], r["path"]) for r in table.read().collect()
     }
+
+
+def test_history_and_rollback(spark, tmp_path):
+    """history() lists retained commits newest-first with operations
+    and timestamps (Iceberg snapshots table / DESCRIBE HISTORY shape);
+    rollback(v) is a metadata-only NEW commit that restores version v's
+    state, re-opens its epoch fence, and keeps the rolled-past history
+    retained (roll forward = rollback again)."""
+    t = LakeTable.create(
+        spark, str(tmp_path / "rb"), repo_files_schema(), ["repo", "path"], num_buckets=4
+    )
+    t.merge(ch(spark, [(1, "insert", "r1", "a.py", "c1", "python", "v1")]), epoch=0)
+    t.merge(ch(spark, [(2, "update", "r1", "a.py", "c2", "python", "v2")]), epoch=1)
+
+    h = t.history()
+    assert [e["version"] for e in h] == [2, 1, 0]
+    assert h[-1]["operation"] == "create"
+    assert h[0]["operation"] == "merge"
+    assert h[0]["committed_epochs"] == [0, 1]
+    assert all(e["ts"] is not None for e in h)
+
+    res = t.rollback(1)
+    assert res == {"version": 3, "restored": 1}
+    # restored state reads back, and the epoch fence re-opened for 1
+    assert [r["content"] for r in t.read().collect()] == ["v1"]
+    assert t.committed_epochs == {0}
+    # replaying the rolled-back epoch applies again and converges
+    t2 = LakeTable.load(spark, t.path)
+    t2.merge(ch(spark, [(2, "update", "r1", "a.py", "c2", "python", "v2")]), epoch=1)
+    assert [r["content"] for r in t2.read().collect()] == ["v2"]
+    # roll FORWARD by rolling back to the pre-rollback head
+    t3 = LakeTable.load(spark, t.path)
+    t3.rollback(2)
+    assert [r["content"] for r in t3.read().collect()] == ["v2"]
+    assert t3.history()[0]["operation"] == "rollback(to=2)"
+
+
+def test_rollback_expired_version_refuses(spark, tmp_path):
+    t = LakeTable.create(
+        spark, str(tmp_path / "rbx"), repo_files_schema(), ["repo", "path"], num_buckets=4
+    )
+    t.merge(ch(spark, [(1, "insert", "r1", "a.py", "c1", "python", "v1")]), epoch=0)
+    t.merge(ch(spark, [(2, "update", "r1", "a.py", "c2", "python", "v2")]), epoch=1)
+    t.expire_snapshots(keep_last=1)
+    with pytest.raises(ValueError, match="not retained"):
+        t.rollback(0)

@@ -154,6 +154,7 @@ class Replicator:
             self.replica.commit(
                 {}, properties={"replicated_source_version": int(v1)},
                 change_files=[],  # property stamp: no data change
+                operation="replicate-watermark",
             )
         return {
             "skipped": bool(res.get("skipped")),

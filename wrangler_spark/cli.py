@@ -303,6 +303,26 @@ def cmd_lineage(args) -> int:
     return 0
 
 
+def cmd_history(args) -> int:
+    """Commit history of the retained snapshots (one JSON line per
+    version, newest first) — Iceberg snapshots / DESCRIBE HISTORY."""
+    from wrangler_spark.lake import LakeTable
+
+    t = LakeTable.load(_spark(args), args.table)
+    for e in t.history():
+        print(json.dumps(e))
+    return 0
+
+
+def cmd_rollback(args) -> int:
+    """Metadata-only rollback to a retained version (new commit)."""
+    from wrangler_spark.lake import LakeTable
+
+    t = LakeTable.load(_spark(args), args.table)
+    print(json.dumps(t.rollback(args.version)))
+    return 0
+
+
 def cmd_migrate(args) -> int:
     """Rewrite a v1 (or mixed) recipe as canonical v2 text (reference
     parser/MigrateToV2.java; the design-time service exposes the same
@@ -438,6 +458,15 @@ def build_parser() -> argparse.ArgumentParser:
     ln.add_argument("--input", required=True, help="parquet path supplying the input schema")
     ln.add_argument("--recipe", required=True, help="recipe file")
     ln.set_defaults(fn=cmd_lineage)
+
+    hs = sub.add_parser("history", help="retained commit history, one JSON line per version")
+    hs.add_argument("--table", required=True)
+    hs.set_defaults(fn=cmd_history)
+
+    rb = sub.add_parser("rollback", help="metadata-only rollback to a retained version")
+    rb.add_argument("--table", required=True)
+    rb.add_argument("--version", type=int, required=True)
+    rb.set_defaults(fn=cmd_rollback)
 
     mg = sub.add_parser("migrate", help="rewrite a v1 recipe as canonical v2 text")
     mg.add_argument("--recipe", required=True, help="recipe file")

@@ -264,6 +264,7 @@ def merge_into(
         table.commit(
             {}, epoch=epoch, properties=props, schema=schema, aliases=aliases,
             new_delta_files=delta_files, change_files=change_rels,
+            operation="merge(mor)",
         )
         winners.unpersist()
         mx.unpersist()
@@ -406,6 +407,7 @@ def merge_into(
     table.commit(
         bucket_files, epoch=epoch, properties=props, schema=schema, aliases=aliases,
         clear_delta_buckets=affected, change_files=change_rels,
+        operation="merge",
     )
     winners.unpersist()
     mx.unpersist()

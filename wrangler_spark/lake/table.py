@@ -57,6 +57,7 @@ from __future__ import annotations
 import datetime as _dt
 import json
 import os
+import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -365,6 +366,8 @@ class LakeTable:
             "aliases": {},  # field(lower) -> prior names in old files
             "parent": None,
             "changes": [],  # this commit's change-data files (empty table)
+            "operation": "create",
+            "ts": round(time.time(), 3),
         }
         t = LakeTable(spark, path, snap)
         t._write_snapshot()
@@ -941,6 +944,7 @@ class LakeTable:
         new_delta_files: dict[str, list[str]] | None = None,
         clear_delta_buckets: list[int] | None = None,
         change_files: list[str] | None = None,
+        operation: str | None = None,
     ) -> None:
         """Commit a new snapshot. `new_bucket_files` REPLACES the listed
         buckets' base files (copy-on-write rewrite); `new_delta_files`
@@ -959,8 +963,10 @@ class LakeTable:
         snap = dict(self.snap)
         snap["parent"] = snap["version"]
         snap["version"] = snap["version"] + 1
-        # per-commit field — never inherited from the parent snapshot
+        # per-commit fields — never inherited from the parent snapshot
         snap["changes"] = list(change_files) if change_files is not None else None
+        snap["operation"] = operation or "commit"
+        snap["ts"] = round(time.time(), 3)
         files = dict(snap["files"])
         files.update(new_bucket_files)
         snap["files"] = files
@@ -1067,6 +1073,68 @@ class LakeTable:
             "removed_snapshots": removed_meta,
         }
 
+    def history(self) -> list[dict]:
+        """Commit history of the retained snapshots, newest first — the
+        Iceberg `snapshots` metadata table / Delta DESCRIBE HISTORY
+        equivalent: version, parent, wall-clock ts, operation, epochs
+        committed at that version, and file counts. Pure metadata (one
+        JSON read per retained version, no Spark jobs)."""
+        meta_dir = os.path.join(self.path, _META)
+        out = []
+        for fn in sorted(os.listdir(meta_dir), reverse=True):
+            if not (fn.startswith("version-") and fn.endswith(".json")):
+                continue
+            with open(os.path.join(meta_dir, fn)) as f:
+                s = json.load(f)
+            out.append(
+                {
+                    "version": s["version"],
+                    "parent": s.get("parent"),
+                    "ts": s.get("ts"),
+                    "operation": s.get("operation", "commit"),
+                    "committed_epochs": s.get("committed_epochs", []),
+                    "n_files": sum(len(v) for v in s["files"].values()),
+                    "n_delta_files": sum(
+                        len(v) for v in s.get("deltas", {}).values()
+                    ),
+                    "n_change_files": len(s.get("changes") or []),
+                }
+            )
+        return out
+
+    def rollback(self, version: int) -> dict:
+        """Roll the table back to an earlier retained version as a NEW
+        commit (Iceberg `rollback_to_snapshot`): metadata-only — the
+        new snapshot re-references the target version's files, deltas,
+        schema, aliases and epoch set; no data moves. History after the
+        target stays retained (roll forward by rolling back again).
+        Change set vs the parent is unknown → `changes: null`, so
+        `table_changes` across the rollback falls back to the snapshot
+        diff (correct by construction)."""
+        p = os.path.join(self.path, _META, f"version-{version:06d}.json")
+        if not os.path.exists(p):
+            raise ValueError(
+                f"rollback: version {version} is not retained "
+                f"(expired or never existed)"
+            )
+        with open(p) as f:
+            target = json.load(f)
+        snap = dict(self.snap)
+        snap["parent"] = snap["version"]
+        snap["version"] = snap["version"] + 1
+        for k in ("files", "deltas", "schema", "aliases", "committed_epochs",
+                  "properties", "stats"):
+            if k in target:
+                snap[k] = target[k]
+            else:
+                snap.pop(k, None)
+        snap["changes"] = None
+        snap["operation"] = f"rollback(to={version})"
+        snap["ts"] = round(time.time(), 3)
+        self.snap = snap
+        self._write_snapshot()
+        return {"version": snap["version"], "restored": version}
+
     def _zorder_column(self, df: DataFrame, cols: list[str], bits: int = 8) -> F.Column:
         """Interleaved-bit Z-value over numeric/date/timestamp columns
         (Iceberg/Delta OPTIMIZE ZORDER BY equivalent). Each column maps
@@ -1164,7 +1232,8 @@ class LakeTable:
         )
         for b in targets:
             bucket_files.setdefault(str(b), [])
-        self.commit(bucket_files, clear_delta_buckets=targets, change_files=[])
+        self.commit(bucket_files, clear_delta_buckets=targets, change_files=[],
+                    operation="compact")
         return {"compacted_buckets": len(targets), "version": self.version}
 
     def rescale(self, num_buckets: int) -> dict:
