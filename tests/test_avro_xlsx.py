@@ -123,9 +123,11 @@ def test_parse_as_excel_stdlib(spark):
     payload = _mini_xlsx([["h1", "h2"], ["v1", 42]])
     df = spark.createDataFrame([(payload,)], "book binary")
     ok, _ = execute(spark, ["parse-as-excel :book"], df)
-    rows = sorted(ok.collect(), key=lambda r: r["row_idx"])
-    assert rows[0]["cells"] == ["h1", "h2"]
-    assert rows[1]["cells"] == ["v1", "42"]
+    rows = sorted(ok.collect(), key=lambda r: r["fwd"])
+    # reference shape (ParseExcel.java): Excel-letter columns + fwd/bkd
+    assert (rows[0]["A"], rows[0]["B"]) == ("h1", "h2")
+    assert (rows[1]["A"], rows[1]["B"]) == ("v1", "42")
+    assert rows[0]["fwd"] == 0 and rows[0]["bkd"] == len(rows) - 1
 
 
 def test_avro_container_roundtrip():

@@ -481,10 +481,14 @@ def _xlsx_rows(payload: bytes, sheet: str) -> list[list[str | None]]:
         sheet_files = list(numeric_files)
     if sheet.isdigit():
         idx = int(sheet)
+    elif sheet in names:
+        idx = names.index(sheet)
     else:
-        idx = names.index(sheet) if sheet in names else 0
+        # unknown sheet NAME must not silently fall back to sheet 0 —
+        # the reference errors the row (ParseExcelTest.testNoSheetName)
+        raise KeyError(f"parse-as-excel: sheet {sheet!r} not found")
     if idx >= len(sheet_files) or sheet_files[idx] is None:
-        raise UsageError(f"parse-as-excel: sheet {sheet!r} not found")
+        raise KeyError(f"parse-as-excel: sheet {sheet!r} not found")
     shared: list[str] = []
     if "xl/sharedStrings.xml" in zf.namelist():
         ss = ET.fromstring(zf.read("xl/sharedStrings.xml"))
@@ -535,8 +539,16 @@ def _xlsx_rows(payload: bytes, sheet: str) -> list[list[str | None]]:
         except ValueError:
             return raw
         when = _dt.datetime(1899, 12, 30) + _dt.timedelta(days=serial)
+        # a number format has up to four ;-separated sections
+        # (positive;negative;zero;text) — a date cell renders through
+        # the FIRST; the trailing ';@' text section must not leak into
+        # the output (ParseExcelTest.testDateFormatting)
+        code = code.split(";")[0]
         ampm = "AM/PM" in code.upper()
         bare = _re.sub(r'"[^"]*"|\[[^\]]*\]', "", code)
+        # backslash-escaped literals ('d\ mmmm\ yyyy') emit the escaped
+        # character itself
+        bare = _re.sub(r"\\(.)", r"\1", bare)
         has_date = bool(_re.search(r"[yd]", bare, _re.IGNORECASE))
         out: list[str] = []
         i = 0
@@ -558,7 +570,13 @@ def _xlsx_rows(payload: bytes, sheet: str) -> list[list[str | None]]:
                 if ch == "y":
                     out.append(when.strftime("%Y" if n >= 4 else "%y"))
                 elif ch == "d":
-                    out.append(f"{when.day:02d}" if n >= 2 else str(when.day))
+                    # d/dd = day number, ddd/dddd = weekday name
+                    if n >= 4:
+                        out.append(when.strftime("%A"))
+                    elif n == 3:
+                        out.append(when.strftime("%a"))
+                    else:
+                        out.append(f"{when.day:02d}" if n >= 2 else str(when.day))
                 elif ch == "m":
                     # month unless the nearest letter-token neighbor is
                     # h (before) or s (after) — the POI/Excel rule
@@ -628,53 +646,107 @@ def _xlsx_rows(payload: bytes, sheet: str) -> list[list[str | None]]:
     return [r + [None] * (width - len(r)) for r in rows]
 
 
+def _xl_letters(n: int) -> list[str]:
+    """Excel column letters A..Z, AA.. for n columns."""
+    out = []
+    for i in range(n):
+        s, j = "", i
+        while True:
+            s = chr(65 + j % 26) + s
+            j = j // 26 - 1
+            if j < 0:
+                break
+        out.append(s)
+    return out
+
+
+def _xlsx_cells(payload: bytes, sheet: str) -> list[list[str | None]] | None:
+    """Decode one workbook's selected sheet to display-value rows;
+    None when the sheet doesn't exist (by index or name)."""
+    import io
+
+    try:
+        import openpyxl  # noqa: F401
+
+        sh = int(sheet) if sheet.isdigit() else sheet
+        try:
+            book = pd.read_excel(io.BytesIO(payload), sheet_name=sh, header=None)
+        except (ValueError, IndexError, KeyError):
+            return None
+        return [
+            [None if pd.isna(v) else str(v) for v in row]
+            for _, row in book.iterrows()
+        ]
+    except ImportError:
+        try:
+            return _xlsx_rows(bytes(payload), sheet)
+        except (KeyError, IndexError, ValueError):
+            return None
+
+
 @directive("parse-as-excel")
 def parse_as_excel(call: DirectiveCall):
-    """parse-as-excel :col [sheet] — binary xlsx column → rows
-    (reference parser/ParseExcel.java). 1→N via mapInPandas; uses
-    pandas+openpyxl when available, else a pure-stdlib zip+XML xlsx
-    reader (no external deps)."""
+    """parse-as-excel :col [sheet] — binary xlsx column → one output
+    row per sheet row, columns named by Excel letter (A, B, C, …) plus
+    `fwd` (0-based row number) and `bkd` (rows remaining after this
+    one), matching reference parser/ParseExcel.java:121-160
+    (ParseExcelTest.testBasicExcel: 892 rows, fwd 0 / bkd 891 on the
+    first). A payload whose workbook lacks the requested sheet routes
+    to the ERROR channel (testNoSheetName). 1→N via mapInPandas;
+    pandas+openpyxl when available, else the pure-stdlib zip+XML
+    reader. The output WIDTH is fixed from a one-payload driver peek
+    (Spark schemas are static; the reference's per-row dynamic width
+    becomes: peek width N, later rows pad/truncate to N)."""
     col = call.col(0)
     sheet = call.text(1, default="0")
 
     def tr(df: DataFrame, ctx: RecipeContext) -> DataFrame:
-        import io
         from collections.abc import Iterator
 
-        try:
-            import openpyxl  # noqa: F401
-
-            have_openpyxl = True
-        except ImportError:
-            have_openpyxl = False
-
         c = _require(df, col)
+        # driver-side metadata peek (same precedent as the
+        # parse-as-avro-file header fetch): fix the output width
+        first = df.select(c).filter(F.col(c).isNotNull()).limit(1).collect()
+        peek = _xlsx_cells(bytes(first[0][0]), sheet) if first else None
+        n_cols = max((len(r) for r in peek), default=0) if peek else 0
+        letters = _xl_letters(n_cols)
+
+        @pandas_udf(T.BooleanType())
+        def sheet_missing(v: pd.Series) -> pd.Series:
+            return v.map(
+                lambda p: p is not None and _xlsx_cells(bytes(p), sheet) is None
+            )
+
+        ok = ctx.route_error(
+            df, sheet_missing(F.col(c)),
+            f"parse-as-excel: sheet {sheet!r} not present in workbook",
+        )
+
         out_schema = T.StructType(
-            [
-                T.StructField("sheet", T.StringType()),
-                T.StructField("row_idx", T.IntegerType()),
-                T.StructField("cells", T.ArrayType(T.StringType())),
-            ]
+            [T.StructField(x, T.StringType()) for x in letters]
+            + [T.StructField("fwd", T.IntegerType()),
+               T.StructField("bkd", T.IntegerType())]
         )
 
         def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             for pdf in batches:
                 rows = []
                 for payload in pdf[c]:
-                    if have_openpyxl:
-                        sh = int(sheet) if sheet.isdigit() else sheet
-                        book = pd.read_excel(io.BytesIO(payload), sheet_name=sh, header=None)
-                        cells_rows = [
-                            [None if pd.isna(v) else str(v) for v in row]
-                            for _, row in book.iterrows()
-                        ]
-                    else:
-                        cells_rows = _xlsx_rows(bytes(payload), sheet)
+                    cells_rows = _xlsx_cells(bytes(payload), sheet)
+                    if cells_rows is None:
+                        continue  # routed to error by the fork above
+                    total = len(cells_rows)
                     for i, cells in enumerate(cells_rows):
-                        rows.append({"sheet": str(sheet), "row_idx": i, "cells": cells})
-                yield pd.DataFrame(rows, columns=["sheet", "row_idx", "cells"])
+                        rec = {
+                            letters[j]: (cells[j] if j < len(cells) else None)
+                            for j in range(n_cols)
+                        }
+                        rec["fwd"] = i
+                        rec["bkd"] = total - 1 - i
+                        rows.append(rec)
+                yield pd.DataFrame(rows, columns=letters + ["fwd", "bkd"])
 
-        return df.select(c).mapInPandas(run, out_schema)
+        return ok.select(c).mapInPandas(run, out_schema)
 
     return tr
 
