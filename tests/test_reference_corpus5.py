@@ -112,3 +112,39 @@ def test_parse_log_common_format(spark):
     assert row["remote_user"] == "frank"
     assert row["status_code"] == "200"
     assert row["response_size"] == "2326"
+
+
+# --------------------------------------------------- ParseAvroFileTest
+
+
+def test_parse_avro_file_payload(spark):
+    """ParseAvroFileTest.testParseAsAvroFile over the reference's own
+    cdap-log.avro: 1689 records, 15 fields, first/last timestamps
+    1495172588118 / 1495194308245."""
+    df = _payload_df(spark, f"{RES}/cdap-log.avro")
+    ok, _ = execute(spark, ["parse-as-avro-file body"], df)
+    rows = ok.collect()
+    assert len(rows) == 1689
+    # the reference's Row is a per-record dynamic bag (row 0 has width
+    # 15); a DataFrame's schema is the union of the bags — assert row
+    # 0's 15 reference columns lead the union in first-seen order
+    assert ok.columns[:15] == [
+        "timestamp", "level", "mdc", "marker", "threadName", "message",
+        "argumentArray", "formattedMessage", "loggerName",
+        "loggerContextVO_name", "loggerContextVO_propertyMap",
+        "loggerContextVO_birthTime", "throwableProxy", "hasCallerData",
+        "callerData",
+    ]
+    ts = sorted(r["timestamp"] for r in rows)
+    assert ts[0] == 1495172588118
+    assert ts[-1] == 1495194308245
+
+
+def test_parse_avro_file_bad_payload(spark):
+    """ParseAvroFileTest.testIncorrectType: non-Avro bytes fail at
+    compile (RecipeException)."""
+    from wrangler_spark.errors import RecipeError
+
+    df = spark.createDataFrame([(bytearray(b"failure"),)], "body binary")
+    with pytest.raises(RecipeError):
+        execute(spark, ["parse-as-avro-file body"], df)

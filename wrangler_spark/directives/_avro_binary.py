@@ -184,8 +184,12 @@ def _encode(value: Any, schema: Any) -> bytes:
 
 
 def encode(value: Any, schema: Any) -> bytes:
-    """Encode one datum as Avro binary (test fixtures / round trips)."""
-    return _encode(value, schema)
+    """Encode one datum as Avro binary (test fixtures / round trips).
+    Named type references are resolved against a copy, so the caller's
+    schema dict stays unmutated."""
+    import copy
+
+    return _encode(value, resolve_named(copy.deepcopy(schema)))
 
 
 # ------------------------------------------------- object container files
@@ -195,9 +199,81 @@ def encode(value: Any, schema: Any) -> bytes:
 _OCF_MAGIC = b"Obj\x01"
 
 
+_PRIMITIVES = {"null", "boolean", "int", "long", "float", "double", "bytes", "string"}
+
+
+def resolve_named(schema):
+    """Resolve NAMED TYPE REFERENCES in a parsed Avro schema in place:
+    a record/enum/fixed defined once may later be referenced by its
+    (fully qualified) name as a plain string — e.g. cdap-log.avro's
+    repeated 'java.lang.StackTraceElement'. References are rewritten to
+    the shared definition dict; an id-based seen-set guards against
+    re-walking (and self-referential records)."""
+    defs: dict[str, Any] = {}
+
+    def full(name: str, ns: str | None) -> str:
+        return name if "." in name or not ns else f"{ns}.{name}"
+
+    def collect(s, ns):
+        if isinstance(s, list):
+            for b in s:
+                collect(b, ns)
+        elif isinstance(s, dict):
+            t = s.get("type")
+            ns2 = s.get("namespace", ns)
+            if t in ("record", "enum", "fixed"):
+                defs[full(s["name"], ns2)] = s
+                defs.setdefault(s["name"], s)
+                if t == "record":
+                    for f in s.get("fields", []):
+                        collect(f["type"], ns2)
+            elif t == "array":
+                collect(s.get("items"), ns2)
+            elif t == "map":
+                collect(s.get("values"), ns2)
+            elif isinstance(t, (dict, list)):
+                collect(t, ns2)
+
+    seen: set[int] = set()  # id-based re-walk guard (self-referential records)
+
+    def rewrite(s, ns):
+        if isinstance(s, str):
+            if s in _PRIMITIVES:
+                return s
+            hit = defs.get(s) or defs.get(full(s, ns))
+            if hit is None:
+                raise ValueError(f"avro: unresolved named type {s!r}")
+            return rewrite(hit, ns)
+        if isinstance(s, list):
+            return [rewrite(b, ns) for b in s]
+        if isinstance(s, dict):
+            if id(s) in seen:
+                return s
+            seen.add(id(s))
+            t = s.get("type")
+            ns2 = s.get("namespace", ns)
+            if t == "record":
+                for f in s.get("fields", []):
+                    f["type"] = rewrite(f["type"], ns2)
+            elif t == "array":
+                s["items"] = rewrite(s["items"], ns2)
+            elif t == "map":
+                s["values"] = rewrite(s["values"], ns2)
+            elif isinstance(t, (dict, list, str)) and t not in (
+                "enum", "fixed", *_PRIMITIVES
+            ):
+                s["type"] = rewrite(t, ns2)
+            return s
+        return s
+
+    collect(schema, None)
+    return rewrite(schema, None)
+
+
 def read_container(data: bytes):
     """Decode an Avro Object Container File → (schema, records).
-    Codecs: null, deflate (raw zlib)."""
+    Codecs: null, deflate (raw zlib). Named type references are
+    resolved before decoding."""
     import json
     import zlib
 
@@ -216,7 +292,7 @@ def read_container(data: bytes):
             k = r.read(r.read_long()).decode("utf-8")
             meta[k] = r.read(r.read_long())
     sync = r.read(16)
-    schema = json.loads(meta["avro.schema"].decode("utf-8"))
+    schema = resolve_named(json.loads(meta["avro.schema"].decode("utf-8")))
     codec = meta.get("avro.codec", b"null").decode("utf-8")
     records = []
     while r.pos < len(data):
@@ -236,7 +312,10 @@ def read_container(data: bytes):
 
 
 def write_container(records, schema, codec: str = "null", sync: bytes = b"0123456789abcdef") -> bytes:
-    """Encode records as an Avro OCF (test fixtures / round trips)."""
+    """Encode records as an Avro OCF (test fixtures / round trips).
+    The file's avro.schema metadata keeps the caller's schema verbatim;
+    encoding runs against a named-reference-resolved copy."""
+    import copy
     import json
     import zlib
 
@@ -251,7 +330,8 @@ def write_container(records, schema, codec: str = "null", sync: bytes = b"012345
         out += _zigzag(len(kb)) + kb + _zigzag(len(v)) + v
     out += _zigzag(0)
     out += sync
-    body = b"".join(_encode(rec, schema) for rec in records)
+    enc_schema = resolve_named(copy.deepcopy(schema))
+    body = b"".join(_encode(rec, enc_schema) for rec in records)
     if codec == "deflate":
         co = zlib.compressobj(level=6, wbits=-15)
         body = co.compress(body) + co.flush()
@@ -312,3 +392,66 @@ def to_jsonable(v: Any, schema: Any) -> Any:
     if isinstance(v, (bytes, bytearray)):
         return base64.b64encode(bytes(v)).decode("ascii")
     return v
+
+
+def _union_branch(schema: Any, v: Any) -> Any:
+    """Pick the union branch describing a decoded value (null branch for
+    None; else the first matching non-null branch)."""
+    if not isinstance(schema, list):
+        return schema
+    branches = [b for b in schema if b != "null"]
+    if v is None or not branches:
+        return "null"
+    if len(branches) == 1:
+        return branches[0]
+    for b in branches:
+        t = b.get("type") if isinstance(b, dict) else b
+        if isinstance(v, dict) and t in ("record", "map"):
+            return b
+        if isinstance(v, list) and t == "array":
+            return b
+        if isinstance(v, str) and t in ("string", "enum"):
+            return b
+        if isinstance(v, bool) and t == "boolean":
+            return b
+        if isinstance(v, int) and t in ("int", "long"):
+            return b
+        if isinstance(v, float) and t in ("float", "double"):
+            return b
+        if isinstance(v, (bytes, bytearray)) and t in ("bytes", "fixed"):
+            return b
+    return branches[0]
+
+
+def flatten_reference(rec: dict, schema: dict, out: dict | None = None,
+                      prefix: str | None = None) -> dict:
+    """Flatten a decoded record the way the reference's
+    parser/ParseAvroFile.java:133-150 `add()` does: a PRESENT nested
+    record recurses with `parent_field` names; maps and arrays become
+    one compact-JSON column (gson.toJson parity); a null nested record
+    stays a single null column; scalars pass through. Value-driven, so
+    a recursive schema (ThrowableProxyVO.cause) flattens to exactly the
+    depth present in the data — which a fixed Spark struct type cannot
+    express."""
+    import json
+
+    if out is None:
+        out = {}
+    for f in schema["fields"]:
+        name = f["name"]
+        col = f"{prefix}_{name}" if prefix else name
+        v = rec.get(name)
+        b = _union_branch(f["type"], v)
+        if (
+            isinstance(v, dict)
+            and isinstance(b, dict)
+            and b.get("type") == "record"
+        ):
+            flatten_reference(v, b, out, col)
+        elif isinstance(v, (dict, list)):
+            out[col] = json.dumps(v, separators=(",", ":"), default=str)
+        elif isinstance(v, (bytes, bytearray)):
+            out[col] = bytes(v)
+        else:
+            out[col] = v
+    return out

@@ -311,6 +311,77 @@ def parse_as_avro_file(call: DirectiveCall):
     MAX_PATHS = 100_000  # driver-memory guard on the path collect
 
     def tr(df: DataFrame, ctx: RecipeContext) -> DataFrame:
+        c = _require(df, col)
+        if isinstance(df.schema[c].dataType, T.BinaryType):
+            # the reference's own form: the column HOLDS the OCF bytes
+            # (parser/ParseAvroFile.java:88-112 decodes the blob per row
+            # and flattens each GenericRecord value-wise, add():133-150;
+            # ParseAvroFileTest drives cdap-log.avro payloads). The
+            # flatten is value-driven — a recursive schema like
+            # ThrowableProxyVO.cause expands only to the depth present —
+            # so the output schema is the first payload's column UNION
+            # (driver peek at compile time); blocks decode Arrow-batched.
+            from collections.abc import Iterator
+
+            from wrangler_spark.directives._avro_binary import (
+                flatten_reference, read_container,
+            )
+
+            first = df.select(c).filter(F.col(c).isNotNull()).limit(1).collect()
+            if not first:
+                raise UsageError("parse-as-avro-file: no non-null payload")
+            try:
+                schema_avro, peek_recs = read_container(bytes(first[0][0]))
+            except Exception as e:  # noqa: BLE001
+                # not an Avro container -> compile-time failure, the
+                # reference's RecipeException (testIncorrectType)
+                raise UsageError(
+                    f"parse-as-avro-file: column '{c}' does not hold an "
+                    f"Avro object container file ({e})"
+                ) from None
+
+            # column union in first-seen order, typed by observed values
+            cols: dict[str, T.DataType] = {}
+            for rec in peek_recs:
+                for k, v in flatten_reference(rec, schema_avro).items():
+                    t = cols.get(k)
+                    if t is None or isinstance(t, T.NullType):
+                        if isinstance(v, bool):
+                            t = T.BooleanType()
+                        elif isinstance(v, int):
+                            t = T.LongType()
+                        elif isinstance(v, float):
+                            t = T.DoubleType()
+                        elif isinstance(v, bytes):
+                            t = T.BinaryType()
+                        elif isinstance(v, str):
+                            t = T.StringType()
+                        else:
+                            t = T.NullType()
+                        cols[k] = t
+            out_schema = T.StructType([
+                T.StructField(
+                    k,
+                    T.StringType() if isinstance(t, T.NullType) else t,
+                    True,
+                )
+                for k, t in cols.items()
+            ])
+            names = list(cols)
+
+            def run_payload(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+                for pdf in batches:
+                    rows = []
+                    for blob in pdf[c]:
+                        sch, recs = read_container(bytes(blob))
+                        rows.extend(flatten_reference(r, sch) for r in recs)
+                    yield pd.DataFrame(
+                        {k: [r.get(k) for r in rows] for k in names},
+                        dtype=object,
+                    )
+
+            return df.select(c).mapInPandas(run_payload, out_schema)
+
         # the path column is inherently driver-side (it becomes the scan's
         # file list), but an unbounded distinct().collect() could OOM the
         # driver if pointed at a data column by mistake — cap it and fail
