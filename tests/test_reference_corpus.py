@@ -1268,8 +1268,11 @@ def test_excel_date_formatting(spark):
         z.writestr("xl/worksheets/sheet1.xml", f'<worksheet {ns}><sheetData>{rows_xml}</sheetData></worksheet>')
     df = spark.createDataFrame([(buf.getvalue(),)], "body binary")
     ok, _ = execute(spark, ["parse-as-excel :body '0'"], df)
-    for r in ok.collect():
-        assert r["cells"][0] == r["cells"][1], r["cells"]
+    rows = ok.collect()
+    assert len(rows) == 3
+    for r in rows:
+        # reference shape (73f9f2f): Excel letter columns, not a cells array
+        assert r["A"] == r["B"], (r["A"], r["B"])
 
 
 # ------------------------------------- TextDistance/MetricMeasureTest

@@ -1142,6 +1142,150 @@ def _dq_isdomain(x):
     return _typed(_s(x).rlike(_DOMAIN_RE), BOOL)
 
 
+# ---------------------------------------------- dq: distance conversion
+# reference: io/cdap/wrangler/dq/ConvertDistances.java:30-130. Exact
+# BigDecimal semantics: multiplier = BigDecimal(str(from.toBase)) *
+# BigDecimal(str(to.fromBase)); result = BigDecimal(str(value)) *
+# multiplier, rendered back to double. Python's Decimal(repr(x))
+# reproduces the BigDecimal(String.valueOf(x)) constructor — both are
+# shortest-round-trip decimal renderings (verified against Java 17's
+# Double.toString for all 26 constants below). The per-row step needs
+# exact decimal arithmetic, so it is an Arrow-batched pandas UDF, not
+# a double multiply (1-ulp divergences at the extremes otherwise).
+
+_DISTANCE_UNITS: dict[str, tuple[str, str, float, float]] = {
+    # enum: (display name, measure, to_base, from_base)
+    "MILLIMETER": ("millimeter", "mm", 0.001, 1000.0),
+    "CENTIMETER": ("centimeter", "cm", 0.01, 100.0),
+    "DECIMETER": ("decimeter", "dm", 0.1, 10.0),
+    "METER": ("meter", "m", 1.0, 1.0),
+    "DEKAMETER": ("dekameter", "dam", 10.0, 0.1),
+    "HECTOMETER": ("hectometer", "hm", 100.0, 0.01),
+    "KILOMETER": ("kilometer", "km", 1000.0, 0.001),
+    "INCH": ("inch", "in", 0.0254, 39.3700787401574803),
+    "FOOT": ("foot", "ft", 0.3048, 3.28083989501312336),
+    "YARD": ("yard", "yd", 0.9144, 1.09361329833770779),
+    "MILE": ("mile", "mi", 1609.344, 0.00062137119223733397),
+    "NAUTICAL_MILE": ("nautical mile", "nm", 1852.0, 0.000539956803455723542),
+    "LIGHT_YEAR": ("light-year", "ly", 9460730472580800.0, 1.057000834024615463709e-16),
+}
+
+
+def _dist_unit(tc, default: str) -> str:
+    """Resolve a unit literal to its enum key; accepts the enum name
+    ('MILE'), display name ('nautical mile'), or measure ('mi'),
+    case-insensitively. None → the reference's null-arg default."""
+    if tc is None:
+        return default
+    v = tc.lit
+    if v is None:
+        raise ExpressionError("dq:convertDistance units must be string literals")
+    key = str(v).strip().lower()
+    for enum, (name, measure, _tb, _fb) in _DISTANCE_UNITS.items():
+        if key in (enum.lower(), enum.lower().replace("_", " "), name, measure):
+            return enum
+    raise ExpressionError(f"unknown distance unit {v!r}")
+
+
+@_reg("dq", "convertDistance", "convert_distance")
+def _dq_convert_distance(x, frm=None, to=None):
+    f = _dist_unit(frm, "MILE")
+    t = _dist_unit(to, "KILOMETER")
+    col = x.col.cast("double")
+    if f == t:
+        return _typed(col, DBL)
+    from decimal import Decimal
+
+    mult = Decimal(repr(_DISTANCE_UNITS[f][2])) * Decimal(repr(_DISTANCE_UNITS[t][3]))
+    from pyspark.sql.functions import pandas_udf as _pudf
+
+    @_pudf(T.DoubleType())
+    def fn(v: pd.Series) -> pd.Series:
+        def one(d):
+            if d is None or d != d:  # masked JVM-side; keep the guard cheap
+                return None
+            return float(Decimal(repr(d)) * mult)
+
+        return v.map(one)
+
+    # NaN/null pass through JVM-side: a NaN in the returned pandas
+    # series would round-trip to null through Arrow.
+    out = F.when(col.isNull() | F.isnan(col), col).otherwise(fn(col))
+    return _typed(out, DBL)
+
+
+# ------------------------------------------- string: dq cleanup ops
+# reference: io/cdap/wrangler/dq/ConvertString.java:26-180. All four
+# are pure Column regexp ops — Spark's regexp_replace IS Java regex,
+# so the reference's patterns (including the \p{Z} backreference
+# collapse) carry over verbatim and stay in codegen.
+
+# ConvertString.WHITESPACE_CHARS (java:28-54) as one character class.
+_WS_CHARS_CLASS = (
+    "[\\t\\n\\u000B\\f\\r \\u0085\\u00A0\\u1680\\u180E"
+    "\\u2000-\\u200A\\u2028\\u2029\\u202F\\u205F\\u3000]"
+)
+
+
+def _lit_arg(tc, what: str):
+    if tc.lit is None:
+        raise ExpressionError(f"{what} must be a string literal")
+    return str(tc.lit)
+
+
+@_reg("string", "removeTrailingAndLeading")
+def _str_remove_trailing_leading(x, ch=None):
+    """ConvertString.removeTrailingAndLeading (java:117-140): strip
+    every leading, then every trailing, occurrence of the exact token
+    (default single SPACE — deliberately narrower than trim(): a
+    leading tab survives). Token is a literal, so it is \\Q-quoted."""
+    tok = " " if ch is None else _lit_arg(ch, "removeTrailingAndLeading token")
+    s = _s(x)
+    if tok == "":
+        return _typed(s, STR)
+    q = "\\Q" + tok + "\\E"
+    out = F.regexp_replace(F.regexp_replace(s, f"^(?:{q})+", ""), f"(?:{q})+$", "")
+    return _typed(out, STR)
+
+
+@_reg("string", "removeTrailingAndLeadingWhitespaces")
+def _str_remove_trailing_leading_ws(x):
+    """ConvertString.removeTrailingAndLeadingWhitespaces (java:91-105):
+    strip any char of the 26-char whitespace set from both ends."""
+    s = _s(x)
+    out = F.regexp_replace(
+        F.regexp_replace(s, f"^{_WS_CHARS_CLASS}+", ""), f"{_WS_CHARS_CLASS}+$", ""
+    )
+    return _typed(out, STR)
+
+
+@_reg("string", "removeRepeatedChars", "removeRepeatedChar")
+def _str_remove_repeated(x, ch):
+    """ConvertString.removeRepeatedChar (java:148-155): collapse
+    consecutive runs of the token to one occurrence. The reference
+    compiles the token RAW into '(tok)+' and replaces with the raw
+    token — mirrored exactly (both pattern and replacement are Java
+    Matcher semantics in Spark too)."""
+    tok = _lit_arg(ch, "removeRepeatedChars token") if ch is not None else ""
+    s = _s(x)
+    if tok == "":
+        return _typed(s, STR)
+    return _typed(F.regexp_replace(s, f"({tok})+", tok), STR)
+
+
+@_reg("string", "removeRepeatedWhitespaces")
+def _str_remove_repeated_ws(x):
+    """ConvertString.removeRepeatedWhitespaces (java:163-178): collapse
+    runs of the SAME whitespace char via backreference — '\\r\\n\\r\\n'
+    survives, '\\t\\t' collapses. The reference's pattern plus an
+    explicit \\u180E: its JUnit pins that char collapsing (Unicode 6.1
+    classed it Zs; >=6.3 reclassed it Cf, dropping it from Java 17's
+    \\p{Z}), so the documented WHITESPACE_CHARS contract needs it named."""
+    return _typed(
+        F.regexp_replace(_s(x), r"([\s\u0085\u180e\p{Z}])\1+", "$1"), STR
+    )
+
+
 # ------------------------------------------------------------ arithmetic:
 # reference: utils/ArithmeticOperations.java (null-safe ops)
 
