@@ -67,6 +67,7 @@ def increment_variable(call: DirectiveCall):
 _CURRENCY = {
     "en_us": {"symbol": "$", "group": ",", "dec": "."},
     "en_gb": {"symbol": "£", "group": ",", "dec": "."},
+    "en_ie": {"symbol": "€", "group": ",", "dec": "."},  # FormatAsCurrencyTest.testUSDToEUR
     "de_de": {"symbol": "€", "group": ".", "dec": ","},
     "fr_fr": {"symbol": "€", "group": " ", "dec": ","},
 }
@@ -881,24 +882,44 @@ def validate_standard(call: DirectiveCall):
                 raise UsageError(f"validate-standard: schema {schema_arg!r} not registered")
             schema_json = lk if isinstance(lk, str) else lk.first()[0]
 
-        @pandas_udf(T.BooleanType())
-        def conforms(v: pd.Series) -> pd.Series:
+        _vcache: dict = {}
+
+        @pandas_udf(T.StringType())
+        def issues(v: pd.Series) -> pd.Series:
             import jsonschema
 
-            validator = jsonschema.Draft7Validator(json.loads(schema_json))
+            from wrangler_spark.directives import _conformance
+
+            # schema compile is amortized across batches of a task —
+            # the hl7-fhir-r4 standard is a multi-MB schema
+            validator = _vcache.get("validator")
+            if validator is None:
+                parsed = json.loads(schema_json)
+                cls = jsonschema.validators.validator_for(parsed)
+                _vcache["validator"] = validator = cls(parsed)
 
             def check(x):
                 if x is None:
-                    return False
+                    return "document is null"
                 try:
-                    return not any(validator.iter_errors(json.loads(x)))
-                except Exception:  # noqa: BLE001
-                    return False
+                    doc = json.loads(x)
+                except Exception as exc:  # noqa: BLE001
+                    return f"not valid JSON: {exc}"
+                return _conformance.summarize_errors(validator.iter_errors(doc))
 
             return v.map(check)
 
-        bad = ~conforms(F.col(c).cast("string"))
-        return ctx.route_error(df, bad, f"row does not conform to standard {schema_arg[:40]}")
+        msg = issues(F.col(c).cast("string"))
+        df = df.withColumn("__conformance", msg)
+        bad = F.col("__conformance").isNotNull()
+        routed = ctx.route_error(
+            df,
+            bad,
+            F.concat(
+                F.lit(f"standard {schema_arg[:40]}: "), F.col("__conformance")
+            ),
+        )
+        return routed.drop("__conformance")
 
     return tr
 

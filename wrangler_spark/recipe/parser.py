@@ -37,7 +37,7 @@ _NUMLIST_RE = re.compile(r"^-?\d+(\.\d+)?(\s*,\s*-?\d+(\.\d+)?)+$")
 
 @dataclass
 class Tok:
-    kind: str  # COL COLLIST TEXT NUM NUMLIST BOOL EXPR PROP IDENT
+    kind: str  # COL COLLIST TEXT TEXTLIST NUM NUMLIST BOOL EXPR PROP IDENT
     value: object
     raw: str
 
@@ -98,6 +98,16 @@ class DirectiveCall:
             return t.raw
         raise UsageError(f"{self.name}: argument #{i + 1} should be text, got {t.raw!r}")
 
+    def texts(self, i: int) -> list[str]:
+        """TEXT_LIST accessor (reference api/parser/TextList): a single
+        quoted string reads as a one-element list."""
+        t = self._get(i)
+        if t.kind == "TEXTLIST":
+            return list(t.value)
+        if t.kind in ("TEXT", "IDENT"):
+            return [str(t.value)]
+        raise UsageError(f"{self.name}: argument #{i + 1} should be a text list, got {t.raw!r}")
+
     def num(self, i: int, default: float | None = None) -> float:
         if not self.has(i) and default is not None:
             return default
@@ -153,6 +163,33 @@ class DirectiveCall:
         if not self.has(i) and default is not None:
             return default
         return self.text(i)
+
+
+def _scan_quoted(seg: str, i: int) -> tuple[str, int]:
+    """Scan one quoted string starting at seg[i] (a quote char); returns
+    (unescaped value, index just past the closing quote). Only quote and
+    backslash escapes collapse; regex classes like \\d keep the slash."""
+    c = seg[i]
+    n = len(seg)
+    j = i + 1
+    buf: list[str] = []
+    while j < n:
+        if seg[j] == "\\" and j + 1 < n:
+            nxt = seg[j + 1]
+            if nxt in ("'", '"', "\\"):
+                buf.append(nxt)
+            else:
+                buf.append(seg[j])
+                buf.append(nxt)
+            j += 2
+            continue
+        if seg[j] == c:
+            break
+        buf.append(seg[j])
+        j += 1
+    if j >= n:
+        raise DirectiveParseError("unterminated string literal", source=seg)
+    return "".join(buf), j + 1
 
 
 def _strip_exp_wrapper(s: str) -> str:
@@ -254,28 +291,31 @@ def tokenize_segment(seg: str, raw_tail: int | None = None) -> list[Tok]:
             i = nxt
             continue
         if c in "'\"":
-            j = i + 1
-            buf = []
-            while j < n:
-                if seg[j] == "\\" and j + 1 < n:
-                    # only quote/backslash escapes collapse; everything else
-                    # (regex classes like \d, \|) keeps its backslash
-                    nxt = seg[j + 1]
-                    if nxt in ("'", '"', "\\"):
-                        buf.append(nxt)
-                    else:
-                        buf.append(seg[j])
-                        buf.append(nxt)
-                    j += 2
-                    continue
-                if seg[j] == c:
-                    break
-                buf.append(seg[j])
-                j += 1
-            if j >= n:
-                raise DirectiveParseError("unterminated string literal", source=seg)
-            toks.append(Tok("TEXT", "".join(buf), seg[i : j + 1]))
-            i = j + 1
+            value, after = _scan_quoted(seg, i)
+            # textList (reference grammar Directives.g4 / TextList token:
+            # STRING (',' STRING)+ ) — quoted strings joined by commas
+            # merge into one TEXTLIST argument
+            items = [value]
+            end = after
+            while True:
+                k = end
+                while k < n and seg[k].isspace():
+                    k += 1
+                if k < n and seg[k] == ",":
+                    k += 1
+                    while k < n and seg[k].isspace():
+                        k += 1
+                    if k < n and seg[k] in "'\"":
+                        nxt_val, nxt_after = _scan_quoted(seg, k)
+                        items.append(nxt_val)
+                        end = nxt_after
+                        continue
+                break
+            if len(items) == 1:
+                toks.append(Tok("TEXT", value, seg[i:after]))
+            else:
+                toks.append(Tok("TEXTLIST", items, seg[i:end]))
+            i = end if len(items) > 1 else after
             continue
         # bare word: maximal run of non-space chars
         j = i

@@ -42,10 +42,11 @@ class RecipeContext:
         cleanly — the DAG-fork equivalent of the reference's error
         collector (row/SendToError.java, RecipePipelineExecutor.java:145-158).
         """
+        msg = F.lit(message) if isinstance(message, str) else message.cast("string")
         err = df.filter(cond).select(
             F.lit(self.step).alias("step"),
             F.lit(self.current_name).alias("directive"),
-            F.lit(message).alias("message"),
+            msg.alias("message"),
             F.to_json(F.struct(*[F.col(c) for c in df.columns])).alias("record"),
         )
         self.errors.append(err)
