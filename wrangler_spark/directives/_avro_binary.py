@@ -15,6 +15,7 @@ at the Spark API level — batches stream through the UDF).
 
 from __future__ import annotations
 
+import json
 import struct
 from typing import Any
 
@@ -455,3 +456,109 @@ def flatten_reference(rec: dict, schema: dict, out: dict | None = None,
         else:
             out[col] = v
     return out
+
+
+# ---------------------------------------------------------------- avro-json
+# reference: codec/JsonAvroDecoder.java — Avro's OFFICIAL JSON encoding
+# (the org.apache.avro JsonEncoder output): union values wrap in a
+# one-key object named for the branch ({"int": 8}); null is bare; a
+# payload may carry MANY concatenated json datums (the decoder loops
+# until EOF).
+
+
+def split_json_stream(text: str) -> list[str]:
+    """Split concatenated top-level JSON values (brace/bracket depth
+    scanner, string- and escape-aware)."""
+    out: list[str] = []
+    depth = 0
+    start = None
+    in_str = False
+    esc = False
+    for i, ch in enumerate(text):
+        if esc:
+            esc = False
+            continue
+        if in_str:
+            if ch == "\\":
+                esc = True
+            elif ch == '"':
+                in_str = False
+            continue
+        if ch == '"':
+            in_str = True
+            if start is None:
+                start = i
+            continue
+        if ch in "{[":
+            if depth == 0 and start is None:
+                start = i
+            depth += 1
+        elif ch in "}]":
+            depth -= 1
+            if depth == 0 and start is not None:
+                out.append(text[start : i + 1])
+                start = None
+        elif depth == 0 and start is None and not ch.isspace():
+            start = i  # bare scalar datum
+    if start is not None and depth == 0:
+        tail = text[start:].strip()
+        if tail:
+            out.append(tail)
+    return out
+
+
+def _branch_names(branch) -> set[str]:
+    if isinstance(branch, str):
+        return {branch}
+    if isinstance(branch, dict):
+        t = branch.get("type")
+        if t in ("record", "enum", "fixed"):
+            name = branch.get("name", "")
+            ns = branch.get("namespace")
+            names = {name}
+            if ns and "." not in name:
+                names.add(f"{ns}.{name}")
+            return names
+        if isinstance(t, str):
+            return {t}
+    return set()
+
+
+def from_avro_json(obj, schema):
+    """Decode one Avro-JSON-encoded value into the plain-JSON shape
+    (unions unwrapped) that from_json parses into the Spark type."""
+    if isinstance(schema, list):  # union
+        if obj is None:
+            return None
+        if isinstance(obj, dict) and len(obj) == 1:
+            (k, v), = obj.items()
+            for br in schema:
+                if k in _branch_names(br):
+                    return from_avro_json(v, br)
+        # lenient: an unwrapped value decodes against the first
+        # non-null branch (hand-written json, not avro-encoded)
+        for br in schema:
+            if br != "null":
+                return from_avro_json(obj, br)
+        return obj
+    if isinstance(schema, dict):
+        t = schema.get("type")
+        if t == "record" and isinstance(obj, dict):
+            return {
+                f["name"]: from_avro_json(obj.get(f["name"]), f["type"])
+                for f in schema.get("fields", [])
+            }
+        if t == "array" and isinstance(obj, list):
+            return [from_avro_json(x, schema.get("items")) for x in obj]
+        if t == "map" and isinstance(obj, dict):
+            return {k: from_avro_json(v, schema.get("values")) for k, v in obj.items()}
+        if isinstance(t, (dict, list, str)) and t not in (
+            "record", "enum", "fixed", "array", "map", *_PRIMITIVES
+        ):
+            return from_avro_json(obj, t)
+    return obj
+
+
+def decode_json_stream(text: str, schema) -> list:
+    """All concatenated Avro-JSON datums of one payload, decoded."""
+    return [from_avro_json(json.loads(part), schema) for part in split_json_stream(text)]

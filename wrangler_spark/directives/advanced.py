@@ -253,51 +253,78 @@ def parse_as_avro(call: DirectiveCall):
             schema_json = lk if isinstance(lk, str) else lk.first()[0]
         spark_type = avro_to_spark_type(json.loads(schema_json))
         if mode == "json":
-            parsed = _from_json_exact(F.col(c).cast("string"), spark_type)
-        elif mode == "binary":
-            try:
-                from pyspark.sql.avro.functions import from_avro
+            # Avro's OFFICIAL json encoding (JsonAvroDecoderTest): union
+            # values wrap in {"branch": value} one-key objects and one
+            # payload may carry many concatenated datums. Arrow-batched
+            # unwrap to a plain-JSON array, then native from_json +
+            # explode. (Plain per-row JSON without avro framing decodes
+            # identically — the unwrap is shape-preserving for it.)
+            from wrangler_spark.directives._avro_binary import (
+                decode_json_stream as _avro_json_stream,
+            )
 
-                parsed = from_avro(F.col(c), schema_json)
-                df.limit(0).withColumn("__wr_probe", parsed)  # eager analysis probe
-            except Exception as probe_err:  # noqa: BLE001
-                if not _connector_missing(probe_err):
-                    raise  # jar present — a real error, don't mask it
-                # no spark-avro jar → pure-Python Avro binary decoder
-                # (directives/_avro_binary.py), Arrow-batched: decode to a
-                # JSON string per row (schema-aware conversion — logical
-                # types surface as what from_json parses back into the
-                # declared Spark types), then native from_json.
-                from wrangler_spark.directives._avro_binary import (
-                    decode as _avro_decode,
-                    to_jsonable as _to_jsonable,
+            avro_schema_j = json.loads(schema_json)
+
+            @pandas_udf(T.StringType())
+            def _jdec(s: pd.Series) -> pd.Series:
+                def one(t):
+                    if t is None:
+                        return None
+                    return json.dumps(_avro_json_stream(t, avro_schema_j))
+
+                return s.map(one)
+
+            arr = _from_json_exact(_jdec(F.col(c).cast("string")), T.ArrayType(spark_type))
+            out = df.withColumn("__wr_avro", F.explode_outer(arr))
+            if isinstance(spark_type, T.StructType):
+                for f_ in spark_type.fields:
+                    out = out.withColumn(f"{c}_{f_.name}", F.col("__wr_avro").getField(f_.name))
+            else:
+                out = out.withColumn(f"{c}_value", F.col("__wr_avro"))
+            return out.drop("__wr_avro").drop(c)
+        elif mode == "binary":
+            # The reference's BinaryAvroDecoder loops datums until EOF —
+            # one payload can carry MANY concatenated binary records
+            # (ParseAvroTest.testAvroBinaryRecordReadWrite). spark-avro's
+            # from_avro is one-datum-per-value and cannot express that,
+            # so binary mode uses the pure-Python stream decoder
+            # (directives/_avro_binary.py), Arrow-batched: decode each
+            # payload to a JSON ARRAY of records (schema-aware — logical
+            # types surface as what from_json parses back into the
+            # declared Spark types), then native from_json + explode.
+            from wrangler_spark.directives._avro_binary import (
+                decode_stream as _avro_decode_stream,
+                to_jsonable as _to_jsonable,
+            )
+
+            avro_schema = json.loads(schema_json)
+
+            @pandas_udf(T.StringType())
+            def _dec(s: pd.Series) -> pd.Series:
+                return pd.Series(
+                    [
+                        json.dumps(
+                            [
+                                _to_jsonable(rec, avro_schema)
+                                for rec in _avro_decode_stream(bytes(v), avro_schema)
+                            ]
+                        )
+                        if v is not None
+                        else None
+                        for v in s
+                    ]
                 )
 
-                avro_schema = json.loads(schema_json)
-
-                @pandas_udf(T.StringType())
-                def _dec(s: pd.Series) -> pd.Series:
-                    return pd.Series(
-                        [
-                            json.dumps(
-                                _to_jsonable(_avro_decode(bytes(v), avro_schema), avro_schema)
-                            )
-                            if v is not None
-                            else None
-                            for v in s
-                        ]
-                    )
-
-                parsed = _from_json_exact(_dec(F.col(c)), spark_type)
+            arr = _from_json_exact(_dec(F.col(c)), T.ArrayType(spark_type))
+            out = df.withColumn("__wr_avro", F.explode_outer(arr))
+            if isinstance(spark_type, T.StructType):
+                for f_ in spark_type.fields:
+                    out = out.withColumn(f"{c}_{f_.name}", F.col("__wr_avro").getField(f_.name))
+            else:
+                out = out.withColumn(f"{c}_value", F.col("__wr_avro"))
+            return out.drop("__wr_avro").drop(c)
         else:
             raise UsageError(f"parse-as-avro: mode must be json|binary, got {mode!r}")
-        out = df.withColumn("__wr_avro", parsed)
-        if isinstance(spark_type, T.StructType):
-            for f_ in spark_type.fields:
-                out = out.withColumn(f"{c}_{f_.name}", F.col("__wr_avro").getField(f_.name))
-        else:
-            out = out.withColumn(f"{c}_value", F.col("__wr_avro"))
-        return out.drop("__wr_avro").drop(c)
 
     return tr
 
@@ -1041,20 +1068,33 @@ def data_model_map_column(call: DirectiveCall):
     the Avro glossary is host-provided via ctx.lookups['datamodel:<model>']
     as a (field, type) table)."""
     model = call.text(0)
+    revision = call.text(1) if call.has(3) else None
     field_name = call.text(2) if call.has(3) else call.text(1)
     col = call.col(3) if call.has(3) else call.col(2)
 
     def tr(df: DataFrame, ctx: RecipeContext) -> DataFrame:
         c = _require(df, col)
-        glossary = ctx.lookups.get(f"datamodel:{model}")
-        target_type = "string"
-        if glossary is not None:
-            row = glossary.filter(F.col(glossary.columns[0]) == field_name).first()
-            if row is None:
-                raise UsageError(
-                    f"data-model-map-column: field {field_name!r} not in model {model!r}"
-                )
-            target_type = row[1]
+        # revision-qualified glossary preferred; an unrevisioned
+        # registration accepts any revision. Missing model (or a
+        # revision registered elsewhere) is a compile-time error, like
+        # the reference's unknown-model/unknown-revision RecipeException
+        # (DataModelMapColumnTest.testInitialize_*_directiveException).
+        glossary = None
+        if revision is not None:
+            glossary = ctx.lookups.get(f"datamodel:{model}@{revision}")
+        if glossary is None:
+            glossary = ctx.lookups.get(f"datamodel:{model}")
+        if glossary is None:
+            raise UsageError(
+                f"data-model-map-column: unknown data model {model!r}"
+                + (f" revision {revision!r}" if revision is not None else "")
+            )
+        row = glossary.filter(F.col(glossary.columns[0]) == field_name).first()
+        if row is None:
+            raise UsageError(
+                f"data-model-map-column: field {field_name!r} not in model {model!r}"
+            )
+        target_type = row[1]
         return df.withColumn(field_name, F.col(c).cast(target_type)).drop(c)
 
     return tr
