@@ -338,12 +338,14 @@ def execute(
     lookups: dict[str, DataFrame] | None = None,
     precondition: str | None = None,
     precondition_language: str = "jexl",
+    config: dict | None = None,
 ) -> tuple[DataFrame, DataFrame | None]:
     """One-shot helper mirroring the reference's TestingRig.execute.
 
     `precondition`: optional plugin-level row filter evaluated before
-    the recipe (see apply_precondition)."""
+    the recipe (see apply_precondition); `config`: admin DirectiveConfig
+    (exclusions/aliases), same shape compile_recipe takes."""
     ctx = RecipeContext(spark=spark, lookups=lookups or {})
     if precondition:
         df = apply_precondition(df, precondition, precondition_language)
-    return compile_recipe(recipe).apply(df, ctx)
+    return compile_recipe(recipe, config=config).apply(df, ctx)
