@@ -165,3 +165,76 @@ def test_manifestless_window_fails_loudly(spark, mk_table, tmp_path):
     assert "no change manifest" in str(ei.value) or "StreamingQueryException" in type(
         ei.value
     ).__name__
+
+
+def test_max_versions_per_trigger_batches(spark, mk_table, tmp_path):
+    """Admission control: with maxVersionsPerTrigger=1, commits landing
+    after the run's (uncapped) first microbatch drain one commit per
+    trigger, never coalesced."""
+    import time
+
+    t = mk_table("ratelim")
+    t.merge(ch(spark, E0), epoch=0)
+
+    batches = []
+    q = (
+        read_stream_changes(
+            spark, t.path, starting_version=0, max_versions_per_trigger=1
+        )
+        .writeStream.foreachBatch(
+            lambda b, i: batches.append(
+                sorted({r["_commit_version"] for r in b.collect()})
+            )
+        )
+        .option("checkpointLocation", str(tmp_path / "ckr"))
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline and [1] not in batches:
+            time.sleep(0.5)
+        # backlog lands mid-run: two commits at once
+        t.merge(ch(spark, E1), epoch=1)
+        t.merge(ch(spark, E2), epoch=2)
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            if sorted(v for b in batches for v in b) == [1, 2, 3]:
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    nonempty = [b for b in batches if b]
+    # the capped triggers serve versions 2 and 3 in SEPARATE batches
+    assert all(len(b) == 1 for b in nonempty), nonempty
+    assert sorted(v for b in nonempty for v in b) == [1, 2, 3]
+
+
+def test_mid_stream_rename_reads_forward_alias(spark, mk_table):
+    """A reader constructed BEFORE a rename (schema pinned, as a
+    running stream's is) must still read change files committed AFTER
+    the rename, via the partition version's alias map inverted."""
+    from wrangler_spark.streaming.change_source import LakeChangesStreamReader
+
+    t = mk_table("fwd")
+    t.merge(ch(spark, E0), epoch=0)
+    reader = LakeChangesStreamReader(t.path, 0)  # schema has `lang`
+    t.merge(
+        spark.createDataFrame(
+            [(50, "update", "r1", "b.py", "c7", "python3", "b9")],
+            "seq long, op string, repo string, path string, commit string, "
+            "language string, content string",
+        ),
+        epoch=1,
+        renames={"lang": "language"},
+    )
+    parts = reader.partitions({"version": 1}, {"version": 2})
+    rows = [
+        r
+        for p in parts
+        for batch in reader.read(p)
+        for r in batch.to_pylist()
+    ]
+    by_seq = {r["_change_seq"]: r for r in rows}
+    assert by_seq[50]["lang"] == "python3"  # new-named file, old stream schema
+    assert by_seq[50]["content"] == "b9"

@@ -185,3 +185,49 @@ def test_replication_with_recipe_through_mid_stream_rename(spark, mk_table):
     assert got[("r9", "z.py")] == ("py", "ZZ")
     assert ("r3", "y.rs") not in got
     assert got == snap(src, lambda c: c and c.upper())
+
+
+def test_stream_sync_converges(spark, mk_table, tmp_path):
+    """Continuous replication via the lake-changes streaming source:
+    commits landing while the stream runs flow into the replica; a
+    restart from the same checkpoint is exactly-once (no double-apply,
+    tombstones preserved); a recipe applies per microbatch."""
+    src, dst = mk_table("ssrc"), mk_table("sdst")
+    src.merge(ch(spark, EPOCH0), epoch=0)
+    rep = Replicator(src, dst, recipe=["uppercase :lang"])
+    ck = str(tmp_path / "repck")
+
+    q = rep.stream_sync(ck, starting_version=0, trigger={"availableNow": True})
+    q.awaitTermination(180)
+    got = {
+        (r["repo"], r["path"]): (r["lang"], r["content"])
+        for r in dst.read().collect()
+    }
+    assert got == {
+        ("r1", "a.py"): ("PY", "a0"),
+        ("r1", "b.py"): ("PY", "b0"),
+        ("r2", "x.go"): ("GO", "x0"),
+    }
+
+    # more source commits; resume the stream from the same checkpoint
+    src.merge(ch(spark, EPOCH1), epoch=1)
+    q2 = rep.stream_sync(ck, starting_version=0, trigger={"availableNow": True})
+    q2.awaitTermination(180)
+    got2 = {
+        (r["repo"], r["path"]): (r["lang"], r["content"])
+        for r in dst.read().collect()
+    }
+    assert got2 == {
+        ("r1", "a.py"): ("PY", "a1"),
+        ("r1", "b.py"): ("PY", "b0"),
+        ("r3", "y.rs"): ("RUST", "y0"),
+    }
+
+    # idle resume: no new commits -> replica state and version unchanged
+    v = LakeTable.load(spark, dst.path).version
+    q3 = rep.stream_sync(ck, starting_version=0, trigger={"availableNow": True})
+    q3.awaitTermination(180)
+    assert LakeTable.load(spark, dst.path).version == v
+
+    # batch sync() agrees the replica is caught up (shared watermark)
+    assert rep.sync()["skipped"]

@@ -97,6 +97,12 @@ class Replicator:
                 F.when(F.col("__deleted"), "delete").otherwise("insert").alias("op"),
                 *[f.name for f in src.schema.fields],
             )
+        return self._apply_window(src, ev, v0, v1)
+
+    def _apply_window(self, src: LakeTable, ev: DataFrame, v0: int, v1: int) -> dict:
+        """Recipe + rename translation + fenced LWW merge + watermark
+        stamp for one change window (v0, v1] — shared by the batch
+        `sync()` and the streaming `stream_sync()` paths."""
         recipe_errors = 0
         if self.recipe is not None:
             from wrangler_spark.recipe.registry import RecipeContext
@@ -164,3 +170,76 @@ class Replicator:
             "recipe_errors": recipe_errors,
             "replica_version": self.replica.version,
         }
+
+    def stream_sync(
+        self,
+        checkpoint_dir: str,
+        starting_version: int | None = None,
+        max_versions_per_trigger: int | None = None,
+        trigger: dict | None = None,
+    ):
+        """Continuous replication: tail the source's changelog as a
+        Structured Streaming source (offsets = source commit versions,
+        partitions = commit-scoped change files) and merge each
+        microbatch into the replica through the same
+        recipe/rename/LWW-merge path as `sync()`.
+
+        Exactly-once stacks three independent guards: SS offset
+        checkpointing (a crashed microbatch replays the SAME immutable
+        change files), replica epoch fencing (epoch = the window's max
+        commit version, so a replayed window is a fenced no-op), and
+        the seq-guarded LWW merge (stale rows lose regardless).
+
+        Unlike `sync()`'s net-change window, a microbatch carries every
+        commit's winner set — a key touched by two commits appears
+        twice; the merge's max-seq resolution collapses them to the
+        same final state.
+
+        Returns the running StreamingQuery; `trigger` is forwarded to
+        `writeStream.trigger(**trigger)` (e.g. {"processingTime": "10
+        seconds"} or {"availableNow": True} for catch-up-and-stop).
+        """
+        from wrangler_spark.streaming.change_source import (
+            CHANGE_OP_FIELD,
+            CHANGE_SEQ_FIELD,
+            CHANGE_VERSION_FIELD,
+            read_stream_changes,
+        )
+
+        spark = self.source.spark
+        if starting_version is None:
+            sv = self._replicated_version()
+            starting_version = sv if sv >= 0 else 0
+        stream = read_stream_changes(
+            spark,
+            self.source.path,
+            starting_version=starting_version,
+            max_versions_per_trigger=max_versions_per_trigger,
+        )
+        ctl = (CHANGE_OP_FIELD, CHANGE_SEQ_FIELD, CHANGE_VERSION_FIELD)
+        payload = [c for c in stream.columns if c not in ctl]
+
+        def apply_batch(batch: DataFrame, batch_id: int) -> None:
+            if batch.isEmpty():
+                return
+            src = LakeTable.load(spark, self.source.path)
+            self.source = src
+            win = batch.agg(
+                F.min(CHANGE_VERSION_FIELD).alias("v0"),
+                F.max(CHANGE_VERSION_FIELD).alias("v1"),
+            ).collect()[0]
+            ev = batch.select(
+                F.col(CHANGE_SEQ_FIELD).alias("seq"),
+                F.when(F.col(CHANGE_OP_FIELD) == "delete", "delete")
+                .otherwise("update")
+                .alias("op"),
+                *payload,
+            )
+            self._apply_window(src, ev, int(win["v0"]) - 1, int(win["v1"]))
+
+        writer = stream.writeStream.foreachBatch(apply_batch).option(
+            "checkpointLocation", checkpoint_dir
+        )
+        if trigger:
+            writer = writer.trigger(**trigger)
+        return writer.start()

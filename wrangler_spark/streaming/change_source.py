@@ -101,11 +101,20 @@ class _ChangeFilePartition(InputPartition):
 
 
 class LakeChangesStreamReader(DataSourceStreamReader):
-    def __init__(self, table_path: str, starting_version: int | None):
+    def __init__(
+        self,
+        table_path: str,
+        starting_version: int | None,
+        max_versions_per_trigger: int | None = None,
+    ):
         self.table_path = table_path
         snap = _load_snap(table_path, _current_version(table_path))
         self.schema_json = snap["schema"]
         self.aliases = snap.get("aliases", {})
+        self.max_versions = (
+            int(max_versions_per_trigger) if max_versions_per_trigger else None
+        )
+        self._pos: int | None = None  # last offset this run has planned
         self._start = (
             int(starting_version)
             if starting_version is not None
@@ -114,12 +123,32 @@ class LakeChangesStreamReader(DataSourceStreamReader):
 
     # ---- offsets: plain dicts carrying the snapshot version ----
     def initialOffset(self) -> dict:
+        # never move the cap base backward: the engine may call
+        # latestOffset() before this on a fresh stream
+        self._pos = self._start if self._pos is None else max(self._pos, self._start)
         return {"version": self._start}
 
     def latestOffset(self) -> dict:
-        return {"version": _current_version(self.table_path)}
+        """Admission control lives here: cap each microbatch at
+        `maxVersionsPerTrigger` commits past the last ANNOUNCED offset
+        (Delta `maxFilesPerTrigger` shape). The engine may ask for the
+        latest offset before the reader has seen the checkpointed start
+        (it learns it in `partitions()`), so the first microbatch of a
+        run is uncapped; every later one is bounded. Announced offsets
+        are monotonic — the cap can only defer progress, never rewind
+        the stream's offset log."""
+        cur = _current_version(self.table_path)
+        if self.max_versions is None:
+            return {"version": cur}
+        if self._pos is None:
+            self._pos = cur  # uncapped first batch of this run
+            return {"version": cur}
+        self._pos = max(self._pos, min(cur, self._pos + self.max_versions))
+        return {"version": self._pos}
 
     def partitions(self, start: dict, end: dict):
+        hi = max(int(end["version"]), int(start["version"]))
+        self._pos = hi if self._pos is None else max(self._pos, hi)
         parts: list[_ChangeFilePartition] = []
         for v in range(int(start["version"]) + 1, int(end["version"]) + 1):
             snap = _load_snap(self.table_path, v)
@@ -141,13 +170,27 @@ class LakeChangesStreamReader(DataSourceStreamReader):
     def read(self, partition: _ChangeFilePartition):
         """Executor-side: one change file → Arrow batches in the source
         schema (+op/seq/version), aliases resolved, missing columns
-        null-filled."""
+        null-filled. Two alias directions cover schema evolution:
+        files OLDER than the stream's schema resolve through the
+        current→former map; files NEWER (a rename committed while the
+        stream runs — SS pins the stream schema at start) resolve
+        through the partition version's map inverted (former→current),
+        so a running stream keeps serving rows under its stable schema."""
         import pyarrow as pa
         import pyarrow.parquet as pq
 
         schema = T.StructType.fromJson(self.schema_json)
         tbl = pq.read_table(partition.file_path)
         names_l = {n.lower(): n for n in tbl.column_names}
+        fwd: dict[str, str] = {}  # former name -> name at partition.version
+        try:
+            for cur, olds in _load_snap(self.table_path, partition.version).get(
+                "aliases", {}
+            ).items():
+                for o in olds:
+                    fwd[str(o).lower()] = cur.lower()
+        except FileNotFoundError:
+            pass  # expired snapshot metadata: old-direction aliases only
 
         def col(name_l: str, target):
             src = names_l.get(name_l)
@@ -156,6 +199,8 @@ class LakeChangesStreamReader(DataSourceStreamReader):
                     src = names_l.get(str(a).lower())
                     if src is not None:
                         break
+            if src is None and name_l in fwd:
+                src = names_l.get(fwd[name_l])
             if src is None:
                 return pa.nulls(tbl.num_rows, type=target)
             c = tbl.column(src)
@@ -207,7 +252,10 @@ class LakeChangesDataSource(DataSource):
 
     def streamReader(self, schema) -> LakeChangesStreamReader:
         sv = self.options.get("startingversion", self.options.get("startingVersion"))
-        return LakeChangesStreamReader(self.options["path"], sv)
+        mv = self.options.get(
+            "maxversionspertrigger", self.options.get("maxVersionsPerTrigger")
+        )
+        return LakeChangesStreamReader(self.options["path"], sv, mv)
 
 
 def register_change_source(spark) -> None:
@@ -215,12 +263,21 @@ def register_change_source(spark) -> None:
     spark.dataSource.register(LakeChangesDataSource)
 
 
-def read_stream_changes(spark, path: str, starting_version: int | None = None):
+def read_stream_changes(
+    spark,
+    path: str,
+    starting_version: int | None = None,
+    max_versions_per_trigger: int | None = None,
+):
     """Convenience wrapper: a streaming DataFrame of the table's
     commit-scoped changes from `starting_version` (exclusive) onward;
-    None = only commits after stream start."""
+    None = only commits after stream start. `max_versions_per_trigger`
+    bounds each microbatch to that many commits (admission control for
+    backlogged streams)."""
     register_change_source(spark)
     r = spark.readStream.format("lake-changes").option("path", path)
     if starting_version is not None:
         r = r.option("startingVersion", str(starting_version))
+    if max_versions_per_trigger is not None:
+        r = r.option("maxVersionsPerTrigger", str(max_versions_per_trigger))
     return r.load()
