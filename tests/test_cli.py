@@ -130,3 +130,35 @@ def test_cli_lineage(tmp_path, spark):
     ops = [_json.loads(l) for l in out.stdout.splitlines() if l.startswith("{")]
     assert ops[0]["dropped"] == ["y"]
     assert ops[1]["inputs"] == ["x"] and ops[1]["added"] == ["z"]
+
+
+@pytest.mark.slow
+def test_cli_replicate_stream(tmp_path, spark):
+    """`replicate --stream`: continuous replication through the
+    lake-changes streaming source from the CLI, bounded by
+    --timeout-sec; the replica's digest must equal the source's."""
+    events_dir = str(tmp_path / "events")
+    src_dir = str(tmp_path / "src")
+    dst_dir = str(tmp_path / "dst")
+
+    _run([sys.executable, "-m", "wrangler_spark", "gen-events",
+          "--out", events_dir, "--n", "4000",
+          "--epoch-size", "1000", "--repos", "8", "--paths", "30"])
+    _run([sys.executable, "-m", "wrangler_spark", "init-table",
+          "--table", src_dir, "--buckets", "8"])
+    _run([sys.executable, "-m", "wrangler_spark", "init-table",
+          "--table", dst_dir, "--buckets", "8"])
+    _run([sys.executable, "-m", "wrangler_spark", "replay",
+          "--events", events_dir, "--table", src_dir,
+          "--checkpoint", str(tmp_path / "ck")])
+
+    r = _run([sys.executable, "-m", "wrangler_spark", "replicate",
+              "--source", src_dir, "--replica", dst_dir,
+              "--stream", "--checkpoint", str(tmp_path / "repck"),
+              "--trigger-interval", "1 seconds", "--timeout-sec", "45"])
+    assert r.get("stream") is True
+
+    vs = _run([sys.executable, "-m", "wrangler_spark", "verify", "--table", src_dir])
+    vd = _run([sys.executable, "-m", "wrangler_spark", "verify", "--table", dst_dir])
+    assert vd["rows"] == vs["rows"]
+    assert vd["table_digest"] == vs["table_digest"]

@@ -217,6 +217,22 @@ def cmd_replicate(args) -> int:
     dst = LakeTable.load(spark, args.replica)
     recipe = _read_recipe(args.recipe) if args.recipe else None
     rep = Replicator(src, dst, recipe=recipe, mode=args.mode, on_error=args.on_error)
+    if args.stream:
+        if not args.checkpoint:
+            raise SystemExit("replicate --stream requires --checkpoint")
+        # continuous replication off the lake-changes streaming source;
+        # runs until killed (or --timeout-sec for bounded runs)
+        q = rep.stream_sync(
+            args.checkpoint,
+            max_versions_per_trigger=args.max_versions_per_trigger,
+            trigger={"processingTime": args.trigger_interval},
+        )
+        q.awaitTermination(args.timeout_sec)
+        if args.timeout_sec is not None:
+            q.stop()
+        print(json.dumps({"stream": True, "replica_version":
+                          LakeTable.load(spark, args.replica).version}))
+        return 0
     print(json.dumps(rep.sync()))
     return 0
 
@@ -437,6 +453,22 @@ def build_parser() -> argparse.ArgumentParser:
     rp2.add_argument(
         "--on-error", dest="on_error", default="fail", choices=["fail", "skip"],
         help="recipe error rows: fail the sync (watermark not advanced) or drop visibly",
+    )
+    rp2.add_argument(
+        "--stream", action="store_true",
+        help="continuous replication via the lake-changes streaming source",
+    )
+    rp2.add_argument("--checkpoint", default=None, help="SS checkpoint dir (--stream)")
+    rp2.add_argument(
+        "--max-versions-per-trigger", dest="max_versions_per_trigger",
+        type=int, default=None, help="admission control: commits per microbatch",
+    )
+    rp2.add_argument(
+        "--trigger-interval", dest="trigger_interval", default="10 seconds"
+    )
+    rp2.add_argument(
+        "--timeout-sec", dest="timeout_sec", type=int, default=None,
+        help="stop the stream after N seconds (default: run until killed)",
     )
     rp2.set_defaults(fn=cmd_replicate)
 
