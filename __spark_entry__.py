@@ -554,7 +554,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             [f for f in ev.schema.fields if f.name not in ("seq", "epoch", "op")]
         )
         base = tempfile.mkdtemp(prefix="wr_scan_")
-        table = LakeTable.create(spark, f"{base}/tbl", schema, ["user_id"], num_buckets=4)
+        table = LakeTable.create(
+            spark, f"{base}/tbl", schema, ["user_id"], num_buckets=4,
+            properties={"bloom.cols": "event_type"},
+        )
         Replayer(table, f"{base}/ckpt").replay(ev)
         p1: dict = {}
         point = table.scan([("user_id", "=", 7)], plan_out=p1)
@@ -564,12 +567,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         skipped_all = (
             p2["skipped_files"] > 0 and not p2["base_rels"] and none.count() == 0
         )
+        # bloom pruning (round 4): 'cliz' sorts strictly between the
+        # live event_type values (click < cliz < purchase/signup/...),
+        # so min/max stats CANNOT prune it — only the per-file bloom
+        # can prove it absent. Every base file must drop bloom-side.
+        p3: dict = {}
+        blooms = table.scan([("event_type", "=", "cliz")], plan_out=p3)
+        bloom_pruned = (
+            p3["bloom_skipped_files"] > 0
+            and not p3["base_rels"]
+            and blooms.count() == 0
+        )
         return point.select(
             "user_id",
             "event_type",
             "value",
             F.lit(point_pruned).alias("point_pruned"),
             F.lit(skipped_all).alias("skipped_all"),
+            F.lit(bloom_pruned).alias("bloom_pruned"),
         )
     q["lake_scan"] = q_lake_scan
 
@@ -2070,7 +2085,8 @@ def oracle_sql() -> dict[str, str]:
             "WHEN event_type = 'error' THEN 'delete' ELSE 'update' END AS op, "
             "row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn "
             "FROM events) "
-            "SELECT user_id, event_type, value, TRUE AS point_pruned, TRUE AS skipped_all "
+            "SELECT user_id, event_type, value, TRUE AS point_pruned, TRUE AS skipped_all, "
+            "TRUE AS bloom_pruned "
             "FROM d WHERE rn = 1 AND op <> 'delete' AND user_id = 7"
         ),
         # cdc_replicate: the replica synced off the changelog must hold

@@ -638,8 +638,10 @@ class LakeTable:
                 cand = [x for x in cand if x == b]
         stats = self.snap.get("stats", {})
         deltas = self.snap.get("deltas", {})
+        probes, bloom_idx = self._bloom_probes(eq)
         kept: list[str] = []
         skipped = 0
+        bloom_skipped = 0
         delta_buckets: list[int] = []
         for b in cand:
             rels = self.snap["files"].get(str(b), [])
@@ -648,17 +650,63 @@ class LakeTable:
                 kept.extend(rels)
                 continue
             for rel in rels:
-                if self._file_can_match(stats.get(rel), filters):
-                    kept.append(rel)
-                else:
+                if not self._file_can_match(stats.get(rel), filters):
                     skipped += 1
+                elif not self._bloom_can_match(bloom_idx.get(rel), probes):
+                    bloom_skipped += 1
+                else:
+                    kept.append(rel)
         return {
             "buckets": cand,
             "base_rels": kept,
             "skipped_files": skipped,
+            "bloom_skipped_files": bloom_skipped,
             "delta_buckets": delta_buckets,
             "point_lookup": point,
         }
+
+    def _bloom_probes(self, eq: dict) -> tuple[dict, dict]:
+        """(probe hashes, rel → col → bloom entry) for the equality
+        filters that hit a bloom-indexed column. One 1-row Spark job
+        hashes all probe values with the exact build expressions; the
+        sidecar manifests load lazily and are cached per handle."""
+        from wrangler_spark.lake import bloom as _bloom
+
+        manifests = self.snap.get("bloom_manifests") or []
+        if not manifests or not eq:
+            return {}, {}
+        cols_l = {c.lower() for c in _bloom.bloom_cols(self.snap)}
+        hit = {cl: v for cl, v in eq.items() if cl in cols_l}
+        if not hit:
+            return {}, {}
+        probes = _bloom.probe_hashes(self.spark, self.schema, hit)
+        if not probes:
+            return {}, {}
+        cache = getattr(self, "_bloom_cache", None)
+        if cache is None:
+            cache = self._bloom_cache = {}
+        idx: dict[str, dict] = {}
+        for m in manifests:
+            if m["path"] not in cache:
+                cache[m["path"]] = _bloom.load_manifest(self.path, m["path"])
+            for rel, per in cache[m["path"]].items():
+                idx.setdefault(rel, {}).update(per)
+        return probes, idx
+
+    def _bloom_can_match(self, fblooms: dict | None, probes: dict) -> bool:
+        """False only when some equality conjunct's value is provably
+        absent from the file. Renamed columns probe through aliases —
+        old files carry the bloom under the former name."""
+        if not probes or not fblooms:
+            return True
+        from wrangler_spark.lake import bloom as _bloom
+
+        for cl, (h1, h2) in probes.items():
+            names = [cl] + [a for a in self.aliases.get(cl, [])]
+            entry = next((fblooms[n] for n in names if n in fblooms), None)
+            if entry is not None and not _bloom.may_contain(entry, h1, h2):
+                return False
+        return True
 
     def _filters_to_column(self, filters: list | None):
         cond = None
@@ -986,8 +1034,35 @@ class LakeTable:
         if aliases is not None:
             snap["aliases"] = aliases
         _refresh_stats(self.path, snap, spark=self.spark)
+        self._refresh_blooms(snap, new_bucket_files)
         self.snap = snap
         self._write_snapshot()
+
+    def _refresh_blooms(self, snap: dict, new_bucket_files: dict) -> None:
+        """Build per-file bloom indexes for this commit's NEW base files
+        (opt-in via `bloom.cols`), persist them as a sidecar manifest,
+        and prune manifest pointers whose files are all dead. Delta
+        files are not indexed: scan() exempts delta-carrying buckets
+        from file skipping anyway (the stale-seq trap)."""
+        from wrangler_spark.lake import bloom as _bloom
+
+        live = {x for fl in snap["files"].values() for x in fl}
+        # a pointer stays while ANY of its files is still referenced
+        manifests = [
+            m
+            for m in snap.get("bloom_manifests", [])
+            if any(r in live for r in m["files"])
+        ]
+        cols = _bloom.bloom_cols(snap)
+        new_rels = [r for fl in (new_bucket_files or {}).values() for r in fl]
+        if cols and new_rels:
+            fpp = float(snap.get("properties", {}).get("bloom.fpp", 0.01))
+            built = _bloom.build_blooms(self.spark, self.path, new_rels, cols, fpp)
+            if built:
+                rel = _bloom.write_manifest(self.path, snap["version"], built, fpp)
+                manifests.append({"path": rel, "files": sorted(built)})
+        if manifests or "bloom_manifests" in snap:
+            snap["bloom_manifests"] = manifests
 
     # ------------------------------------------------------------ merge
     def merge(
@@ -1061,12 +1136,24 @@ class LakeTable:
             if not os.listdir(root) and root != data_dir:
                 _shutil.rmtree(root, ignore_errors=True)
         removed_meta = 0
+        # bloom sidecars survive only while a retained snapshot points
+        # at them (pointers carry forward across commits, so a sidecar
+        # can outlive the version that wrote it)
+        live_sidecars: set[str] = set()
+        for v in keep:
+            p = os.path.join(meta_dir, f"version-{v:06d}.json")
+            if os.path.exists(p):
+                with open(p) as f:
+                    for m in json.load(f).get("bloom_manifests") or []:
+                        live_sidecars.add(os.path.basename(m["path"]))
         for fn in os.listdir(meta_dir):
             if fn.startswith("version-") and fn.endswith(".json"):
                 v = int(fn[len("version-"):-len(".json")])
                 if v not in keep:
                     os.remove(os.path.join(meta_dir, fn))
                     removed_meta += 1
+            elif fn.startswith("bloom-v") and fn not in live_sidecars:
+                os.remove(os.path.join(meta_dir, fn))
         return {
             "kept_versions": keep,
             "removed_data_files": removed_files,
