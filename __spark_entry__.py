@@ -39,6 +39,12 @@ first-class oracle-backed rows: profile_types (semantic-type finder
 battery), repetition_stats (Gopher repetition/format filters),
 decontaminate (13-gram benchmark overlap), redact_pii, chunk_documents
 (fixed-token-window chunking). Folded keys keep running at 51+.
+
+Round-4 third rotation: ngram_jaccard → dedup_clusters (same pair
+computation + distributed connected components; the recursive-CTE
+oracle recomputes the pairs AND the transitive closure, so the fold
+strictly adds checked surface). ngram_jaccard keeps its round-3 body
+and oracle at 51+.
 """
 
 from __future__ import annotations
@@ -1231,13 +1237,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return exact_dup_groups(docs)
     q["dedup_exact"] = q_dedup_exact
 
-    def q_ngram_jaccard(spark, d):
-        from wrangler_spark.pipeline.dedup import ngram_jaccard_pairs
+    def q_dedup_clusters(spark, d):
+        """n-gram Jaccard pairs (subsumes the former ngram_jaccard
+        query — the oracle recomputes the same exact-trigram pairs in
+        SQL) + distributed connected components: every document labeled
+        with its transitive duplicate cluster (min member id), pairless
+        docs as singletons. The oracle is a DuckDB recursive CTE over
+        the identical pair set, so BOTH the pair emission and the
+        hash-min label propagation are value-checked."""
+        from wrangler_spark.pipeline.dedup import dup_clusters, ngram_jaccard_pairs
 
         docs = _t(spark, d, "documents").withColumn("text", F.substring("text", 1, 60))
         pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.5)
-        return pairs.select("id_a", "id_b")
-    q["ngram_jaccard"] = q_ngram_jaccard
+        return dup_clusters(pairs, docs.select("doc_id"))
+    q["dedup_clusters"] = q_dedup_clusters
 
     def q_ann_topk(spark, d):
         from wrangler_spark.pipeline.similarity import brute_force_topk
@@ -1278,6 +1291,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # folded round-1 keys must still resolve by name. Under the cap
     # hypothesis these never execute; under the pin hypothesis they
     # keep their round-2 bodies and oracles.
+    def q_legacy_ngram_jaccard(spark, d):
+        # folded into dedup_clusters (whose oracle recomputes the same
+        # pairs inside its recursive CTE); body unchanged from round 3
+        from wrangler_spark.pipeline.dedup import ngram_jaccard_pairs
+
+        docs = _t(spark, d, "documents").withColumn("text", F.substring("text", 1, 60))
+        return ngram_jaccard_pairs(docs, n=3, threshold=0.5).select("id_a", "id_b")
+    q["ngram_jaccard"] = q_legacy_ngram_jaccard
+
     def q_legacy_drop(spark, d):
         return _run(spark, _t(spark, d, "documents"), ["drop :text,:n_chars"])
     # round-4 folds: the standalone queries keep running under their old
@@ -1851,8 +1873,13 @@ def oracle_sql() -> dict[str, str]:
         # exact word-trigram Jaccard (same normalize/split/shingle as the
         # Spark query; lead-window trigrams; <3-token docs collapse to
         # one whole-text gram)
-        "ngram_jaccard": (
-            "WITH t AS ("
+        # dedup_clusters: the SAME exact-trigram pair computation as the
+        # former ngram_jaccard oracle, then transitive closure via a
+        # recursive CTE — min reachable id per doc = the cluster label
+        # the Spark hash-min propagation must converge to; pairless
+        # docs label themselves (the walk's seed row)
+        "dedup_clusters": (
+            "WITH RECURSIVE t AS ("
             "  SELECT doc_id, string_split(lower(trim(regexp_replace("
             "         substring(text,1,60), '\\s+', ' ', 'g'))), ' ') AS toks"
             "  FROM documents"
@@ -1876,10 +1903,20 @@ def oracle_sql() -> dict[str, str]:
             "  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter"
             "  FROM gd a JOIN gd b ON a.gram = b.gram AND a.doc_id < b.doc_id"
             "  GROUP BY 1, 2)"
-            "SELECT id_a, id_b "
-            "FROM pairs JOIN sizes sa ON sa.doc_id = pairs.id_a "
-            "JOIN sizes sb ON sb.doc_id = pairs.id_b "
-            "WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5"
+            ", jp AS ("
+            "  SELECT id_a, id_b "
+            "  FROM pairs JOIN sizes sa ON sa.doc_id = pairs.id_a "
+            "  JOIN sizes sb ON sb.doc_id = pairs.id_b "
+            "  WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5"
+            "), edges AS ("
+            "  SELECT id_a AS u, id_b AS v FROM jp "
+            "  UNION ALL SELECT id_b, id_a FROM jp"
+            "), walk(u, lbl) AS ("
+            "  SELECT doc_id, doc_id FROM documents"
+            "  UNION"
+            "  SELECT e.u, w.lbl FROM edges e JOIN walk w ON w.u = e.v"
+            ") "
+            "SELECT u AS doc_id, min(lbl) AS cluster FROM walk GROUP BY u"
         ),
         "ann_topk": (
             "SELECT q.vec_id AS q_id, e.vec_id, CAST(row_number() OVER ("
@@ -1986,6 +2023,36 @@ def oracle_sql() -> dict[str, str]:
         #
         # ---- legacy-name hedge oracles (see queries(): positions 51+;
         # only consulted if the driver pins the round-1 name list)
+        "ngram_jaccard": (
+            "WITH t AS ("
+            "  SELECT doc_id, string_split(lower(trim(regexp_replace("
+            "         substring(text,1,60), '\\s+', ' ', 'g'))), ' ') AS toks"
+            "  FROM documents"
+            "), tok AS ("
+            "  SELECT doc_id, unnest(toks) AS tok, generate_subscripts(toks, 1) AS i,"
+            "         len(toks) AS n FROM t"
+            "), tri AS ("
+            "  SELECT doc_id,"
+            "         tok || ' ' || lead(tok,1) OVER w || ' ' || lead(tok,2) OVER w AS gram,"
+            "         lead(tok,2) OVER w AS l2"
+            "  FROM tok WHERE n >= 3"
+            "  WINDOW w AS (PARTITION BY doc_id ORDER BY i)"
+            "), short AS ("
+            "  SELECT doc_id, array_to_string(toks, ' ') AS gram FROM t WHERE len(toks) < 3"
+            "), gd AS ("
+            "  SELECT DISTINCT doc_id, gram FROM ("
+            "    SELECT doc_id, gram FROM tri WHERE l2 IS NOT NULL"
+            "    UNION ALL SELECT doc_id, gram FROM short)"
+            "), sizes AS (SELECT doc_id, count(*) AS n FROM gd GROUP BY doc_id"
+            "), pairs AS ("
+            "  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter"
+            "  FROM gd a JOIN gd b ON a.gram = b.gram AND a.doc_id < b.doc_id"
+            "  GROUP BY 1, 2)"
+            "SELECT id_a, id_b "
+            "FROM pairs JOIN sizes sa ON sa.doc_id = pairs.id_a "
+            "JOIN sizes sb ON sb.doc_id = pairs.id_b "
+            "WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5"
+        ),
         "drop": "SELECT doc_id, lang, source FROM documents",
         "merge_swap": (
             "SELECT doc_id, lang || '-' || source AS tag, source AS lang, lang AS source "

@@ -660,3 +660,58 @@ def test_pack_sequences_greedy(spark):
     out2 = pack_sequences(df2, budget=512, shards=1).collect()
     assert {r["pack_id"] for r in out2} == {0}
     assert sorted(r["pack_pos"] for r in out2) == [0, 1, 2, 3, 4]
+
+
+# ------------------------------------------------------ dup clustering
+def test_dup_clusters_chain_and_star(spark):
+    from wrangler_spark.pipeline.dedup import dup_clusters
+
+    # chain 1-2-3-4 (diameter 3) + star 10-{11,12,13} + isolated pair
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (10, 11), (10, 12), (10, 13), (20, 21)],
+        "id_a long, id_b long",
+    )
+    got = {r["doc_id"]: r["cluster"] for r in dup_clusters(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1,
+                   10: 10, 11: 10, 12: 10, 13: 10,
+                   20: 20, 21: 20}
+
+
+def test_dup_clusters_singletons_via_vertices(spark):
+    from wrangler_spark.pipeline.dedup import dup_clusters
+
+    pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    verts = spark.createDataFrame([(1,), (2,), (7,), (9,)], "doc_id long")
+    got = {r["doc_id"]: r["cluster"] for r in dup_clusters(pairs, verts).collect()}
+    assert got == {1: 1, 2: 1, 7: 7, 9: 9}
+
+
+def test_dup_clusters_transitive_through_jaccard(spark):
+    """End-to-end: near-identical docs A≈B≈C must land in ONE cluster
+    even when the (A, C) pair itself is below threshold — transitivity
+    is the clustering's whole point."""
+    from wrangler_spark.pipeline.dedup import dup_clusters, ngram_jaccard_pairs
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog today"),
+        (2, "the quick brown fox jumps over the lazy cat today"),
+        (3, "a quick brown fox jumps over the lazy cat today"),
+        (4, "completely different text about spark and parquet files"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.5)
+    got = {r["doc_id"]: r["cluster"] for r in dup_clusters(pairs, docs).collect()}
+    assert got[1] == got[2] == got[3] == 1
+    assert got[4] == 4
+
+
+def test_dup_clusters_max_iter_raises(spark):
+    from wrangler_spark.pipeline.dedup import dup_clusters
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 8)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="not converged"):
+        dup_clusters(chain, max_iter=2)
+    got = {r["doc_id"]: r["cluster"] for r in dup_clusters(chain).collect()}
+    assert set(got.values()) == {1}

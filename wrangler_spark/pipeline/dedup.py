@@ -481,3 +481,84 @@ def decontaminate(
         .withColumn("contaminated", F.lit(True))
     )
     return corpus.join(hits, id_col, "left").na.fill({"contaminated": False})
+
+
+# ------------------------------------------------------ dup clustering
+def dup_clusters(
+    pairs: DataFrame,
+    vertices: DataFrame | None = None,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    id_col: str = "doc_id",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over an undirected duplicate-pair graph —
+    the step between pair emission (minhash/simhash/jaccard/embedding)
+    and canonical-document selection: every member of a transitive
+    duplicate cluster gets `cluster` = the minimum member id, so
+    "keep one per cluster" is a single `filter(id == cluster)`.
+
+    Algorithm: hash-min label propagation. Each round every vertex
+    takes the min of its own label and its neighbors' labels — one
+    equality join + one min-agg per round, converging in O(graph
+    diameter) rounds. Near-dup graphs are star-shaped (clones connect
+    through their canonical member, and `_bucket_pairs`' star guard
+    emits exactly that shape for oversized buckets), so 2-4 rounds
+    converge in practice; `max_iter` bounds pathological chains.
+    Convergence is DETECTED (an any-label-improved probe per round),
+    never assumed — hitting max_iter without converging raises rather
+    than returning a silently-wrong partition.
+
+    Scale shape: state is one (vertex, label) row per vertex; each
+    round shuffles edges once on dst and vertices once on the groupBy.
+    `localCheckpoint` truncates the growing lineage each round (the
+    standard Spark iterative-algorithm pattern — without it round k
+    replans k joins deep).
+
+    `vertices` (optional, one `id_col` per row): include pairless
+    documents as singleton clusters (cluster = own id).
+    """
+    e = pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+    edges = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
+    edges = edges.localCheckpoint(eager=True)
+    labels = edges.select(F.col("u").alias("id")).distinct().withColumn(
+        "lbl", F.col("id")
+    )
+    labels = labels.localCheckpoint(eager=True)
+    converged = False
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(
+                labels.select(F.col("id").alias("v"), F.col("lbl").alias("nlbl")), "v"
+            )
+            .groupBy("u")
+            .agg(F.min("nlbl").alias("cand"))
+        )
+        nxt = (
+            labels.join(nbr_min.select(F.col("u").alias("id"), "cand"), "id", "left")
+            .select(
+                "id",
+                F.col("lbl").alias("old"),
+                F.least("lbl", F.coalesce("cand", "lbl")).alias("lbl"),
+            )
+        ).localCheckpoint(eager=True)
+        improved = nxt.filter(F.col("lbl") < F.col("old")).limit(1).count()
+        labels = nxt.select("id", "lbl")
+        if improved == 0:
+            converged = True
+            break
+    if not converged:
+        raise RuntimeError(
+            f"dup_clusters: not converged after {max_iter} rounds — the "
+            "pair graph has a longer path than expected; raise max_iter "
+            "(or pre-contract chains with an exact-dup pass)"
+        )
+    out = labels.select(F.col("id").alias(id_col), F.col("lbl").alias("cluster"))
+    if vertices is not None:
+        singles = vertices.select(id_col).join(
+            out.select(id_col), on=id_col, how="left_anti"
+        )
+        out = out.unionByName(
+            singles.withColumn("cluster", F.col(id_col))
+        )
+    return out
