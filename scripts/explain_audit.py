@@ -336,6 +336,87 @@ def main() -> None:
         plan_of(docs_sp.agg(*aggs)),
     ))
 
+    # dup clustering — one propagation round = exactly two shuffles
+    from wrangler_spark.pipeline.dedup import dup_clusters, ngram_jaccard_pairs
+
+    docs_dc = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", F.substring("text", 1, 60).alias("text")
+    )
+    pr = ngram_jaccard_pairs(docs_dc, n=3, threshold=0.5).select("id_a", "id_b")
+    pr = pr.localCheckpoint(eager=True)
+    e_ = pr.select(F.col("id_a").alias("u"), F.col("id_b").alias("v")).union(
+        pr.select(F.col("id_b").alias("u"), F.col("id_a").alias("v"))
+    ).distinct().localCheckpoint(eager=True)
+    lbl = e_.select(F.col("u").alias("id")).distinct().withColumn(
+        "lbl", F.col("id")
+    ).localCheckpoint(eager=True)
+    one_round = (
+        e_.join(lbl.select(F.col("id").alias("v"), F.col("lbl").alias("nlbl")), "v")
+        .groupBy("u")
+        .agg(F.min("nlbl").alias("cand"))
+    )
+    sections.append((
+        "Duplicate clustering — one hash-min propagation round",
+        "Connected components runs O(graph diameter) rounds of exactly this "
+        "plan: one equality join of the (checkpointed) edge list against the "
+        "current labels plus one min-aggregate — two shuffles per round, "
+        "state bounded by one (vertex, label) row per vertex, AQE free to "
+        "broadcast the label side when components collapse. localCheckpoint "
+        "between rounds keeps round k's plan THIS size instead of k joins "
+        "deep.",
+        plan_of(one_round),
+    ))
+
+    # bloom index build — count pushdown + set-agg, no Python in the row path
+    import tempfile as _tf
+
+    from pyspark.sql import types as TT
+
+    from wrangler_spark.lake.table import LakeTable as _LT
+    from wrangler_spark.cdc.events import repo_files_schema as _rfs
+
+    _bdir = _tf.mkdtemp(prefix="plans_bloom_")
+    _bt = _LT.create(
+        spark, os.path.join(_bdir, "t"), _rfs(), ["repo", "path"],
+        num_buckets=2, properties={"bloom.cols": "content"},
+    )
+    _bt.merge(
+        spark.createDataFrame(
+            [(1, "insert", "r", "p", "c", "l", "x")],
+            "seq long, op string, repo string, path string, commit string, "
+            "lang string, content string",
+        ),
+        epoch=0,
+    )
+    _rels = [r for fl in _bt.snap["files"].values() for r in fl]
+    _paths = [os.path.join(_bt.path, r) for r in _rels]
+    _meta = spark.createDataFrame([(f"file:{p}", 64, 3) for p in _paths],
+                                  "f string, m long, k long")
+    _s = F.col("content").cast("string")
+    bloom_bits = (
+        spark.read.parquet(*_paths)
+        .where(_s.isNotNull())
+        .select(F.input_file_name().alias("f"),
+                F.xxhash64(_s).alias("h1"), F.xxhash64(_s, F.lit(1)).alias("h2"))
+        .join(F.broadcast(_meta), "f")
+        .select("f", "m", F.pmod(F.col("h1"), F.col("m")).alias("a"),
+                F.pmod(F.col("h2"), F.col("m")).alias("b"),
+                F.explode(F.sequence(F.lit(0), F.col("k") - 1)).alias("i"))
+        .select("f", F.pmod(F.col("a") + F.col("i") * F.col("b"), F.col("m")).alias("bit"))
+        .groupBy("f")
+        .agg(F.collect_set("bit").alias("bits"))
+    )
+    sections.append((
+        "Bloom index build (commit-time, per new file)",
+        "The bit-position computation is pure Column work (xxhash64 + pmod + "
+        "explode) feeding a collect_set aggregate keyed by file — a map-side "
+        "partial set per task, one shuffle, and only packed bitsets (not "
+        "rows) reach the driver. The sizing metadata joins in as a "
+        "BroadcastExchange. No Python touches the row path; the probe side "
+        "reuses the identical hash expressions on a 1-row plan.",
+        plan_of(bloom_bits),
+    ))
+
     out = ["# PLANS — physical-plan audit of the load-bearing paths",
            "",
            "Generated by `python scripts/explain_audit.py` (Spark "
