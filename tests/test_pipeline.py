@@ -715,3 +715,55 @@ def test_dup_clusters_max_iter_raises(spark):
         dup_clusters(chain, max_iter=2)
     got = {r["doc_id"]: r["cluster"] for r in dup_clusters(chain).collect()}
     assert set(got.values()) == {1}
+
+
+# --------------------------------------------------- incremental dedup
+def test_minhash_incremental_equals_full_pass(spark):
+    """Index the corpus once, probe a new batch: pairs involving new
+    docs must equal the full-corpus LSH pass restricted to those docs,
+    and the returned index rows must make index-append = full rebuild."""
+    from wrangler_spark.pipeline.dedup import (
+        minhash_index,
+        minhash_lsh_pairs,
+        minhash_lsh_pairs_incremental,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog and runs far away today"
+    corpus_rows = [
+        (1, base),
+        (2, base + " extra"),
+        (3, "completely unrelated text about parquet files and spark plans here"),
+    ]
+    new_rows = [
+        (10, base + " indeed"),          # near-dup of 1/2 (cross pair)
+        (11, base + " indeed!"),         # near-dup of 10 (within pair)
+        (12, "another totally distinct document mentioning nothing similar at all"),
+    ]
+    kw = dict(num_hashes=64, bands=32, shingle_k=3)
+    corpus = spark.createDataFrame(corpus_rows, "doc_id long, text string")
+    new = spark.createDataFrame(new_rows, "doc_id long, text string")
+    idx = minhash_index(corpus, **kw)
+
+    pairs, new_idx = minhash_lsh_pairs_incremental(new, idx, **kw)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+
+    full = minhash_lsh_pairs(corpus.union(new), **kw, max_bucket=1000)
+    new_ids = {10, 11, 12}
+    want = {
+        (r["id_a"], r["id_b"])
+        for r in full.collect()
+        if r["id_a"] in new_ids or r["id_b"] in new_ids
+    }
+    assert got == want
+    assert any(a in new_ids or b in new_ids for a, b in got)  # non-trivial
+
+    # appended index == index built from scratch over corpus+new
+    rebuilt = {
+        (r["doc_id"], r["band"], r["bucket"])
+        for r in minhash_index(corpus.union(new), **kw).collect()
+    }
+    appended = {
+        (r["doc_id"], r["band"], r["bucket"])
+        for r in idx.unionByName(new_idx).collect()
+    }
+    assert appended == rebuilt

@@ -46,6 +46,7 @@ class Replicator:
         recipe: str | list[str] | CompiledRecipe | None = None,
         mode: str = "cow",
         on_error: str = "fail",
+        salted: bool = False,
     ):
         if on_error not in ("fail", "skip"):
             raise ValueError(f"on_error must be 'fail' or 'skip', got {on_error!r}")
@@ -53,6 +54,9 @@ class Replicator:
         self.replica = replica
         self.mode = mode
         self.on_error = on_error
+        # skew passthrough: a hot source key is just as hot on the
+        # replica's merge — same salting knob as the Replayer's
+        self.salted = salted
         if recipe is not None and not isinstance(recipe, CompiledRecipe):
             recipe = compile_recipe(recipe)
         self.recipe = recipe
@@ -152,6 +156,7 @@ class Replicator:
             epoch=v1,
             mode=self.mode,
             renames=renames or None,
+            salted=self.salted,
         )
         # stamp the watermark — also when the merge was FENCED (a crash
         # between a prior sync's merge and its stamp would otherwise
@@ -177,6 +182,7 @@ class Replicator:
         starting_version: int | None = None,
         max_versions_per_trigger: int | None = None,
         trigger: dict | None = None,
+        metrics_sink: list | None = None,
     ):
         """Continuous replication: tail the source's changelog as a
         Structured Streaming source (offsets = source commit versions,
@@ -235,7 +241,9 @@ class Replicator:
                 .alias("op"),
                 *payload,
             )
-            self._apply_window(src, ev, int(win["v0"]) - 1, int(win["v1"]))
+            res = self._apply_window(src, ev, int(win["v0"]) - 1, int(win["v1"]))
+            if metrics_sink is not None:
+                metrics_sink.append({"batch_id": int(batch_id), **res})
 
         writer = stream.writeStream.foreachBatch(apply_batch).option(
             "checkpointLocation", checkpoint_dir

@@ -562,3 +562,69 @@ def dup_clusters(
             singles.withColumn("cluster", F.col(id_col))
         )
     return out
+
+
+# --------------------------------------------------- incremental dedup
+def minhash_index(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 5,
+) -> DataFrame:
+    """The persistable LSH index: one (id, band, bucket) row per doc per
+    band. Write it out once (parquet, partitioned/bucketed by (band,
+    bucket) for co-located probes) and incremental ingestion never
+    re-reads corpus TEXT again — the 100 TB dedup story is "signature
+    the corpus once, probe each new batch against the index", not
+    "re-shingle 100 TB per batch"."""
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k)
+    return _banded(sigs, id_col, num_hashes, bands)
+
+
+def minhash_lsh_pairs_incremental(
+    new_docs: DataFrame,
+    index: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 5,
+    max_bucket: int = 1000,
+) -> tuple[DataFrame, DataFrame]:
+    """Near-dup candidates for an incremental batch against an existing
+    `minhash_index`, WITHOUT touching corpus text. Returns
+    (pairs, new_index_rows):
+
+    - pairs: (id_a, id_b), id_a < id_b — every candidate involving at
+      least one NEW doc: new↔corpus (an equality join of the new batch's
+      band hashes against the index — the index side is only probed at
+      the new batch's (band, bucket) keys, so cost scales with the
+      BATCH, not the corpus) and new↔new (bucket co-membership within
+      the batch, star-guarded like the full pass). Corpus↔corpus pairs
+      are deliberately absent — they were emitted when those docs were
+      ingested (same hash family, same banding → same buckets forever).
+    - new_index_rows: append to the index (same schema) to ingest the
+      batch; `index.unionByName(new_index_rows)` IS the updated index.
+
+    Parameters must match the ones the index was built with — the
+    affine hash family is deterministic in `num_hashes`, so equal
+    parameters give bit-identical signatures across batches."""
+    new_idx = minhash_index(new_docs, text_col, id_col, num_hashes, bands, shingle_k)
+    new_idx = new_idx.localCheckpoint(eager=True)  # one signature pass, two consumers
+    cross = (
+        new_idx.alias("n")
+        .join(
+            index.alias("c"),
+            (F.col("n.band") == F.col("c.band"))
+            & (F.col("n.bucket") == F.col("c.bucket")),
+        )
+        .select(
+            F.least(F.col(f"n.{id_col}"), F.col(f"c.{id_col}")).alias("id_a"),
+            F.greatest(F.col(f"n.{id_col}"), F.col(f"c.{id_col}")).alias("id_b"),
+        )
+        .filter(F.col("id_a") != F.col("id_b"))
+    )
+    within = _bucket_pairs(new_idx, id_col, ["band", "bucket"], max_bucket)
+    return cross.unionByName(within).distinct(), new_idx
