@@ -767,3 +767,53 @@ def test_minhash_incremental_equals_full_pass(spark):
         for r in idx.unionByName(new_idx).collect()
     }
     assert appended == rebuilt
+
+
+def test_dup_clusters_property_random_graphs(spark):
+    """Hypothesis: for ANY pair set, dup_clusters equals a plain-Python
+    union-find over the same edges (singletons included via vertices)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from wrangler_spark.pipeline.dedup import dup_clusters
+
+    @settings(
+        max_examples=12,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        edges=st.lists(
+            st.tuples(st.integers(0, 14), st.integers(0, 14)),
+            min_size=0,
+            max_size=20,
+        )
+    )
+    def check(edges):
+        edges = [(a, b) for a, b in edges if a != b]
+        parent = list(range(15))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        want = {v: find(v) for v in range(15)}
+
+        verts = spark.createDataFrame([(v,) for v in range(15)], "doc_id long")
+        if edges:
+            pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+        else:
+            pairs = spark.createDataFrame([], "id_a long, id_b long")
+        got = {
+            r["doc_id"]: r["cluster"]
+            for r in dup_clusters(pairs, verts, max_iter=40).collect()
+        }
+        assert got == want
+
+    check()
