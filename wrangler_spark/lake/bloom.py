@@ -241,8 +241,15 @@ def may_contain(entry: dict, h1: int, h2: int) -> bool:
 
 
 def write_manifest(table_path: str, version: int, blooms: dict, fpp: float) -> str:
-    """Persist one commit's bloom sidecar; returns its relpath."""
-    rel = os.path.join("_meta", f"bloom-v{version:06d}.json")
+    """Persist one commit's bloom sidecar; returns its relpath. The
+    name carries a uuid: two writers racing the same target version
+    both stage a sidecar, the CAS picks one snapshot, and the loser's
+    orphan must never have OVERWRITTEN the winner's file (the snapshot
+    stores the full path, so uniqueness is free; expire_snapshots
+    collects unreferenced sidecars)."""
+    import uuid
+
+    rel = os.path.join("_meta", f"bloom-v{version:06d}-{uuid.uuid4().hex[:8]}.json")
     with open(os.path.join(table_path, rel), "w") as f:
         json.dump({"fpp": fpp, "files": blooms}, f)
     return rel
