@@ -165,6 +165,7 @@ def run_queries(spark) -> dict[str, float]:
         "lang_id",           # stopword language heuristic
         "table_lookup",      # broadcast join
         "fingerprint",       # rolling-hash winnowing
+        "dedup_clusters",    # jaccard pairs + connected components (round 4)
     ]
     # (dedup_embedding is a correctness query — exact O(n^2) pairs — not
     # a benchmark query; the scale path is ann_lsh/embedding LSH)
