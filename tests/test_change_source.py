@@ -238,3 +238,20 @@ def test_mid_stream_rename_reads_forward_alias(spark, mk_table):
     by_seq = {r["_change_seq"]: r for r in rows}
     assert by_seq[50]["lang"] == "python3"  # new-named file, old stream schema
     assert by_seq[50]["content"] == "b9"
+
+
+def test_resume_across_rollback_fails_loudly(spark, mk_table, tmp_path):
+    """rollback() commits forward with an UNKNOWN change set
+    (changes: null) — a stream resuming across it must fail loudly
+    (bootstrap from a snapshot read instead), never silently skip the
+    rolled-back window."""
+    t = mk_table("rb")
+    t.merge(ch(spark, E0), epoch=0)
+    ck = str(tmp_path / "ckrb")
+    assert len(drain(spark, t.path, ck)) == 3
+
+    t.merge(ch(spark, E1), epoch=1)
+    t.rollback(1)  # undo epoch 1; new commit, changes unknown
+    with pytest.raises(Exception) as ei:
+        drain(spark, t.path, ck, timeout=120)
+    assert "no change manifest" in str(ei.value)

@@ -147,6 +147,17 @@ class LakeChangesStreamReader(DataSourceStreamReader):
         return {"version": self._pos}
 
     def partitions(self, start: dict, end: dict):
+        if int(end["version"]) < int(start["version"]):
+            # the table's VERSION pointer moved BACKWARD past this
+            # stream's checkpointed offset (rollback()): every future
+            # window would be empty and the stream would stall silently
+            # at an offset the table can no longer reach — fail loudly
+            raise RuntimeError(
+                f"lake-changes: checkpointed offset v{start['version']} is "
+                f"ahead of the table's current v{end['version']} — the table "
+                "was rolled back; restart the stream from a fresh checkpoint "
+                "(or re-sync the replica from a snapshot read)"
+            )
         hi = max(int(end["version"]), int(start["version"]))
         self._pos = hi if self._pos is None else max(self._pos, hi)
         parts: list[_ChangeFilePartition] = []
