@@ -627,9 +627,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         dst = LakeTable.create(spark, f"{base}/dst", schema, ["user_id"], num_buckets=4)
         rp = Replayer(src, f"{base}/ckpt")
         rep = Replicator(src, dst)
-        for e in (0, 1, 2):
+        # epochs 0-1 through the BATCH path (table_changes windows) …
+        for e in (0, 1):
             rp.replay(ev, to_epoch=e)
             rep.sync()
+        # … epoch 2 through the STREAMING path (round 4: the lake-changes
+        # Structured Streaming source → per-microbatch LWW merge), which
+        # resumes at the batch path's watermark — the oracle value-checks
+        # both planes AND their handoff in one row set
+        rp.replay(ev, to_epoch=2)
+        q_ = rep.stream_sync(f"{base}/stream_ckpt", trigger={"availableNow": True})
+        q_.awaitTermination(180)
+        while not rep.sync()["skipped"]:  # availableNow caps at one batch
+            pass
         return LakeTable.load(spark, dst.path).read().select(
             "user_id", "event_type", "value", "props"
         )

@@ -201,3 +201,28 @@ def test_expire_keeps_retained_change_files(spark, mk_table):
     # window fully inside retained versions still reads fast
     got = changes_map(t.table_changes(v_mid))
     assert got == {("r3", "y.rs"): ("update", "y1", 30)}
+
+
+def test_cow_change_files_are_post_image(spark, mk_table):
+    """A cow commit's change manifest must hold only rows that BEAT the
+    base (Delta CDF post-image): a stale candidate (lower seq than the
+    base row — including a base TOMBSTONE for a never-visible key) must
+    not appear, or a streaming consumer that never materialized the
+    tombstone would resurrect the key."""
+    t = mk_table("postimg")
+    t.merge(ch(spark, [
+        (10, "insert", "r1", "a.py", "c1", "python", "a0"),
+        (90, "insert", "r9", "z.py", "c1", "python", "z0"),
+        (99, "delete", "r9", "z.py", None, None, None),  # never-visible key
+    ]), epoch=0)
+    # epoch 1: one real update + one stale update + one stale-vs-tombstone
+    t.merge(ch(spark, [
+        (20, "update", "r1", "a.py", "c2", "python", "a1"),
+        (5, "update", "r1", "a.py", "c0", "python", "STALE"),
+        (50, "update", "r9", "z.py", "c9", "python", "GHOST"),  # < 99
+    ]), epoch=1)
+    rels = t.snap.get("changes")
+    assert rels
+    cdf = spark.read.parquet(*[os.path.join(t.path, r) for r in rels])
+    rows = {(r["repo"], r["path"]): (r["__seq"], r["content"]) for r in cdf.collect()}
+    assert rows == {("r1", "a.py"): (20, "a1")}  # no STALE, no GHOST

@@ -201,6 +201,18 @@ class Replicator:
         twice; the merge's max-seq resolution collapses them to the
         same final state.
 
+        Handoff from batch `sync()` (starting_version=None resumes at
+        the replica's watermark): safe when the streamed window's
+        commits are copy-on-write — their change files are POST-IMAGE
+        (base-stale candidates filtered at merge time). Merge-on-read
+        commits keep within-batch winners in their delta/change files
+        (their seq guard lives at read time), so a batch-synced replica
+        — which never saw tombstones for never-visible keys — could
+        accept a stale candidate. For mor sources, either bootstrap the
+        replica by streaming from version 0 (re-delivery is
+        LWW-idempotent, and the replica then holds every tombstone) or
+        keep using batch sync().
+
         Returns the running StreamingQuery; `trigger` is forwarded to
         `writeStream.trigger(**trigger)` (e.g. {"processingTime": "10
         seconds"} or {"availableNow": True} for catch-up-and-stop).

@@ -338,6 +338,7 @@ def merge_into(
         )
         merged = base_keep.unionByName(changed.repartition(F.col("__b")))
         pre_partitioned = True
+        post_image = changed  # winners that actually beat the base
     else:
         w = changes_aligned.select(
             *[F.col(k).alias(f"__w_{k}") for k in keys],
@@ -364,6 +365,16 @@ def merge_into(
         ).select(*keys, *[F.col(c) for c in data_cols if c not in keys], "__seq", "__deleted", "__b")
         merged = existing.unionByName(brand_new)
         pre_partitioned = False
+        # post-image for the change manifest: drop candidates the base
+        # beat (Catalyst prunes this base probe to keys + __seq)
+        stale_keys = (
+            base_aligned.join(
+                w.select(*[F.col(f"__w_{k}") for k in keys], "__w_seq"), join_cond
+            )
+            .filter(F.col("__w_seq") <= F.col("__seq"))
+            .select(*keys)
+        )
+        post_image = changes_aligned.join(stale_keys, on=keys, how="left_anti")
 
     if explain_sink is not None:
         # plan-audit hook (scripts/explain_audit.py → PLANS.md): the
@@ -380,13 +391,18 @@ def merge_into(
     _t1 = _time.time()
     bucket_files = table.write_buckets(merged, new_version, pre_partitioned=pre_partitioned)
     # change-data files (Delta CDF equivalent): persist THIS commit's
-    # winner set so table_changes over the window is O(changes), never
-    # a full snapshot diff. Winners are cached and tiny next to the
-    # bucket rewrite; stale winners (lost vs base) are fine — the
-    # changelog read's v0-probe LWW resolves them away.
+    # POST-IMAGE — batch winners that actually beat the base — so
+    # table_changes over the window is O(changes), never a full
+    # snapshot diff, AND every row in a cow change file reflects a real
+    # state transition. The base-stale filter matters for the streaming
+    # changelog source: a consumer that missed a key's tombstone (a
+    # batch-synced replica never sees deletes of never-visible keys)
+    # has no seq to reject a stale candidate with — so cow files must
+    # not carry them. (mor change files remain within-batch winners by
+    # construction; their guard lives at read time.)
     change_rels: list[str] | None
     if str(table.snap.get("properties", {}).get("changelog.enabled", "true")).lower() != "false":
-        change_rels = table.write_change_files(changes_aligned, new_version)
+        change_rels = table.write_change_files(post_image, new_version)
     else:
         change_rels = None
     _t_write = _time.time() - _t1
