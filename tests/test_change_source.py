@@ -255,3 +255,31 @@ def test_resume_across_rollback_fails_loudly(spark, mk_table, tmp_path):
     with pytest.raises(Exception) as ei:
         drain(spark, t.path, ck, timeout=120)
     assert "no change manifest" in str(ei.value)
+
+
+def test_ending_version_bounds_replay(spark, mk_table, tmp_path):
+    """endingVersion (inclusive) caps the replay: commits past it never
+    stream, and a later run with the SAME checkpoint but a higher bound
+    resumes exactly where the bounded run stopped."""
+    t = mk_table("bound")
+    t.merge(ch(spark, E0), epoch=0)
+    t.merge(ch(spark, E1), epoch=1)
+    t.merge(ch(spark, E2), epoch=2)
+    ck = str(tmp_path / "ckb")
+
+    def drain_to(end):
+        got = []
+        q = (
+            read_stream_changes(spark, t.path, starting_version=0, ending_version=end)
+            .writeStream.foreachBatch(lambda b, i: got.extend(b.collect()))
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        return got
+
+    first = drain_to(1)
+    assert {r["_commit_version"] for r in first} == {1}
+    second = drain_to(3)
+    assert {r["_commit_version"] for r in second} == {2, 3}

@@ -106,6 +106,7 @@ class LakeChangesStreamReader(DataSourceStreamReader):
         table_path: str,
         starting_version: int | None,
         max_versions_per_trigger: int | None = None,
+        ending_version: int | None = None,
     ):
         self.table_path = table_path
         snap = _load_snap(table_path, _current_version(table_path))
@@ -114,6 +115,9 @@ class LakeChangesStreamReader(DataSourceStreamReader):
         self.max_versions = (
             int(max_versions_per_trigger) if max_versions_per_trigger else None
         )
+        # bounded replay (Delta endingVersion): the stream never
+        # announces offsets past this commit — drain and idle
+        self.end_version = int(ending_version) if ending_version is not None else None
         self._pos: int | None = None  # last offset this run has planned
         self._start = (
             int(starting_version)
@@ -138,6 +142,8 @@ class LakeChangesStreamReader(DataSourceStreamReader):
         are monotonic — the cap can only defer progress, never rewind
         the stream's offset log."""
         cur = _current_version(self.table_path)
+        if self.end_version is not None:
+            cur = min(cur, self.end_version)
         if self.max_versions is None:
             return {"version": cur}
         if self._pos is None:
@@ -266,7 +272,8 @@ class LakeChangesDataSource(DataSource):
         mv = self.options.get(
             "maxversionspertrigger", self.options.get("maxVersionsPerTrigger")
         )
-        return LakeChangesStreamReader(self.options["path"], sv, mv)
+        ev = self.options.get("endingversion", self.options.get("endingVersion"))
+        return LakeChangesStreamReader(self.options["path"], sv, mv, ev)
 
 
 def register_change_source(spark) -> None:
@@ -279,16 +286,21 @@ def read_stream_changes(
     path: str,
     starting_version: int | None = None,
     max_versions_per_trigger: int | None = None,
+    ending_version: int | None = None,
 ):
     """Convenience wrapper: a streaming DataFrame of the table's
     commit-scoped changes from `starting_version` (exclusive) onward;
     None = only commits after stream start. `max_versions_per_trigger`
     bounds each microbatch to that many commits (admission control for
-    backlogged streams)."""
+    backlogged streams); `ending_version` (inclusive) bounds the replay
+    — the stream drains to that commit and then idles (Delta
+    `endingVersion` shape)."""
     register_change_source(spark)
     r = spark.readStream.format("lake-changes").option("path", path)
     if starting_version is not None:
         r = r.option("startingVersion", str(starting_version))
     if max_versions_per_trigger is not None:
         r = r.option("maxVersionsPerTrigger", str(max_versions_per_trigger))
+    if ending_version is not None:
+        r = r.option("endingVersion", str(ending_version))
     return r.load()
