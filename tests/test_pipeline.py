@@ -817,3 +817,35 @@ def test_dup_clusters_property_random_graphs(spark):
         assert got == want
 
     check()
+
+
+def test_minhash_incremental_hot_bucket_star_guard(spark):
+    """A corpus bucket larger than max_bucket pairs each new doc with
+    the bucket's canonical min member ONLY — O(n) output — and the
+    clone group still lands in one cluster through it."""
+    from wrangler_spark.pipeline.dedup import (
+        dup_clusters,
+        minhash_index,
+        minhash_lsh_pairs_incremental,
+    )
+
+    text = "identical boilerplate header repeated across the whole corpus again"
+    corpus = spark.createDataFrame(
+        [(i, text) for i in range(1, 9)], "doc_id long, text string"
+    )
+    new = spark.createDataFrame([(100, text)], "doc_id long, text string")
+    kw = dict(num_hashes=64, bands=32, shingle_k=3)
+    idx = minhash_index(corpus, **kw)
+    pairs, _ = minhash_lsh_pairs_incremental(new, idx, max_bucket=4, **kw)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert got == {(1, 100)}  # star only: new doc <-> canonical member
+    # clustering through the canonical connects the whole group
+    full_pairs, _ = minhash_lsh_pairs_incremental(new, idx, max_bucket=0, **kw)
+    all_pairs = pairs.unionByName(
+        spark.createDataFrame(
+            [(i, j) for i in range(1, 9) for j in range(i + 1, 9)],
+            "id_a long, id_b long",
+        )
+    )
+    cl = {r["doc_id"]: r["cluster"] for r in dup_clusters(all_pairs).collect()}
+    assert len(set(cl.values())) == 1 and cl[100] == 1

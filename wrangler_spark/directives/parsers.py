@@ -86,8 +86,21 @@ def parse_as_csv(call: DirectiveCall):
                 eq = cell == F.lit(nm)
                 hdr_cond = eq if hdr_cond is None else (hdr_cond & eq)
             out = out.filter(~F.coalesce(hdr_cond, F.lit(False)))
-        for nm in names:
-            out = out.withColumn(nm, F.col("__wr_csv").getField(nm))
+        # reference parity (commons-csv, RecordConvertorTest.testEmptyString):
+        # a PRESENT-but-empty field is "" while a MISSING trailing field
+        # is null. from_csv nulls both, so distinguish by the line's
+        # quote-aware field count: strip quoted segments, count
+        # delimiters, and coalesce only fields the line actually has.
+        stripped = F.regexp_replace(s, r'"(?:[^"\\]|\\.)*"', "")
+        cnt = F.when(
+            s.isNull() | (F.length(s) == 0), F.lit(0)
+        ).otherwise(F.size(F.split(stripped, re.escape(delim), -1)))
+        for i, nm in enumerate(names):
+            fld = F.col("__wr_csv").getField(nm)
+            out = out.withColumn(
+                nm,
+                F.when(F.lit(i) < cnt, F.coalesce(fld, F.lit(""))).otherwise(fld),
+            )
         return out.drop("__wr_csv")
 
     return tr

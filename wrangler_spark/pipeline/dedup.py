@@ -613,18 +613,46 @@ def minhash_lsh_pairs_incremental(
     parameters give bit-identical signatures across batches."""
     new_idx = minhash_index(new_docs, text_col, id_col, num_hashes, bands, shingle_k)
     new_idx = new_idx.localCheckpoint(eager=True)  # one signature pass, two consumers
-    cross = (
-        new_idx.alias("n")
-        .join(
-            index.alias("c"),
-            (F.col("n.band") == F.col("c.band"))
-            & (F.col("n.bucket") == F.col("c.bucket")),
+
+    def _cross_all(idx_side):
+        return (
+            new_idx.alias("n")
+            .join(
+                idx_side.alias("c"),
+                (F.col("n.band") == F.col("c.band"))
+                & (F.col("n.bucket") == F.col("c.bucket")),
+            )
+            .select(
+                F.least(F.col(f"n.{id_col}"), F.col(f"c.{id_col}")).alias("id_a"),
+                F.greatest(F.col(f"n.{id_col}"), F.col(f"c.{id_col}")).alias("id_b"),
+            )
+            .filter(F.col("id_a") != F.col("id_b"))
         )
-        .select(
-            F.least(F.col(f"n.{id_col}"), F.col(f"c.{id_col}")).alias("id_a"),
-            F.greatest(F.col(f"n.{id_col}"), F.col(f"c.{id_col}")).alias("id_b"),
+
+    if max_bucket:
+        # the star guard, index-side: a hot corpus bucket (m members)
+        # joined against a hot new batch (n members) would emit n·m
+        # pairs; instead pair each new doc with the bucket's min-id
+        # canonical member only — the clone group stays connected
+        # through it (same rationale as _bucket_pairs), output O(n).
+        stats = index.groupBy("band", "bucket").agg(
+            F.count(F.lit(1)).alias("__n"), F.min(id_col).alias("__min")
         )
-        .filter(F.col("id_a") != F.col("id_b"))
-    )
+        nb = new_idx.join(stats, ["band", "bucket"])
+        star = (
+            nb.filter(F.col("__n") > max_bucket)
+            .select(
+                F.least(F.col(id_col), F.col("__min")).alias("id_a"),
+                F.greatest(F.col(id_col), F.col("__min")).alias("id_b"),
+            )
+            .filter(F.col("id_a") != F.col("id_b"))
+        )
+        small = index.join(
+            stats.filter(F.col("__n") <= max_bucket).select("band", "bucket"),
+            ["band", "bucket"],
+        )
+        cross = _cross_all(small).unionByName(star)
+    else:
+        cross = _cross_all(index)
     within = _bucket_pairs(new_idx, id_col, ["band", "bucket"], max_bucket)
     return cross.unionByName(within).distinct(), new_idx

@@ -333,19 +333,66 @@ def apply_precondition(
     raise ValueError(f"unknown precondition language {language!r} (jexl|sql)")
 
 
+def conform_to_schema(df: DataFrame, schema) -> DataFrame:
+    """Coerce a recipe's output to a TARGET schema — the reference's
+    `RecipePipeline.execute(rows, schema)` / RecordConvertor surface
+    (reference: wrangler-core/src/test/java/io/cdap/wrangler/utils/
+    RecordConvertorTest.java):
+
+    - columns select in schema order (case-insensitive match); a field
+      with no matching column becomes NULL (valid only if nullable);
+    - values cast leniently to the field type (int→long, string→double,
+      float→double … the RecordConvertor conversion lattice);
+    - a NULL (or failed cast) in a NON-nullable field raises at
+      execution (the reference throws RecipeException) via a JVM-side
+      guard expression — no extra validation job.
+    """
+    from pyspark.sql import functions as F
+
+    by_l = {c.lower(): c for c in df.columns}
+    cols = []
+    for f in schema.fields:
+        src = by_l.get(f.name.lower())
+        c = F.col(src).cast(f.dataType) if src else F.lit(None).cast(f.dataType)
+        if not f.nullable:
+            if src is None:
+                raise UsageError(
+                    f"output schema: non-nullable field '{f.name}' has no "
+                    "matching column in the recipe output"
+                )
+            c = F.when(
+                c.isNull(),
+                F.raise_error(
+                    F.lit(
+                        f"output schema: non-nullable field '{f.name}' "
+                        "received NULL (or an uncastable value)"
+                    )
+                ).cast(f.dataType),
+            ).otherwise(c)
+        cols.append(c.alias(f.name))
+    return df.select(*cols)
+
+
 def execute(
     spark, recipe: str | list[str], df: DataFrame,
     lookups: dict[str, DataFrame] | None = None,
     precondition: str | None = None,
     precondition_language: str = "jexl",
     config: dict | None = None,
+    output_schema=None,
 ) -> tuple[DataFrame, DataFrame | None]:
     """One-shot helper mirroring the reference's TestingRig.execute.
 
     `precondition`: optional plugin-level row filter evaluated before
     the recipe (see apply_precondition); `config`: admin DirectiveConfig
-    (exclusions/aliases), same shape compile_recipe takes."""
+    (exclusions/aliases), same shape compile_recipe takes;
+    `output_schema`: optional target StructType the result is conformed
+    to (see conform_to_schema — the reference's
+    `RecipePipeline.execute(rows, schema)` second argument)."""
     ctx = RecipeContext(spark=spark, lookups=lookups or {})
     if precondition:
         df = apply_precondition(df, precondition, precondition_language)
-    return compile_recipe(recipe, config=config).apply(df, ctx)
+    ok, err = compile_recipe(recipe, config=config).apply(df, ctx)
+    if output_schema is not None:
+        ok = conform_to_schema(ok, output_schema)
+    return ok, err
