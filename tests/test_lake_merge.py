@@ -320,3 +320,71 @@ def test_rollback_expired_version_refuses(spark, tmp_path):
     t.expire_snapshots(keep_last=1)
     with pytest.raises(ValueError, match="not retained"):
         t.rollback(0)
+
+
+def test_drop_column_metadata_only(spark, tmp_path):
+    """DROP COLUMN: metadata-only; reads prune it, time travel still
+    shows it, and re-adding the name (or a retired alias) is refused —
+    no field ids means a re-added name would resurrect old values."""
+    import pytest as _pt
+
+    from wrangler_spark.cdc.events import repo_files_schema
+
+    t = LakeTable.create(
+        spark, str(tmp_path / "dropcol"), repo_files_schema(), ["repo", "path"],
+        num_buckets=4,
+    )
+    def ch(rows, ddl="seq long, op string, repo string, path string, commit string, lang string, content string"):
+        return spark.createDataFrame(rows, ddl)
+
+    t.merge(ch([(10, "insert", "r1", "a.py", "c1", "python", "a0")]), epoch=0)
+    v_pre = t.version
+    res = t.drop_column("lang")
+    assert "lang" in res["dropped"]
+    assert "lang" not in [f.name for f in t.schema.fields]
+    row = t.read().collect()[0]
+    assert "lang" not in row.asDict() and row["content"] == "a0"
+    # files untouched: time travel still shows the column
+    old = LakeTable.load(spark, t.path, version=v_pre)
+    assert old.read().collect()[0]["lang"] == "python"
+    # merges keep flowing without the column
+    t.merge(ch([(20, "update", "r1", "a.py", "c2", "b1")],
+               "seq long, op string, repo string, path string, commit string, content string"),
+            epoch=1)
+    assert t.read().collect()[0]["content"] == "b1"
+    # re-adding the dropped name is refused at evolve time
+    with _pt.raises(Exception, match="re-add dropped"):
+        t.merge(ch([(30, "update", "r1", "a.py", "c3", "python3", "b2")]), epoch=2)
+    # key columns cannot drop; unknown columns error
+    with _pt.raises(ValueError, match="key column"):
+        t.drop_column("repo")
+    with _pt.raises(ValueError, match="no column"):
+        t.drop_column("nope")
+
+
+def test_drop_column_retires_aliases_too(spark, tmp_path):
+    """Dropping a RENAMED column retires its former name as well: a
+    later add of the old name would read pre-rename files' values."""
+    import pytest as _pt
+
+    from wrangler_spark.cdc.events import repo_files_schema
+
+    t = LakeTable.create(
+        spark, str(tmp_path / "dropal"), repo_files_schema(), ["repo", "path"],
+        num_buckets=4,
+    )
+    t.merge(spark.createDataFrame(
+        [(10, "insert", "r1", "a.py", "c1", "python", "a0")],
+        "seq long, op string, repo string, path string, commit string, lang string, content string",
+    ), epoch=0)
+    t.merge(spark.createDataFrame(
+        [(20, "update", "r1", "a.py", "c2", "python3", "a1")],
+        "seq long, op string, repo string, path string, commit string, language string, content string",
+    ), epoch=1, renames={"lang": "language"})
+    t.drop_column("language")
+    assert set(t.snap["dropped"]) >= {"language", "lang"}
+    with _pt.raises(Exception, match="re-add dropped"):
+        t.merge(spark.createDataFrame(
+            [(30, "update", "r1", "a.py", "c3", "py", "a2")],
+            "seq long, op string, repo string, path string, commit string, lang string, content string",
+        ), epoch=2)

@@ -152,7 +152,8 @@ def merge_into(
             raise ValueError(f"cannot rename table key column(s): {bad}")
     if evolve:
         schema, aliases = evolve_schema(
-            table.schema, incoming, renames=renames, aliases=table.aliases
+            table.schema, incoming, renames=renames, aliases=table.aliases,
+            dropped=table.snap.get("dropped", []),
         )
     else:
         schema, aliases = table.schema, table.aliases

@@ -305,15 +305,34 @@ def evolve_schema(
     new: T.StructType,
     renames: dict[str, str] | None = None,
     aliases: dict[str, list[str]] | None = None,
+    dropped: list[str] | None = None,
 ) -> tuple[T.StructType, dict[str, list[str]]]:
     """Merge an incoming schema into the table schema: declared renames
     apply in place (Iceberg RENAME COLUMN — the old name becomes a read
     alias so pre-rename data files stay readable), new columns are
     added, numeric types widen, otherwise the old type wins.
 
+    `dropped`: names retired by `drop_column`. Re-adding one is
+    REFUSED: this format has no Iceberg field ids, so a re-added name
+    would resurrect the dropped column's values out of every pre-drop
+    data file — silent corruption. Pick a fresh name instead.
+
     Returns (schema, aliases) where aliases maps current field name
     (lower) → prior names (lower) still present in old data files.
     """
+    dropped_l = {str(d).lower() for d in (dropped or [])}
+    if dropped_l:
+        live = {f.name.lower() for f in old.fields}
+        clash = sorted(
+            {f.name for f in new.fields if f.name.lower() in dropped_l - live}
+            | {n for n in (renames or {}).values() if n.lower() in dropped_l - live}
+        )
+        if clash:
+            raise ValueError(
+                f"cannot re-add dropped column(s) {clash}: without field ids a "
+                "re-added name would resurrect old values from pre-drop data "
+                "files; use a new column name"
+            )
     aliases = {k: list(v) for k, v in (aliases or {}).items()}
     fields = list(old.fields)
     for o, n in (renames or {}).items():
@@ -1188,6 +1207,34 @@ class LakeTable:
                 }
             )
         return out
+
+    def drop_column(self, name: str) -> dict:
+        """Iceberg `DROP COLUMN` shape: metadata-only — the field leaves
+        the schema in a new commit, data files are untouched, and every
+        read/scan/changelog path prunes it via the schema projection.
+        The name (and its read aliases — old files carry those) is
+        recorded in the snapshot's `dropped` set; re-adding any of them
+        is refused at evolve time (no field ids → a re-added name would
+        resurrect pre-drop values; see evolve_schema). Key columns
+        cannot drop."""
+        n_l = name.lower()
+        if n_l in {k.lower() for k in self.key_cols}:
+            raise ValueError(f"cannot drop table key column {name!r}")
+        fields = self.schema.fields
+        if not any(f.name.lower() == n_l for f in fields):
+            raise ValueError(f"drop_column: no column {name!r} in table schema")
+        new_schema = T.StructType([f for f in fields if f.name.lower() != n_l])
+        aliases = dict(self.aliases)
+        retired = [n_l, *aliases.pop(n_l, [])]
+        dropped = sorted(set(self.snap.get("dropped", [])) | set(retired))
+        snap = dict(self.snap)
+        snap["dropped"] = dropped
+        self.snap = snap
+        self.commit(
+            {}, schema=new_schema, aliases=aliases, change_files=[],
+            operation=f"drop-column({name})",
+        )
+        return {"version": self.version, "dropped": retired}
 
     def rollback(self, version: int) -> dict:
         """Roll the table back to an earlier retained version as a NEW
