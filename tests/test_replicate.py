@@ -231,3 +231,25 @@ def test_stream_sync_converges(spark, mk_table, tmp_path):
 
     # batch sync() agrees the replica is caught up (shared watermark)
     assert rep.sync()["skipped"]
+
+
+def test_recipe_drop_maps_to_replica_drop_column(spark, mk_table):
+    """A replication recipe that DROPs a payload column maps to replica
+    DROP COLUMN (metadata-only, once) — the replica schema loses the
+    field instead of wedging it at NULL for every future winner."""
+    src, dst = mk_table("dsrc"), mk_table("ddst")
+    rep = Replicator(src, dst, recipe=["drop :lang"])
+    src.merge(ch(spark, EPOCH0), epoch=0)
+    rep.sync()
+    assert "lang" not in [f.name for f in dst.schema.fields]
+    got = {(r["repo"], r["path"]): r["content"] for r in dst.read().collect()}
+    assert got == {("r1", "a.py"): "a0", ("r1", "b.py"): "b0", ("r2", "x.go"): "x0"}
+    # later windows flow with the column already absent (idempotent)
+    src.merge(ch(spark, EPOCH1), epoch=1)
+    r2 = rep.sync()
+    assert not r2["skipped"]
+    d2 = LakeTable.load(spark, dst.path)
+    assert "lang" not in [f.name for f in d2.schema.fields]
+    assert {(r["repo"], r["path"]): r["content"] for r in d2.read().collect()} == {
+        ("r1", "a.py"): "a1", ("r1", "b.py"): "b0", ("r3", "y.rs"): "y0"
+    }

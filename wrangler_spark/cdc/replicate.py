@@ -129,6 +129,20 @@ class Replicator:
                         f"rows in window ({v0}, {v1}]; watermark NOT advanced "
                         "(pass on_error='skip' to drop them and continue)"
                     )
+        # recipe DROPs map to replica DROP COLUMN (the last leg of
+        # "column directives mapped to Iceberg schema updates"):
+        # without this, a dropped payload column would linger in the
+        # replica schema and every future winner would null it — a
+        # column that is half old values, half nulls, instead of gone.
+        # Metadata-only and idempotent (fires once; later windows see
+        # the column already absent). Key columns are left for the
+        # merge's own missing-key error, which names the real problem.
+        if self.recipe is not None:
+            rep_cols = {f.name.lower() for f in self.replica.schema.fields}
+            key_l = {k.lower() for k in self.replica.key_cols}
+            for col in self.recipe.drops():
+                if col in rep_cols and col not in key_l:
+                    self.replica.drop_column(col)
         # schema evolution across the window: a source RENAME must not
         # degrade into add-column on the replica (which would wedge the
         # old column at NULL for every later row — silent divergence).

@@ -135,6 +135,25 @@ class CompiledRecipe:
                 out[old] = new
         return out
 
+    def drops(self) -> list[str]:
+        """Columns the recipe unconditionally removes (top-level `drop`
+        directives, minus anything later re-created by rename/copy/
+        set-column). The CDC layer maps these to lake-table DROP COLUMN
+        — the last leg of 'column directives mapped to Iceberg schema
+        updates' (add/rename/widen/drop)."""
+        dropped: set[str] = set()
+        for c in self.calls:
+            if c.name == "drop":
+                for col in c.cols(0):
+                    dropped.add(col.lower())
+            elif c.name == "rename":
+                dropped.discard(c.col(1).lower())
+            elif c.name == "copy" and len(c.args) >= 2:
+                dropped.discard(c.col(1).lower())
+            elif c.name in ("set-column", "set column"):
+                dropped.discard(c.col(0).lower())
+        return sorted(dropped)
+
 
 def compile_recipe(
     recipe: str | list[str],
