@@ -388,3 +388,38 @@ def test_drop_column_retires_aliases_too(spark, tmp_path):
             [(30, "update", "r1", "a.py", "c3", "py", "a2")],
             "seq long, op string, repo string, path string, commit string, lang string, content string",
         ), epoch=2)
+
+
+def test_rename_column_standalone_and_set_properties(spark, tmp_path):
+    """Standalone metadata-only RENAME COLUMN (read alias, same
+    contract as the merge path) and SET TBLPROPERTIES (e.g. enabling
+    bloom.cols on an existing table takes effect on the next commit)."""
+    import pytest as _pt
+
+    from wrangler_spark.cdc.events import repo_files_schema
+
+    t = LakeTable.create(
+        spark, str(tmp_path / "rencol"), repo_files_schema(), ["repo", "path"],
+        num_buckets=2,
+    )
+    t.merge(spark.createDataFrame(
+        [(10, "insert", "r1", "a.py", "c1", "python", "a0")],
+        "seq long, op string, repo string, path string, commit string, lang string, content string",
+    ), epoch=0)
+    t.rename_column("lang", "language")
+    assert [f.name for f in t.schema.fields] == ["repo", "path", "commit", "language", "content"]
+    # old files resolve under the new name via the alias
+    assert t.read().collect()[0]["language"] == "python"
+    with _pt.raises(ValueError, match="key column"):
+        t.rename_column("repo", "repository")
+    with _pt.raises(ValueError, match="no column"):
+        t.rename_column("nope", "x")
+
+    r = t.set_properties({"bloom.cols": "content"})
+    assert r["properties"]["bloom.cols"] == "content"
+    # next merge builds blooms for its new files
+    t.merge(spark.createDataFrame(
+        [(20, "insert", "r2", "b.py", "c1", "go", "b0")],
+        "seq long, op string, repo string, path string, commit string, language string, content string",
+    ), epoch=1)
+    assert t.snap.get("bloom_manifests")

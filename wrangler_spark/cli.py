@@ -339,6 +339,33 @@ def cmd_rollback(args) -> int:
     return 0
 
 
+def cmd_alter(args) -> int:
+    """Metadata-only schema/property changes (ALTER TABLE shape):
+    --rename old=new, --drop-column name, --set key=value — each a
+    separate commit, applied in that order."""
+    from wrangler_spark.lake import LakeTable
+
+    t = LakeTable.load(_spark(args), args.table)
+    out = []
+    for spec in args.rename or []:
+        old, _, new = spec.partition("=")
+        if not new:
+            raise SystemExit(f"bad --rename {spec!r}; want old=new")
+        out.append(t.rename_column(old, new))
+    for name in args.drop_column or []:
+        out.append(t.drop_column(name))
+    if args.set_prop:
+        props = {}
+        for spec in args.set_prop:
+            k, _, v = spec.partition("=")
+            if not _:
+                raise SystemExit(f"bad --set {spec!r}; want key=value")
+            props[k] = v
+        out.append(t.set_properties(props))
+    print(json.dumps(out))
+    return 0
+
+
 def cmd_migrate(args) -> int:
     """Rewrite a v1 (or mixed) recipe as canonical v2 text (reference
     parser/MigrateToV2.java; the design-time service exposes the same
@@ -499,6 +526,13 @@ def build_parser() -> argparse.ArgumentParser:
     rb.add_argument("--table", required=True)
     rb.add_argument("--version", type=int, required=True)
     rb.set_defaults(fn=cmd_rollback)
+
+    al = sub.add_parser("alter", help="metadata-only schema/property changes")
+    al.add_argument("--table", required=True)
+    al.add_argument("--rename", action="append", metavar="OLD=NEW")
+    al.add_argument("--drop-column", dest="drop_column", action="append", metavar="NAME")
+    al.add_argument("--set", dest="set_prop", action="append", metavar="KEY=VALUE")
+    al.set_defaults(fn=cmd_alter)
 
     mg = sub.add_parser("migrate", help="rewrite a v1 recipe as canonical v2 text")
     mg.add_argument("--recipe", required=True, help="recipe file")

@@ -1208,6 +1208,37 @@ class LakeTable:
             )
         return out
 
+    def rename_column(self, old: str, new: str) -> dict:
+        """Iceberg `RENAME COLUMN` as a standalone metadata-only commit
+        (renames also flow through merges via `renames=`): the old name
+        becomes a read alias so pre-rename data files keep resolving,
+        exactly like the merge path — both delegate to evolve_schema.
+        Key columns cannot rename (they address buckets and merges)."""
+        if old.lower() in {k.lower() for k in self.key_cols}:
+            raise ValueError(f"cannot rename table key column {old!r}")
+        if not any(f.name.lower() == old.lower() for f in self.schema.fields):
+            raise ValueError(f"rename_column: no column {old!r} in table schema")
+        schema, aliases = evolve_schema(
+            self.schema, T.StructType([]), renames={old: new},
+            aliases=self.aliases, dropped=self.snap.get("dropped", []),
+        )
+        if not any(f.name.lower() == new.lower() for f in schema.fields):
+            raise ValueError(f"rename_column: target name {new!r} collides")
+        self.commit(
+            {}, schema=schema, aliases=aliases, change_files=[],
+            operation=f"rename-column({old}->{new})",
+        )
+        return {"version": self.version, "renamed": {old: new}}
+
+    def set_properties(self, props: dict) -> dict:
+        """Metadata-only property update commit (ALTER TABLE SET
+        TBLPROPERTIES): e.g. enable bloom.cols / stats.cols / mor
+        compaction triggers on an existing table."""
+        self.commit({}, properties=dict(props), change_files=[],
+                    operation="set-properties")
+        return {"version": self.version,
+                "properties": dict(self.snap.get("properties", {}))}
+
     def drop_column(self, name: str) -> dict:
         """Iceberg `DROP COLUMN` shape: metadata-only — the field leaves
         the schema in a new commit, data files are untouched, and every
