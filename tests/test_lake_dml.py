@@ -1,0 +1,284 @@
+"""Predicate DML (DELETE / UPDATE WHERE) + general MERGE builder.
+
+Semantics bar: Delta Lake `DeltaTable.delete/update/merge` and Iceberg
+copy-on-write row-level DML (the reference engine is transform-only;
+the north rule's Iceberg sink implies this surface). The scale
+invariants — file-granular rewrites planned from metadata, tombstones
+fencing late CDC events, changelog continuity — are asserted directly.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from wrangler_spark.cdc.events import repo_files_schema
+from wrangler_spark.lake.dml import MergeConflictError
+from wrangler_spark.lake.table import LakeTable
+
+
+@pytest.fixture()
+def mk_table(spark, tmp_path):
+    def _mk(name, **kw):
+        kw.setdefault("num_buckets", 8)
+        return LakeTable.create(
+            spark, str(tmp_path / name), repo_files_schema(), ["repo", "path"], **kw
+        )
+
+    return _mk
+
+
+def ch(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        "seq long, op string, repo string, path string, commit string, lang string, content string",
+    )
+
+
+def seed(spark, table, n=40, mode="cow"):
+    rows = [
+        (
+            i,
+            "insert",
+            f"repo{i % 4}",
+            f"f{i}.py",
+            f"c{i}",
+            "python" if i % 2 == 0 else "go",
+            f"body{i:03d}",
+        )
+        for i in range(n)
+    ]
+    table.merge(ch(spark, rows), epoch=0, mode=mode)
+    return rows
+
+
+def live(table):
+    return {
+        (r["repo"], r["path"]): (r["lang"], r["content"])
+        for r in table.read().collect()
+    }
+
+
+# --------------------------------------------------------------- DELETE
+
+
+def test_delete_where_removes_matching_rows(spark, mk_table):
+    t = mk_table("d1")
+    rows = seed(spark, t)
+    m = t.delete_where([("lang", "=", "go")])
+    assert m["committed"] and m["rows"] == sum(1 for r in rows if r[5] == "go")
+    got = live(t)
+    assert len(got) == sum(1 for r in rows if r[5] == "python")
+    assert all(v[0] == "python" for v in got.values())
+
+
+def test_delete_nomatch_is_a_noop(spark, mk_table):
+    t = mk_table("d2")
+    seed(spark, t)
+    v0 = t.version
+    m = t.delete_where([("lang", "=", "rust")])
+    assert m["committed"] is False and m["rows"] == 0
+    assert t.version == v0
+
+
+def test_delete_refuses_unfiltered(spark, mk_table):
+    t = mk_table("d3")
+    seed(spark, t)
+    with pytest.raises(ValueError, match="unfiltered"):
+        t.delete_where([])
+
+
+def test_delete_is_file_granular(spark, mk_table):
+    """Sorted, split files + a narrow range predicate: only the files
+    whose stats admit the range are rewritten; every other file
+    carries over by reference (same relpath in the new snapshot)."""
+    t = mk_table(
+        "d4",
+        num_buckets=1,
+        properties={"write.sort.cols": "content", "write.max-records-per-file": 10},
+    )
+    seed(spark, t, n=80)
+    before = set(t.snap["files"]["0"])
+    assert len(before) >= 6
+    m = t.delete_where([("content", ">=", "body000"), ("content", "<=", "body004")])
+    assert m["committed"] and m["rows"] == 5
+    assert m["files_rewritten"] <= 2
+    assert m["files_stat_skipped"] >= len(before) - 2
+    after = set(t.snap["files"]["0"])
+    # untouched files carried over by reference
+    assert len(before & after) == len(before) - m["files_rewritten"]
+    assert ("repo0", "f0.py") not in live(t) and ("repo1", "f5.py") in live(t)
+
+
+def test_delete_tombstone_fences_late_events(spark, mk_table):
+    """A change event replayed AFTER the DML with a lower seq must not
+    resurrect the deleted key (the DML stamped max_seq+1)."""
+    t = mk_table("d5")
+    seed(spark, t, n=10)
+    t.delete_where([("repo", "=", "repo1"), ("path", "=", "f1.py")])
+    stale = ch(spark, [(5, "update", "repo1", "f1.py", "cX", "python", "LATE")])
+    t.merge(stale, epoch=1)
+    assert ("repo1", "f1.py") not in live(t)
+    fresh = ch(spark, [(10_000, "update", "repo1", "f1.py", "cY", "python", "FRESH")])
+    t.merge(fresh, epoch=2)
+    assert live(t)[("repo1", "f1.py")] == ("python", "FRESH")
+
+
+def test_delete_resolves_pending_mor_deltas(spark, mk_table):
+    t = mk_table("d6")
+    seed(spark, t, n=12)
+    upd = ch(spark, [(100 + i, "update", f"repo{i % 4}", f"f{i}.py", "cZ", "go", f"v2-{i}") for i in range(12)])
+    t.merge(upd, epoch=1, mode="mor")
+    assert t.snap.get("deltas")
+    m = t.delete_where([("lang", "=", "go")])
+    assert m["committed"] and m["rows"] == 12  # every row is go after the mor update
+    assert live(t) == {}
+    assert not any(t.snap.get("deltas", {}).values())
+
+
+def test_delete_changelog_post_image(spark, mk_table):
+    t = mk_table("d7")
+    seed(spark, t, n=8)
+    v0 = t.version
+    t.delete_where([("repo", "=", "repo2")])
+    changes = t.table_changes(v0).collect()
+    deleted = {(r["repo"], r["path"]) for r in changes if r["_change_op"] == "delete"}
+    assert deleted == {("repo2", "f2.py"), ("repo2", "f6.py")}
+
+
+# --------------------------------------------------------------- UPDATE
+
+
+def test_update_where_sets_expressions(spark, mk_table):
+    t = mk_table("u1")
+    seed(spark, t, n=10)
+    m = t.update_where(
+        [("lang", "=", "go")],
+        {"content": "upper(content)", "commit": F.lit("patched")},
+    )
+    assert m["committed"] and m["rows"] == 5
+    for r in t.read().collect():
+        if r["lang"] == "go":
+            assert r["content"].startswith("BODY") and r["commit"] == "patched"
+        else:
+            assert r["content"].startswith("body")
+
+
+def test_update_rejects_keys_and_metadata(spark, mk_table):
+    t = mk_table("u2")
+    seed(spark, t, n=4)
+    with pytest.raises(ValueError, match="key column"):
+        t.update_where([("lang", "=", "go")], {"repo": "'x'"})
+    with pytest.raises(ValueError, match="metadata"):
+        t.update_where([("lang", "=", "go")], {"__seq": "0"})
+    with pytest.raises(ValueError, match="not a table column"):
+        t.update_where([("lang", "=", "go")], {"nope": "'x'"})
+
+
+def test_update_stamps_fresh_seq_for_lww(spark, mk_table):
+    """An updated row wins over a late CDC event whose seq predates the
+    DML (the DML stamped max_seq+1); an event with a genuinely newer
+    seq still beats the DML — LWW order is preserved both ways."""
+    t = mk_table("u3")
+    seed(spark, t, n=4)  # seqs 0..3 → DML stamps 4
+    t.update_where([("path", "=", "f1.py")], {"content": "'DML'"})
+    t.merge(ch(spark, [(2, "update", "repo1", "f1.py", "c", "go", "STALE")]), epoch=1)
+    assert live(t)[("repo1", "f1.py")][1] == "DML"
+    t.merge(ch(spark, [(9, "update", "repo1", "f1.py", "c", "go", "NEWER")]), epoch=2)
+    assert live(t)[("repo1", "f1.py")][1] == "NEWER"
+
+
+# --------------------------------------------------------------- MERGE
+
+
+def test_merge_builder_upsert(spark, mk_table):
+    t = mk_table("m1")
+    seed(spark, t, n=6)
+    src = spark.createDataFrame(
+        [
+            ("repo1", "f1.py", "NEW1"),  # existing key → update
+            ("repo9", "fX.py", "NEW2"),  # new key → insert
+        ],
+        "repo string, path string, content string",
+    )
+    m = (
+        t.merge_builder(src)
+        .when_matched_update({"content": "s.content"})
+        .when_not_matched_insert()
+        .execute()
+    )
+    assert m["committed"] and m["rows_changed"] == 2
+    got = live(t)
+    assert got[("repo1", "f1.py")][1] == "NEW1"
+    assert got[("repo9", "fX.py")][1] == "NEW2"
+    assert len(got) == 7
+    # source columns absent from the insert (commit/lang) land NULL
+    row = {(r["repo"], r["path"]): r for r in t.read().collect()}[("repo9", "fX.py")]
+    assert row["lang"] is None
+
+
+def test_merge_builder_clause_order_and_conditions(spark, mk_table):
+    t = mk_table("m2")
+    seed(spark, t, n=6)
+    src = spark.createDataFrame(
+        [("repo1", "f1.py", "drop"), ("repo2", "f2.py", "keep")],
+        "repo string, path string, verdict string",
+    )
+    (
+        t.merge_builder(src)
+        .when_matched_delete(condition="s.verdict = 'drop'")
+        .when_matched_update({"content": "concat(t.content, '+', s.verdict)"})
+        .execute()
+    )
+    got = live(t)
+    assert ("repo1", "f1.py") not in got
+    assert got[("repo2", "f2.py")][1] == "body002+keep"
+
+
+def test_merge_builder_rejects_duplicate_source_keys(spark, mk_table):
+    t = mk_table("m3")
+    seed(spark, t, n=4)
+    src = spark.createDataFrame(
+        [("repo1", "f1.py", "a"), ("repo1", "f1.py", "b")],
+        "repo string, path string, content string",
+    )
+    with pytest.raises(MergeConflictError):
+        t.merge_builder(src).when_matched_update({"content": "s.content"}).execute()
+
+
+def test_merge_builder_tombstone_is_not_matched(spark, mk_table):
+    """A deleted key matches NOT-MATCHED (insert revives it); with no
+    insert clause the tombstone carries over and keeps fencing."""
+    t = mk_table("m4")
+    seed(spark, t, n=4)
+    t.delete_where([("path", "=", "f1.py")])
+    src = spark.createDataFrame(
+        [("repo1", "f1.py", "REVIVED")], "repo string, path string, content string"
+    )
+    # update-only merge: tombstone unaffected
+    t.merge_builder(src).when_matched_update({"content": "s.content"}).execute()
+    assert ("repo1", "f1.py") not in live(t)
+    # insert clause revives
+    t.merge_builder(src).when_not_matched_insert().execute()
+    assert live(t)[("repo1", "f1.py")][1] == "REVIVED"
+
+
+def test_merge_builder_prunes_untouched_buckets(spark, mk_table):
+    t = mk_table("m5", num_buckets=16)
+    seed(spark, t, n=40)
+    files_before = dict(t.snap["files"])
+    src = spark.createDataFrame(
+        [("repo1", "f1.py", "X")], "repo string, path string, content string"
+    )
+    t.merge_builder(src).when_matched_update({"content": "s.content"}).execute()
+    changed = [b for b in files_before if t.snap["files"].get(b) != files_before[b]]
+    assert len(changed) == 1  # exactly the source key's bucket rewrote
+
+
+def test_merge_builder_needs_a_clause_and_keys(spark, mk_table):
+    t = mk_table("m6")
+    seed(spark, t, n=2)
+    src = spark.createDataFrame([("repo1",)], "repo string")
+    with pytest.raises(ValueError, match="key column"):
+        t.merge_builder(src).when_not_matched_insert().execute()
+    src2 = spark.createDataFrame([("repo1", "f1.py")], "repo string, path string")
+    with pytest.raises(ValueError, match="WHEN clause"):
+        t.merge_builder(src2).execute()

@@ -1073,7 +1073,14 @@ class LakeTable:
             if any(r in live for r in m["files"])
         ]
         cols = _bloom.bloom_cols(snap)
-        new_rels = [r for fl in (new_bucket_files or {}).values() for r in fl]
+        # DML commits pass survivor files through new_bucket_files (the
+        # per-bucket manifest is a full replacement list); files already
+        # covered by a live manifest keep their blooms — only genuinely
+        # new files build
+        indexed = {r for m in manifests for r in m["files"]}
+        new_rels = [
+            r for fl in (new_bucket_files or {}).values() for r in fl if r not in indexed
+        ]
         if cols and new_rels:
             fpp = float(snap.get("properties", {}).get("bloom.fpp", 0.01))
             built = _bloom.build_blooms(self.spark, self.path, new_rels, cols, fpp)
@@ -1108,6 +1115,28 @@ class LakeTable:
             broadcast_keys_max=broadcast_keys_max, explain_sink=explain_sink,
             mode=mode,
         )
+
+    # ------------------------------------------------------------ DML
+    def delete_where(self, filters: list, epoch: int | None = None) -> dict:
+        """DELETE FROM … WHERE (col, op, value) conjuncts — metadata-
+        pruned, file-granular rewrite; see lake/dml.py."""
+        from wrangler_spark.lake.dml import delete_where
+
+        return delete_where(self, filters, epoch=epoch)
+
+    def update_where(self, filters: list, set: dict, epoch: int | None = None) -> dict:
+        """UPDATE … SET col=expr WHERE (col, op, value) conjuncts."""
+        from wrangler_spark.lake.dml import update_where
+
+        return update_where(self, filters, set, epoch=epoch)
+
+    def merge_builder(self, source: DataFrame):
+        """General MERGE INTO builder (Delta DeltaMergeBuilder shape):
+        when_matched_update / when_matched_delete /
+        when_not_matched_insert with SQL conditions over t.* / s.*."""
+        from wrangler_spark.lake.dml import MergeBuilder
+
+        return MergeBuilder(self, source)
 
     # ------------------------------------------------------------ maintenance
     def expire_snapshots(self, keep_last: int = 2) -> dict:
