@@ -282,3 +282,29 @@ def test_merge_builder_needs_a_clause_and_keys(spark, mk_table):
     src2 = spark.createDataFrame([("repo1", "f1.py")], "repo string, path string")
     with pytest.raises(ValueError, match="WHEN clause"):
         t.merge_builder(src2).execute()
+
+
+# --------------------------------------------------------------- CLI
+
+
+def test_cli_delete_and_update(spark, mk_table, capsys):
+    """delete/update subcommands drive the same DML in-process (the
+    spark-submit deployment shape is covered by test_cli.py)."""
+    import json
+
+    from wrangler_spark.cli import main
+
+    t = mk_table("cli1")
+    seed(spark, t, n=10)
+    assert main(["delete", "--table", t.path, "--filter", "lang=go"]) == 0
+    m = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert m["committed"] and m["rows"] == 5
+    assert main([
+        "update", "--table", t.path,
+        "--filter", "lang=python", "--set", "commit=upper(commit)",
+    ]) == 0
+    m = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert m["rows"] == 5
+    t2 = LakeTable.load(spark, t.path)
+    assert t2.read().filter("lang='go'").count() == 0
+    assert all(r["commit"].startswith("C") for r in t2.read().collect())

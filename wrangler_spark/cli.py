@@ -15,6 +15,18 @@ on a multi-executor cluster. Subcommands:
 - stream       Structured-Streaming replay (readStream → foreachBatch)
 - verify       per-row sha256 projection of the final table state
 - vacuum       expire old snapshots + delete orphaned data files
+- compact      fold merge-on-read deltas into base buckets (+ Z-order)
+- rescale      rewrite under a new hash-bucket count
+- replicate    incremental changelog replication to a replica table
+- scan         stats/bloom-pruned filtered read (data skipping)
+- delete       DELETE rows matching --filter conjuncts (file-granular)
+- update       UPDATE SET col=expr WHERE --filter conjuncts
+- changes      changelog between two snapshots (CDC source)
+- lineage      column-level recipe lineage
+- history      retained commit history
+- rollback     metadata-only rollback to a retained version
+- alter        metadata-only schema/property changes
+- migrate      rewrite a v1 recipe as canonical v2 text
 - package      zip wrangler_spark/ for --py-files
 
 Everything the job needs ships in the zip; no cluster-side installs.
@@ -237,30 +249,21 @@ def cmd_replicate(args) -> int:
     return 0
 
 
-def cmd_scan(args) -> int:
-    """Metadata-pruned scan: filters are col<op>value strings
-    (op ∈ =, <, <=, >, >=; values are strings — parquet stats compare
-    strings lexicographically, numbers numerically after int/float
-    coercion). Prints the scan plan (buckets, files skipped) to stderr
-    and rows (or a parquet write with --out) from the pruned read."""
+def _parse_filters(table, raws) -> list:
+    """col<op>value strings → scan-filter triples. Numeric-looking
+    values coerce ONLY when the table column is numeric — '00123' on a
+    string key must stay '00123', else the point-lookup bucket pin
+    hashes '123' and silently misses."""
     import re
-    import sys
 
     from pyspark.sql import types as T
 
-    from wrangler_spark.lake.table import LakeTable
-
-    spark = _spark(args)
-    table = LakeTable.load(spark, args.table)
     filters = []
-    for raw in args.filter or []:
+    for raw in raws or []:
         m = re.match(r"^([A-Za-z_][\w]*)(<=|>=|=|<|>)(.*)$", raw)
         if not m:
             raise SystemExit(f"bad --filter {raw!r}; want col<op>value")
         col, op, val = m.groups()
-        # Coerce numeric-looking values ONLY when the table column is
-        # numeric — '00123' on a string key must stay '00123', else the
-        # point-lookup bucket pin hashes '123' and silently misses.
         fld = next(
             (f for f in table.schema.fields if f.name.lower() == col.lower()), None
         )
@@ -277,6 +280,22 @@ def cmd_scan(args) -> int:
                 except ValueError:
                     continue
         filters.append((col, op, val))
+    return filters
+
+
+def cmd_scan(args) -> int:
+    """Metadata-pruned scan: filters are col<op>value strings
+    (op ∈ =, <, <=, >, >=; values are strings — parquet stats compare
+    strings lexicographically, numbers numerically after int/float
+    coercion). Prints the scan plan (buckets, files skipped) to stderr
+    and rows (or a parquet write with --out) from the pruned read."""
+    import sys
+
+    from wrangler_spark.lake.table import LakeTable
+
+    spark = _spark(args)
+    table = LakeTable.load(spark, args.table)
+    filters = _parse_filters(table, args.filter)
     plan: dict = {}
     df = table.scan(filters, plan_out=plan)
     print(json.dumps(plan), file=sys.stderr)
@@ -285,6 +304,33 @@ def cmd_scan(args) -> int:
     else:
         for row in df.limit(args.limit).collect():
             print(json.dumps(row.asDict(), default=str))
+    return 0
+
+
+def cmd_delete(args) -> int:
+    """DELETE FROM --table WHERE --filter conjuncts (metadata-pruned,
+    file-granular rewrite; see lake/dml.py). Prints the DML metrics."""
+    from wrangler_spark.lake.table import LakeTable
+
+    spark = _spark(args)
+    table = LakeTable.load(spark, args.table)
+    print(json.dumps(table.delete_where(_parse_filters(table, args.filter))))
+    return 0
+
+
+def cmd_update(args) -> int:
+    """UPDATE --table SET col=sql-expr (repeatable) WHERE --filter."""
+    from wrangler_spark.lake.table import LakeTable
+
+    spark = _spark(args)
+    table = LakeTable.load(spark, args.table)
+    sets = {}
+    for raw in args.set or []:
+        if "=" not in raw:
+            raise SystemExit(f"bad --set {raw!r}; want col=sql-expr")
+        col, expr = raw.split("=", 1)
+        sets[col.strip()] = expr.strip()
+    print(json.dumps(table.update_where(_parse_filters(table, args.filter), sets)))
     return 0
 
 
@@ -505,6 +551,17 @@ def build_parser() -> argparse.ArgumentParser:
     sc.add_argument("--out", default=None, help="write result parquet here")
     sc.add_argument("--limit", type=int, default=100)
     sc.set_defaults(fn=cmd_scan)
+
+    dl = sub.add_parser("delete", help="DELETE rows matching --filter conjuncts")
+    dl.add_argument("--table", required=True)
+    dl.add_argument("--filter", action="append", required=True, help="col<op>value, repeatable (AND)")
+    dl.set_defaults(fn=cmd_delete)
+
+    up = sub.add_parser("update", help="UPDATE SET col=expr WHERE --filter conjuncts")
+    up.add_argument("--table", required=True)
+    up.add_argument("--filter", action="append", required=True, help="col<op>value, repeatable (AND)")
+    up.add_argument("--set", action="append", required=True, help="col=sql-expr, repeatable")
+    up.set_defaults(fn=cmd_update)
 
     cg = sub.add_parser("changes", help="changelog between two snapshots (CDC source)")
     cg.add_argument("--table", required=True)
