@@ -45,6 +45,13 @@ computation + distributed connected components; the recursive-CTE
 oracle recomputes the pairs AND the transitive closure, so the fold
 strictly adds checked surface). ngram_jaccard keeps its round-3 body
 and oracle at 51+.
+
+Round-4 fourth rotation: flatten → split_to_columns (the zip-explode
+now runs inside that composite's recipe, nested before its
+split-to-rows explode, with both exploded columns in the checked
+output) to promote `lake_dml` — predicate DELETE/UPDATE + the general
+MERGE builder (lake/dml.py) — into the checked 50 with a full
+relational oracle. flatten keeps its round-3 body and oracle at 51+.
 """
 
 from __future__ import annotations
@@ -897,9 +904,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_split_to_columns(spark, d):
         # folds: split-to-columns + create-record + flatten-record
         # (round-4: absorbs the former `split_to_rows` key — cut-character
-        # + split-to-rows explode over the same documents table)
+        # + split-to-rows explode over the same documents table — and the
+        # former `flatten` key: zip-explode of two unequal-length arrays
+        # with null-padding, exploded BEFORE the split-to-rows explode so
+        # the oracle nests the two unnests in the same order)
+        df = _t(spark, d, "documents").withColumn(
+            "a1", F.split(F.col("lang"), "")
+        ).withColumn("a2", F.split(F.col("source"), ""))
         return _run(
-            spark, _t(spark, d, "documents"),
+            spark, df,
             [
                 "set-column :kv concat(lang, ':', source)",
                 "split-to-columns :kv ':'",
@@ -907,9 +920,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 "set-column :hasf ddl:hasField(rec, 'kv_1')",
                 "set-column :rec2 ddl:drop(rec, 'kv_2')",
                 "flatten-record :rec,:rec2",
+                "flatten :a1,:a2",
                 "cut-character :text :text40 '1-40'",
                 "split-to-rows :text40 ' '",
-                "keep :doc_id,:rec_kv_1,:rec_kv_2,:rec2_kv_1,:hasf,:text40",
+                "keep :doc_id,:rec_kv_1,:rec_kv_2,:rec2_kv_1,:hasf,:a1,:a2,:text40",
             ],
         )
     q["split_to_columns"] = q_split_to_columns
@@ -1286,12 +1300,62 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["set_variable"] = q_set_variable
 
-    def q_flatten(spark, d):
-        df = _t(spark, d, "documents").withColumn(
-            "a1", F.split(F.col("lang"), "")
-        ).withColumn("a2", F.split(F.col("source"), ""))
-        return _run(spark, df, ["flatten :a1,:a2", "keep :doc_id,:a1,:a2"])
-    q["flatten"] = q_flatten
+    def q_lake_dml(spark, d):
+        """Predicate DML + general MERGE (round 4): replay the event
+        stream into a lake table, then run the three row-level DML
+        statements the Iceberg/Delta surface owes —
+          DELETE WHERE event_type='click'   (file-granular, stats-pruned)
+          UPDATE WHERE event_type='purchase' SET value = value*2
+          MERGE (matched-update + not-matched-insert) stamping
+                event_type='merged' for a fixed user set (one of which
+                never existed → insert path, others update in place;
+                a user whose live row the DELETE tombstoned counts as
+                NOT MATCHED and is revived by the insert clause).
+        The final table state must equal the SQL oracle applying the
+        same three statements to the direct-LWW state."""
+        import tempfile
+
+        from pyspark.sql import types as TT
+
+        from wrangler_spark.cdc import Replayer
+        from wrangler_spark.lake import LakeTable
+
+        ev = _t(spark, d, "events").select(
+            F.col("event_id").alias("seq"),
+            (F.col("event_id") % 3).cast("long").alias("epoch"),
+            F.when(F.col("event_type") == "signup", "insert")
+            .when(F.col("event_type") == "error", "delete")
+            .otherwise("update")
+            .alias("op"),
+            "user_id",
+            "event_type",
+            "value",
+        )
+        schema = TT.StructType(
+            [f for f in ev.schema.fields if f.name not in ("seq", "epoch", "op")]
+        )
+        base = tempfile.mkdtemp(prefix="wr_dml_")
+        table = LakeTable.create(
+            spark, f"{base}/tbl", schema, ["user_id"], num_buckets=4,
+            properties={"write.sort.cols": "event_type"},
+        )
+        Replayer(table, f"{base}/ckpt").replay(ev)
+        table.delete_where([("event_type", "=", "click")])
+        table.update_where([("event_type", "=", "purchase")], {"value": "value * 2"})
+        src = spark.createDataFrame(
+            [(1, "merged"), (2, "merged"), (3, "merged"), (999999, "merged")],
+            "user_id long, event_type string",
+        )
+        (
+            table.merge_builder(src)
+            .when_matched_update({"event_type": "s.event_type"})
+            .when_not_matched_insert()
+            .execute()
+        )
+        return LakeTable.load(spark, f"{base}/tbl").read().select(
+            "user_id", "event_type", "value"
+        )
+    q["lake_dml"] = q_lake_dml
 
     assert len(q) == 50, f"driver correctness pass caps at 50 queries, got {len(q)}"
 
@@ -1309,6 +1373,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs = _t(spark, d, "documents").withColumn("text", F.substring("text", 1, 60))
         return ngram_jaccard_pairs(docs, n=3, threshold=0.5).select("id_a", "id_b")
     q["ngram_jaccard"] = q_legacy_ngram_jaccard
+
+    def q_legacy_flatten(spark, d):
+        # folded into split_to_columns (zip-explode now runs inside that
+        # composite's recipe); body unchanged from round 3
+        df = _t(spark, d, "documents").withColumn(
+            "a1", F.split(F.col("lang"), "")
+        ).withColumn("a2", F.split(F.col("source"), ""))
+        return _run(spark, df, ["flatten :a1,:a2", "keep :doc_id,:a1,:a2"])
+    q["flatten"] = q_legacy_flatten
 
     def q_legacy_drop(spark, d):
         return _run(spark, _t(spark, d, "documents"), ["drop :text,:n_chars"])
@@ -1752,11 +1825,18 @@ def oracle_sql() -> dict[str, str]:
             "SELECT l_orderkey, l_linenumber, "
             "floor(l_extendedprice * (1 - l_discount) * 100) / 100.0 AS revenue FROM lineitem"
         ),
+        # split_to_columns: the flatten zip-explode runs BEFORE the
+        # split-to-rows explode, so the oracle nests the two unnests in
+        # the same order (chars of lang/source null-padded to the longer
+        # length, then words of the 40-char text prefix)
         "split_to_columns": (
+            "WITH b AS (SELECT doc_id, lang, source, substr(text, 1, 40) AS t40, "
+            "string_split(lang, '') AS a1, string_split(source, '') AS a2 FROM documents), "
+            "f AS (SELECT doc_id, lang, source, t40, a1[i] AS a1, a2[i] AS a2 FROM ("
+            "SELECT *, unnest(range(1, greatest(len(a1), len(a2)) + 1)) AS i FROM b)) "
             "SELECT doc_id, lang AS rec_kv_1, source AS rec_kv_2, "
-            "lang AS rec2_kv_1, true AS hasf, "
-            "unnest(string_split(substr(text, 1, 40), ' ')) AS text40 "
-            "FROM documents"
+            "lang AS rec2_kv_1, true AS hasf, a1, a2, "
+            "unnest(string_split(t40, ' ')) AS text40 FROM f"
         ),
         "filter_row": (
             "SELECT doc_id, lang FROM documents WHERE doc_id % 3 <> 0 "
@@ -2165,6 +2245,31 @@ def oracle_sql() -> dict[str, str]:
             "SELECT user_id, event_type, value, TRUE AS point_pruned, TRUE AS skipped_all, "
             "TRUE AS bloom_pruned "
             "FROM d WHERE rn = 1 AND op <> 'delete' AND user_id = 7"
+        ),
+        # lake_dml: direct-LWW state, then the same three DML statements
+        # applied relationally — DELETE clicks, double purchase values,
+        # MERGE users {1,2,3,999999} to 'merged' (matched → update in
+        # place keeping value; not matched — absent, deleted upstream,
+        # or click-DELETEd above — → insert with NULL value)
+        "lake_dml": (
+            "WITH d AS (SELECT user_id, event_type, value, "
+            "CASE WHEN event_type = 'signup' THEN 'insert' "
+            "WHEN event_type = 'error' THEN 'delete' ELSE 'update' END AS op, "
+            "row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn "
+            "FROM events), "
+            "lww AS (SELECT user_id, event_type, value FROM d WHERE rn = 1 AND op <> 'delete'), "
+            "afterdel AS (SELECT * FROM lww WHERE event_type <> 'click'), "
+            "afterupd AS (SELECT user_id, event_type, "
+            "CASE WHEN event_type = 'purchase' THEN value * 2 ELSE value END AS value "
+            "FROM afterdel), "
+            "m(user_id) AS (VALUES (1), (2), (3), (999999)) "
+            "SELECT a.user_id, "
+            "CASE WHEN m.user_id IS NOT NULL THEN 'merged' ELSE a.event_type END AS event_type, "
+            "a.value "
+            "FROM afterupd a LEFT JOIN m ON a.user_id = m.user_id "
+            "UNION ALL "
+            "SELECT m.user_id, 'merged' AS event_type, NULL AS value FROM m "
+            "WHERE m.user_id NOT IN (SELECT user_id FROM afterupd)"
         ),
         # cdc_replicate: the replica synced off the changelog must hold
         # exactly the direct-LWW state of the full stream
