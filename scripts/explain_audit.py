@@ -406,6 +406,37 @@ def main() -> None:
         .groupBy("f")
         .agg(F.collect_set("bit").alias("bits"))
     )
+    # predicate DML — metadata plan + column-pruned match probe +
+    # file-granular rewrite (lake/dml.py)
+    dml_filters = [("content", ">=", "v4"), ("content", "<", "v5")]
+    dml_plan = tbl.scan_plan(dml_filters)
+    dml_cand = [os.path.join(tbl.path, r) for r in dml_plan["base_rels"]]
+    dml_probe = (
+        tbl._read_files(dml_cand)
+        .withColumn("__f", F.input_file_name())
+        .filter(tbl._filters_to_column(dml_filters) & ~F.col("__deleted"))
+        .groupBy("__f")
+        .count()
+    )
+    dml_probe_plan = plan_of(dml_probe)
+    dml_m = tbl.delete_where(dml_filters)
+    sections.append((
+        "Predicate DML (DELETE/UPDATE WHERE) — metadata plan + column-pruned probe",
+        "delete_where/update_where plan from scan_plan first (stats+bloom "
+        f"file pruning: {dml_plan['skipped_files']} files skipped "
+        "driver-side before any job runs), then a match PROBE whose "
+        "FileScan ReadSchema below carries only the filter column and the "
+        "tombstone flag — parquet column pruning makes the probe cheap "
+        "relative to a rewrite — and only files that CONTAIN matching "
+        f"rows rewrite: this delete rewrote {dml_m['files_rewritten']} of "
+        f"{dml_m['files_candidates']} candidate files ({dml_m['rows']} "
+        "rows tombstoned at a fresh commit sequence, fencing late "
+        "lower-seq CDC events). Untouched files carry over by reference; "
+        "a point-delete on a sorted, bloom-indexed table rewrites exactly "
+        "one file, not a bucket.",
+        dml_probe_plan,
+    ))
+
     sections.append((
         "Bloom index build (commit-time, per new file)",
         "The bit-position computation is pure Column work (xxhash64 + pmod + "
