@@ -308,3 +308,70 @@ def test_cli_delete_and_update(spark, mk_table, capsys):
     t2 = LakeTable.load(spark, t.path)
     assert t2.read().filter("lang='go'").count() == 0
     assert all(r["commit"].startswith("C") for r in t2.read().collect())
+
+
+# --------------------------------------------------------------- MoR DML
+
+
+def test_mor_delete_writes_no_base_files(spark, mk_table):
+    """mode='mor': tombstones land as delta files; NO base file is
+    rewritten (Iceberg v2 equality-delete shape) — the resolved state
+    still equals the cow delete's."""
+    t = mk_table("md1")
+    seed(spark, t, n=20)
+    files_before = dict(t.snap["files"])
+    m = t.delete_where([("lang", "=", "go")], mode="mor")
+    assert m["committed"] and m["rows"] == 10 and m["files_rewritten"] == 0
+    assert m["delta_files"] > 0
+    assert t.snap["files"] == files_before  # base untouched
+    assert any(t.snap.get("deltas", {}).values())
+    got = live(t)
+    assert len(got) == 10 and all(v[0] == "python" for v in got.values())
+    # late lower-seq event still fenced through the delta tombstone
+    t.merge(ch(spark, [(3, "update", "repo1", "f1.py", "c", "go", "LATE")]), epoch=1)
+    assert ("repo1", "f1.py") not in live(t)
+    # compact folds the tombstones into the base; state unchanged
+    t.compact()
+    assert not any(t.snap.get("deltas", {}).values())
+    assert len(live(t)) == 10
+
+
+def test_mor_update_equals_cow_update(spark, mk_table):
+    t1, t2 = mk_table("md2a"), mk_table("md2b")
+    seed(spark, t1, n=16)
+    seed(spark, t2, n=16)
+    kw = ([("lang", "=", "python")], {"content": "upper(content)"})
+    m1 = t1.update_where(*kw, mode="cow")
+    m2 = t2.update_where(*kw, mode="mor")
+    assert m1["rows"] == m2["rows"] == 8
+    assert m2["files_rewritten"] == 0 and m1["files_rewritten"] > 0
+    assert live(t1) == live(t2)
+
+
+def test_mor_dml_over_pending_merge_deltas(spark, mk_table):
+    """Matching evaluates against the RESOLVED state: a pending merge
+    delta that changed the filter column is honored, and the DML delta
+    (fresh seq) wins over the older merge delta at read time."""
+    t = mk_table("md3")
+    seed(spark, t, n=8)
+    # mor merge flips f1's lang go→python and f2's python→go
+    t.merge(ch(spark, [
+        (100, "update", "repo1", "f1.py", "cN", "python", "now-python"),
+        (101, "update", "repo2", "f2.py", "cN", "go", "now-go"),
+    ]), epoch=1, mode="mor")
+    m = t.delete_where([("lang", "=", "go")], mode="mor")
+    # gos: f3,f5,f7 (seed odds minus f1 which became python) plus f2
+    assert m["rows"] == 4
+    got = live(t)
+    assert ("repo2", "f2.py") not in got and ("repo1", "f1.py") in got
+    assert all(v[0] == "python" for v in got.values())
+
+
+def test_mor_dml_changelog_continuity(spark, mk_table):
+    t = mk_table("md4")
+    seed(spark, t, n=8)
+    v0 = t.version
+    t.delete_where([("repo", "=", "repo2")], mode="mor")
+    changes = t.table_changes(v0).collect()
+    deleted = {(r["repo"], r["path"]) for r in changes if r["_change_op"] == "delete"}
+    assert deleted == {("repo2", "f2.py"), ("repo2", "f6.py")}

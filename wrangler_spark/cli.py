@@ -314,7 +314,7 @@ def cmd_delete(args) -> int:
 
     spark = _spark(args)
     table = LakeTable.load(spark, args.table)
-    print(json.dumps(table.delete_where(_parse_filters(table, args.filter))))
+    print(json.dumps(table.delete_where(_parse_filters(table, args.filter), mode=args.mode)))
     return 0
 
 
@@ -330,7 +330,7 @@ def cmd_update(args) -> int:
             raise SystemExit(f"bad --set {raw!r}; want col=sql-expr")
         col, expr = raw.split("=", 1)
         sets[col.strip()] = expr.strip()
-    print(json.dumps(table.update_where(_parse_filters(table, args.filter), sets)))
+    print(json.dumps(table.update_where(_parse_filters(table, args.filter), sets, mode=args.mode)))
     return 0
 
 
@@ -555,12 +555,16 @@ def build_parser() -> argparse.ArgumentParser:
     dl = sub.add_parser("delete", help="DELETE rows matching --filter conjuncts")
     dl.add_argument("--table", required=True)
     dl.add_argument("--filter", action="append", required=True, help="col<op>value, repeatable (AND)")
+    dl.add_argument("--mode", choices=("cow", "mor"), default="cow",
+                    help="cow = rewrite matched files; mor = tombstone deltas only")
     dl.set_defaults(fn=cmd_delete)
 
     up = sub.add_parser("update", help="UPDATE SET col=expr WHERE --filter conjuncts")
     up.add_argument("--table", required=True)
     up.add_argument("--filter", action="append", required=True, help="col<op>value, repeatable (AND)")
     up.add_argument("--set", action="append", required=True, help="col=sql-expr, repeatable")
+    up.add_argument("--mode", choices=("cow", "mor"), default="cow",
+                    help="cow = rewrite matched files; mor = update-row deltas only")
     up.set_defaults(fn=cmd_update)
 
     cg = sub.add_parser("changes", help="changelog between two snapshots (CDC source)")

@@ -97,9 +97,23 @@ def _validate_assignments(table, assignments: dict) -> dict:
     return out
 
 
-def _rewrite_where(table, filters: list, assignments: dict | None, epoch=None) -> dict:
+def _rewrite_where(
+    table, filters: list, assignments: dict | None, epoch=None, mode: str = "cow"
+) -> dict:
     """Shared DELETE/UPDATE core. assignments=None → delete (tombstone),
-    else update in place. Returns lineage metrics."""
+    else update in place. Returns lineage metrics.
+
+    `mode="cow"` rewrites matched files (file-granular copy-on-write).
+    `mode="mor"` writes ONLY the transformed matched rows as bucketed
+    DELTA files (Iceberg v2 equality-delete shape): no base file is
+    rewritten at all, so a sparse-predicate DML costs O(matched rows)
+    write I/O regardless of how many files the matches straddle;
+    read-time LWW resolution makes the fresh-seq rows win and
+    `compact()` folds them back on the normal cadence. Matching always
+    evaluates against the RESOLVED current state (pending deltas
+    included), so cow and mor produce identical resolved tables."""
+    if mode not in ("cow", "mor"):
+        raise ValueError(f"unknown DML mode: {mode!r} (cow|mor)")
     if epoch is not None and int(epoch) in table.committed_epochs:
         return {"skipped": True, "epoch": epoch, "version": table.version}
     plan = table.scan_plan(filters)
@@ -134,18 +148,20 @@ def _rewrite_where(table, filters: list, assignments: dict | None, epoch=None) -
             if any(h.endswith(r.replace(os.sep, "/")) for h in hit_files)
         ]
 
+    noop = {
+        "operation": "delete" if sets is None else "update",
+        "mode": mode,
+        "rows": 0,
+        "files_candidates": len(cand_rels),
+        "files_rewritten": 0,
+        "files_stat_skipped": plan["skipped_files"],
+        "files_bloom_skipped": plan["bloom_skipped_files"],
+        "buckets_rewritten": 0,
+        "version": table.version,
+        "committed": False,
+    }
     if not matched_rels and not delta_bkts:
-        return {
-            "operation": "delete" if sets is None else "update",
-            "rows": 0,
-            "files_candidates": len(cand_rels),
-            "files_rewritten": 0,
-            "files_stat_skipped": plan["skipped_files"],
-            "files_bloom_skipped": plan["bloom_skipped_files"],
-            "buckets_rewritten": 0,
-            "version": table.version,
-            "committed": False,
-        }
+        return noop
 
     def _apply(df: DataFrame) -> DataFrame:
         """hit rows transformed, everything else verbatim."""
@@ -182,6 +198,48 @@ def _rewrite_where(table, filters: list, assignments: dict | None, epoch=None) -
         rows_hit += resolved.filter(hit).count()
         pieces.append(_apply(resolved))
 
+    op_name = "delete" if sets is None else "update"
+
+    if mode == "mor":
+        # delta path: ONLY the transformed matched rows land, as bucketed
+        # delta files — they ARE the change-data manifest too (the mor
+        # merge's shape: winner rows + __seq/__deleted)
+        if rows_hit == 0:
+            for c in caches:
+                c.unpersist()
+            return noop
+        hits = [_apply(c.filter(hit)) for c in caches]
+        out = hits[0]
+        for p in hits[1:]:
+            out = out.unionByName(p)
+        out = out.withColumn("__b", table.bucket_expr(out))
+        delta_files = table.write_buckets(out, version)
+        change_rels = [r for rels in delta_files.values() for r in rels]
+        metrics = {
+            "operation": op_name,
+            "mode": mode,
+            "rows": rows_hit,
+            "files_candidates": len(cand_rels),
+            "files_rewritten": 0,
+            "files_stat_skipped": plan["skipped_files"],
+            "files_bloom_skipped": plan["bloom_skipped_files"],
+            "buckets_rewritten": 0,
+            "delta_files": len(change_rels),
+            "version": version,
+            "committed": True,
+        }
+        table.commit(
+            {},
+            epoch=epoch,
+            properties={"max_seq": new_seq},
+            new_delta_files=delta_files,
+            change_files=change_rels,
+            operation=f"{op_name}(mor)",
+        )
+        for c in caches:
+            c.unpersist()
+        return metrics
+
     out = pieces[0]
     for p in pieces[1:]:
         out = out.unionByName(p)
@@ -207,7 +265,8 @@ def _rewrite_where(table, filters: list, assignments: dict | None, epoch=None) -
     change_rels = table.write_change_files(changed, version)
 
     metrics = {
-        "operation": "delete" if sets is None else "update",
+        "operation": op_name,
+        "mode": mode,
         "rows": rows_hit,
         "files_candidates": len(cand_rels),
         "files_rewritten": len(matched_rels),
@@ -230,19 +289,23 @@ def _rewrite_where(table, filters: list, assignments: dict | None, epoch=None) -
     return metrics
 
 
-def delete_where(table, filters: list, epoch: int | None = None) -> dict:
+def delete_where(table, filters: list, epoch: int | None = None, mode: str = "cow") -> dict:
     """DELETE FROM table WHERE <conjunctive filters> — filters are
     (col, op, value) triples like `scan`, so the plan prunes from
     metadata first. Matching rows become tombstones at a fresh commit
-    sequence; only files containing matches are rewritten."""
-    return _rewrite_where(table, filters, None, epoch=epoch)
+    sequence; mode="cow" rewrites only files containing matches,
+    mode="mor" writes the tombstones as delta files (no base rewrite)."""
+    return _rewrite_where(table, filters, None, epoch=epoch, mode=mode)
 
 
-def update_where(table, filters: list, set: dict, epoch: int | None = None) -> dict:
+def update_where(
+    table, filters: list, set: dict, epoch: int | None = None, mode: str = "cow"
+) -> dict:
     """UPDATE table SET <col=expr,…> WHERE <conjunctive filters>.
     `set` maps column → Column or SQL expression string (evaluated over
-    the row's current values). Key columns are immutable."""
-    return _rewrite_where(table, filters, set, epoch=epoch)
+    the row's current values). Key columns are immutable. mode as in
+    delete_where."""
+    return _rewrite_where(table, filters, set, epoch=epoch, mode=mode)
 
 
 class MergeBuilder:

@@ -1117,18 +1117,23 @@ class LakeTable:
         )
 
     # ------------------------------------------------------------ DML
-    def delete_where(self, filters: list, epoch: int | None = None) -> dict:
+    def delete_where(
+        self, filters: list, epoch: int | None = None, mode: str = "cow"
+    ) -> dict:
         """DELETE FROM … WHERE (col, op, value) conjuncts — metadata-
-        pruned, file-granular rewrite; see lake/dml.py."""
+        pruned; cow = file-granular rewrite, mor = tombstone deltas
+        only (no base rewrite); see lake/dml.py."""
         from wrangler_spark.lake.dml import delete_where
 
-        return delete_where(self, filters, epoch=epoch)
+        return delete_where(self, filters, epoch=epoch, mode=mode)
 
-    def update_where(self, filters: list, set: dict, epoch: int | None = None) -> dict:
+    def update_where(
+        self, filters: list, set: dict, epoch: int | None = None, mode: str = "cow"
+    ) -> dict:
         """UPDATE … SET col=expr WHERE (col, op, value) conjuncts."""
         from wrangler_spark.lake.dml import update_where
 
-        return update_where(self, filters, set, epoch=epoch)
+        return update_where(self, filters, set, epoch=epoch, mode=mode)
 
     def merge_builder(self, source: DataFrame):
         """General MERGE INTO builder (Delta DeltaMergeBuilder shape):
