@@ -1608,6 +1608,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["ann_ivf"] = q_ann_ivf
 
+    def q_dataset_split(spark, d):
+        """Deterministic train/val/test assignment + hash sampling
+        (pipeline/sampling.py): split and sample membership are pure
+        functions of (salt, doc_id) via sha256 — the oracle recomputes
+        BOTH relationally in DuckDB (same standard hash), so any
+        engine/partitioning dependence would hash-mismatch."""
+        from wrangler_spark.pipeline.sampling import _bucket, assign_splits
+
+        docs = _t(spark, d, "documents")
+        out = assign_splits(
+            docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}
+        )
+        return out.select(
+            "doc_id",
+            "split",
+            (_bucket(F.col("doc_id"), "sample") < 5000).alias("in_half"),
+        )
+    q["dataset_split"] = q_dataset_split
+
     return q
 
 
@@ -1728,6 +1747,18 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf": (
             "SELECT vec_id AS q_id, 5 AS k, true AS recall_floor_met "
             "FROM embeddings WHERE vec_id < 3"
+        ),
+        # dataset_split: recompute the sha256 split/sample buckets
+        # relationally — sha256 is defined identically in both engines,
+        # so the assignment must match bit-for-bit
+        "dataset_split": (
+            "SELECT doc_id, "
+            "CASE WHEN b < 8000 THEN 'train' WHEN b < 9000 THEN 'val' "
+            "ELSE 'test' END AS split, (b2 < 5000) AS in_half FROM ("
+            "SELECT doc_id, "
+            "('0x' || substring(sha256('split' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 10000 AS b, "
+            "('0x' || substring(sha256('sample' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 10000 AS b2 "
+            "FROM documents)"
         ),
         # ---- composite folds
         "keep": "SELECT doc_id, lang FROM documents",
