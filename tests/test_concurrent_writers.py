@@ -92,3 +92,96 @@ def test_two_replayers_race_cow(spark, tmp_path):
 def test_two_replayers_race_mor(spark, tmp_path):
     stats = _race(spark, tmp_path, "mor")
     assert stats["conflicts"] + stats["fenced_skips"] >= N_EPOCHS
+
+
+def test_dml_races_replay(spark, tmp_path):
+    """A DML writer (DELETE WHERE, one key per commit) races a CDC
+    Replayer into the same table on a DISJOINT key set — so the final
+    state is deterministic regardless of interleaving: the replay's
+    LWW oracle plus zero surviving DML keys. Exercises the CAS from
+    the DML commit path (orphaned rewrite files on a lost race must be
+    retried after reload, never double-applied)."""
+    ev = generate_events(
+        spark, 1200, n_repos=10, n_paths_per_repo=30, epoch_size=300
+    ).cache()
+    path = str(tmp_path / "tbl_dmlrace")
+    t0 = LakeTable.create(
+        spark, path, repo_files_schema(), ["repo", "path"], num_buckets=4
+    )
+    # seed keys the event stream never touches (its repos are org*/repo*)
+    dml_rows = [
+        (1_000_000 + i, "insert", "dmlzone", f"k{i}.py", "c", "python", f"v{i}")
+        for i in range(8)
+    ]
+    t0.merge(
+        spark.createDataFrame(
+            dml_rows,
+            "seq long, op string, repo string, path string, commit string, lang string, content string",
+        ),
+        epoch=999,
+    )
+
+    stats = {"conflicts": 0}
+    lock = threading.Lock()
+    failures: list = []
+
+    def replayer():
+        try:
+            rp = Replayer(LakeTable.load(spark, path), str(tmp_path / "ck_dmlrace"))
+            for e in range(4):
+                while True:
+                    try:
+                        rp.replay_epoch(ev, e)
+                        break
+                    except CommitConflictError:
+                        with lock:
+                            stats["conflicts"] += 1
+                        time.sleep(0.05)
+                        rp.table = LakeTable.load(spark, path)
+        except Exception as exc:  # noqa: BLE001
+            failures.append(("replay", exc))
+
+    def dml_writer():
+        try:
+            for i in range(8):
+                tb = LakeTable.load(spark, path)
+                while True:
+                    try:
+                        tb.delete_where(
+                            [("repo", "=", "dmlzone"), ("path", "=", f"k{i}.py")],
+                            mode="cow" if i % 2 == 0 else "mor",
+                        )
+                        break
+                    except CommitConflictError:
+                        with lock:
+                            stats["conflicts"] += 1
+                        time.sleep(0.05)
+                        tb = LakeTable.load(spark, path)
+        except Exception as exc:  # noqa: BLE001
+            failures.append(("dml", exc))
+
+    threads = [
+        threading.Thread(target=replayer),
+        threading.Thread(target=dml_writer),
+    ]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join(timeout=600)
+    assert not failures, failures
+
+    final = LakeTable.load(spark, path)
+    assert final.read().filter(F.col("repo") == "dmlzone").count() == 0
+    got = {
+        tuple(r)
+        for r in final_state_sha256(
+            final.read().filter(F.col("repo") != "dmlzone")
+        ).collect()
+    }
+    want = {tuple(r) for r in final_state_sha256(expected_final_state(ev)).collect()}
+    assert got == want and got
+    dup = (
+        final.read().groupBy("repo", "path").count().filter(F.col("count") > 1).count()
+    )
+    assert dup == 0
+    ev.unpersist()
