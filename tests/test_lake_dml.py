@@ -375,3 +375,23 @@ def test_mor_dml_changelog_continuity(spark, mk_table):
     changes = t.table_changes(v0).collect()
     deleted = {(r["repo"], r["path"]) for r in changes if r["_change_op"] == "delete"}
     assert deleted == {("repo2", "f2.py"), ("repo2", "f6.py")}
+
+
+def test_compact_min_files_bin_packs_fragmented_bucket(spark, mk_table):
+    """compact(min_files=N) bin-packs a bucket fragmented by a
+    since-retired bounded-size writer (Delta OPTIMIZE shape) without
+    touching healthy buckets or answers."""
+    t = mk_table(
+        "bp1", num_buckets=1, properties={"write.max-records-per-file": 5}
+    )
+    seed(spark, t, n=30)
+    frag = len(t.snap["files"]["0"])
+    assert frag >= 6
+    t.set_properties({"write.max-records-per-file": None})
+    before = live(t)
+    r = t.compact(min_files=4)
+    assert r["compacted_buckets"] == 1
+    assert len(t.snap["files"]["0"]) < frag
+    assert live(t) == before
+    # below threshold → no-op
+    assert t.compact(min_files=99)["compacted_buckets"] == 0

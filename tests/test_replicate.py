@@ -253,3 +253,24 @@ def test_recipe_drop_maps_to_replica_drop_column(spark, mk_table):
     assert {(r["repo"], r["path"]): r["content"] for r in d2.read().collect()} == {
         ("r1", "a.py"): "a1", ("r1", "b.py"): "b0", ("r3", "y.rs"): "y0"
     }
+
+
+def test_replica_converges_through_dml_commits(spark, mk_table):
+    """DML commits (cow delete, mor delete, update, merge-builder) emit
+    CDF change files like merges do — a replica syncing off the
+    changelog converges through all four without a bootstrap."""
+    src, dst = mk_table("srcdml"), mk_table("dstdml")
+    rep = Replicator(src, dst)
+    src.merge(ch(spark, EPOCH0), epoch=0)
+    rep.sync()
+    src.delete_where([("repo", "=", "r2")])                      # cow delete
+    src.update_where([("path", "=", "a.py")], {"content": "'A!'"})
+    rep.sync()
+    assert state(dst) == state(src) == [("r1", "a.py", "A!"), ("r1", "b.py", "b0")]
+    src.delete_where([("path", "=", "b.py")], mode="mor")        # mor delete
+    msrc = spark.createDataFrame(
+        [("r9", "new.py", "fresh")], "repo string, path string, content string"
+    )
+    src.merge_builder(msrc).when_not_matched_insert().execute()
+    rep.sync()
+    assert state(dst) == state(src) == [("r1", "a.py", "A!"), ("r9", "new.py", "fresh")]

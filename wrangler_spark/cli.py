@@ -204,7 +204,8 @@ def cmd_compact(args) -> int:
 
     spark = _spark(args)
     table = LakeTable.load(spark, args.table)
-    print(json.dumps(table.compact()))
+    zorder = [c.strip() for c in args.zorder.split(",")] if args.zorder else None
+    print(json.dumps(table.compact(zorder=zorder, min_files=args.min_files)))
     return 0
 
 
@@ -511,6 +512,9 @@ def build_parser() -> argparse.ArgumentParser:
 
     c = sub.add_parser("compact", help="fold merge-on-read deltas into base buckets")
     c.add_argument("--table", required=True)
+    c.add_argument("--zorder", default=None, help="comma-separated columns for OPTIMIZE ZORDER rewrite")
+    c.add_argument("--min-files", type=int, default=None,
+                   help="also bin-pack buckets holding at least this many base files")
     c.set_defaults(fn=cmd_compact)
 
     rs = sub.add_parser("rescale", help="rewrite under a new hash-bucket count")

@@ -1386,6 +1386,7 @@ class LakeTable:
         buckets: list[int] | None = None,
         zorder: list[str] | None = None,
         zorder_bits: int = 8,
+        min_files: int | None = None,
     ) -> dict:
         """Fold pending merge-on-read deltas into the base buckets
         (Iceberg `rewrite_data_files` over partitions with delete
@@ -1404,7 +1405,15 @@ class LakeTable:
         interleaved-bit Z-value, so per-file stats are tight on EVERY
         listed column and multi-predicate scans skip files on any of
         them. Combine with `write.max-records-per-file` to bound the
-        skippable unit."""
+        skippable unit.
+
+        `min_files=N` additionally targets buckets whose BASE file
+        count reached N (Delta `OPTIMIZE` bin-packing): a bucket
+        accumulates small files from bounded-size writers
+        (write.max-records-per-file tuned low for a since-passed
+        workload), imported layouts, or rescale leftovers, and past
+        some count the per-file open/footer cost dominates the scan —
+        the rewrite coalesces them under the CURRENT properties."""
         pending = self.snap.get("deltas", {})
         if zorder:
             targets = sorted(
@@ -1416,6 +1425,13 @@ class LakeTable:
                 int(b) for b in pending
                 if pending[b] and (buckets is None or int(b) in buckets)
             )
+            if min_files is not None:
+                frag = [
+                    int(b) for b, rels in self.snap["files"].items()
+                    if len(rels) >= min_files
+                    and (buckets is None or int(b) in buckets)
+                ]
+                targets = sorted(set(targets) | set(frag))
         if not targets:
             return {"compacted_buckets": 0, "version": self.version}
         resolved, aligned = self._resolved(buckets=targets)
@@ -1425,9 +1441,15 @@ class LakeTable:
             [self._zorder_column(resolved, zorder, zorder_bits)] if zorder else None
         )
         # broadcast-resolved rows are still bucket-aligned (the base side
-        # never shuffled); the degraded path re-clusters before writing
+        # never shuffled); the degraded path re-clusters before writing.
+        # A bin-pack rewrite (min_files) intentionally PAYS the
+        # clustering shuffle: keeping the task-parallel layout would
+        # re-emit one file per input task and coalesce nothing.
         bucket_files = self.write_buckets(
-            resolved, new_version, pre_partitioned=aligned, sort_override=sort_override
+            resolved,
+            new_version,
+            pre_partitioned=aligned and min_files is None,
+            sort_override=sort_override,
         )
         for b in targets:
             bucket_files.setdefault(str(b), [])
