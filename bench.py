@@ -357,6 +357,85 @@ def run_mor_sparse_epoch(spark) -> dict:
     return out
 
 
+def run_dml_sparse_delete(spark) -> dict:
+    """Row-level DML cost at table scale — the argument behind the
+    file-granular DML path measured, not asserted. Seed ~2M rows into a
+    sorted, size-split table (64 buckets × ~8 files), then DELETE a
+    narrow payload range (~1 file per bucket admits it by stats). The
+    cow path must rewrite ONLY the admitted files; the mor path writes
+    ONLY tombstone deltas. Reports files rewritten vs total, bytes
+    written vs table bytes, and seconds per mode — at 100× table size
+    the candidate set stays proportional to the RANGE, not the table."""
+    from wrangler_spark.cdc import repo_files_schema
+    from wrangler_spark.lake import LakeTable
+
+    seed_n = int(os.environ.get("BENCH_DML_SEED", "2000000"))
+    base = tempfile.mkdtemp(prefix="bench_dml_")
+    out: dict = {"seed_rows": seed_n}
+    try:
+        from pyspark.sql import functions as F
+
+        rows = (
+            spark.range(seed_n)
+            .select(
+                F.concat(F.lit("org"), (F.col("id") % 2000).cast("string")).alias("repo"),
+                F.concat(F.lit("p"), F.col("id").cast("string"), F.lit(".py")).alias("path"),
+                F.format_string("c%09d", F.col("id")).alias("commit"),
+                F.lit("python").alias("lang"),
+                F.format_string("body-%09d", F.col("id")).alias("content"),
+                F.col("id").alias("seq"),
+                F.lit("insert").alias("op"),
+            )
+        )
+        # the deleted range: 4000 consecutive commit values — with the
+        # sort, each bucket holds ~1 file admitting it
+        lo, hi = "c000800000", "c000804000"
+        for mode in ("cow", "mor"):
+            tbl = LakeTable.create(
+                spark, os.path.join(base, mode), repo_files_schema(),
+                ["repo", "path"], num_buckets=64,
+                properties={"write.sort.cols": "commit",
+                            "write.max-records-per-file": 4096},
+            )
+            tbl.merge(rows, epoch=0)
+            n_files = sum(len(v) for v in tbl.snap["files"].values())
+            tbl_bytes = sum(
+                os.path.getsize(os.path.join(tbl.path, r))
+                for rs in tbl.snap["files"].values() for r in rs
+            )
+            t0 = time.time()
+            m = tbl.delete_where(
+                [("commit", ">=", lo), ("commit", "<", hi)], mode=mode
+            )
+            sec = time.time() - t0
+            written = sum(
+                os.path.getsize(os.path.join(tbl.path, r))
+                for rs in (
+                    list(tbl.snap["files"].values())
+                    + list(tbl.snap.get("deltas", {}).values())
+                )
+                for r in rs
+                if f"v{tbl.version:06d}-" in r
+            )
+            out[mode] = {
+                "sec": round(sec, 3),
+                "rows_deleted": m["rows"],
+                "files_total": n_files,
+                "files_candidates": m["files_candidates"],
+                "files_rewritten": m["files_rewritten"],
+                "files_stat_skipped": m["files_stat_skipped"],
+                "table_bytes": tbl_bytes,
+                "bytes_written": written,
+            }
+        cw = out["cow"]
+        out["cow_files_touched_frac"] = round(cw["files_rewritten"] / cw["files_total"], 4)
+        out["cow_bytes_written_frac"] = round(cw["bytes_written"] / cw["table_bytes"], 4)
+        out["rows_match"] = out["cow"]["rows_deleted"] == out["mor"]["rows_deleted"]
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return out
+
+
 def run_compute_scaling(cpus: int) -> dict:
     """Engine-side compute scaling probe: iterated sha256 over in-memory
     generated rows — no scan, no sink, no shuffle payload. Isolates the
@@ -592,6 +671,11 @@ def main() -> None:
         if os.environ.get("BENCH_MOR", "1") != "0"
         else None
     )
+    dml = (
+        run_dml_sparse_delete(spark)
+        if os.environ.get("BENCH_DML", "1") != "0"
+        else None
+    )
     spark.stop()
 
     total = round(time.time() - t_all, 3)
@@ -640,6 +724,8 @@ def main() -> None:
     }
     if mor is not None:
         result["cdc"]["mor_sparse_epoch"] = mor
+    if dml is not None:
+        result["cdc"]["dml_sparse_delete"] = dml
     print(json.dumps(result))
 
 
