@@ -395,3 +395,23 @@ def test_compact_min_files_bin_packs_fragmented_bucket(spark, mk_table):
     assert live(t) == before
     # below threshold → no-op
     assert t.compact(min_files=99)["compacted_buckets"] == 0
+
+
+def test_truncate_is_metadata_only_reset(spark, mk_table):
+    t = mk_table("tr1")
+    seed(spark, t, n=12)
+    t.merge(ch(spark, [(100, "update", "repo1", "f1.py", "c", "go", "d")]), epoch=1, mode="mor")
+    r = t.truncate()
+    assert r["files_dropped"] and t.read().count() == 0
+    assert not any(t.snap.get("deltas", {}).values())
+    # a table reset, not a fence: late events re-insert their keys
+    t.merge(ch(spark, [(5, "insert", "repoX", "new.py", "c", "py", "hello")]), epoch=2)
+    assert live(t) == {("repoX", "new.py"): ("py", "hello")}
+    # replica crossing the truncate converges via the snapshot-diff fallback
+    from wrangler_spark.cdc import Replicator
+    dst = mk_table("tr1_dst")
+    Replicator(t, dst).sync()
+    assert live(dst) == live(t)
+    # time travel still sees the pre-truncate state
+    old = LakeTable.load(spark, t.path, version=2)
+    assert old.read().count() == 12

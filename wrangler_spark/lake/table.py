@@ -1143,6 +1143,26 @@ class LakeTable:
 
         return MergeBuilder(self, source)
 
+    def truncate(self) -> dict:
+        """Remove every row, metadata-only (Delta `TRUNCATE TABLE`
+        shape): the new snapshot references no data files and clears
+        pending deltas — no job runs, cost is O(1) regardless of table
+        size; `expire_snapshots` reclaims the bytes later. Like Delta,
+        truncate is a table RESET, not a per-key tombstone: a late
+        lower-seq change event can legitimately re-insert its key
+        afterwards (use `delete_where` when deletes must stay fenced).
+        `change_files=None` → a replica window crossing the truncate
+        falls back to the snapshot diff and converges to emptiness."""
+        empty = {b: [] for b in list(self.snap["files"])}
+        deltas = [int(b) for b in self.snap.get("deltas", {})]
+        self.commit(
+            empty,
+            clear_delta_buckets=deltas or None,
+            change_files=None,
+            operation="truncate",
+        )
+        return {"version": self.version, "files_dropped": sum(map(len, self.snap["files"].values())) == 0}
+
     # ------------------------------------------------------------ maintenance
     def expire_snapshots(self, keep_last: int = 2) -> dict:
         """Expire old snapshots and delete their orphaned data files
