@@ -375,3 +375,89 @@ def test_large_commit_uses_distributed_stats(spark, mk_table, monkeypatch):
     assert t.snap.get("stats")
     got = t.scan([("repo", "=", "repo3")]).select("repo").distinct().collect()
     assert [r["repo"] for r in got] == ["repo3"]
+
+
+# ------------------------------------------------------------- IN filters
+
+
+def test_scan_in_equals_read_filter_isin(spark, mk_table):
+    t = mk_table("in1")
+    seed(spark, t)
+    want = sorted(
+        map(tuple, t.read().filter(F.col("repo").isin("repo1", "repo3")).collect())
+    )
+    got = sorted(map(tuple, t.scan([("repo", "in", ["repo1", "repo3"])]).collect()))
+    assert got == want and got
+
+
+def test_scan_key_in_prunes_to_value_buckets(spark, mk_table):
+    """A full-key =/IN combination pins the bucket SET (Iceberg
+    in-predicate partition pruning): ≤ one bucket per key combo."""
+    t = mk_table("in2", num_buckets=16)
+    seed(spark, t)
+    plan: dict = {}
+    got = t.scan(
+        [("repo", "=", "repo1"), ("path", "in", ["f1.py", "f11.py", "f21.py"])],
+        plan_out=plan,
+    )
+    assert plan["point_lookup"] and len(plan["buckets"]) <= 3
+    assert {r["path"] for r in got.collect()} == {"f1.py", "f11.py", "f21.py"}
+    # too many combos (> 8) degrades gracefully to no pinning, same rows
+    plan2: dict = {}
+    t.scan(
+        [("repo", "=", "repo1"), ("path", "in", [f"f{i}.py" for i in range(1, 41, 4)])],
+        plan_out=plan2,
+    )
+    assert not plan2["point_lookup"] and len(plan2["buckets"]) == 16
+
+
+def test_scan_in_stats_skip_files(spark, mk_table):
+    """IN over a sorted column skips files whose range excludes EVERY
+    listed value; a file admitting one value is kept."""
+    t = mk_table(
+        "in3",
+        num_buckets=1,
+        properties={"write.sort.cols": "content", "write.max-records-per-file": 10},
+    )
+    seed(spark, t, n=80)
+    plan: dict = {}
+    got = t.scan([("content", "in", ["body003", "body071"])], plan_out=plan)
+    assert plan["skipped_files"] >= 5  # 8 files, 2 admit the two values
+    assert {r["content"] for r in got.collect()} == {"body003", "body071"}
+    # empty IN list: provably nothing — every file pruned, zero rows
+    plan3: dict = {}
+    none = t.scan([("content", "in", [])], plan_out=plan3)
+    assert not plan3["base_rels"] and none.count() == 0
+
+
+def test_scan_in_bloom_pruning(spark, mk_table):
+    """Bloom probes OR over the IN values: a file is skipped only when
+    EVERY value is provably absent."""
+    t = mk_table("in4", num_buckets=1, properties={"bloom.cols": "commit"})
+    seed(spark, t, n=40)
+    # values that sort inside the live range (stats can't prune) but
+    # never occur — only the bloom can prove absence
+    plan: dict = {}
+    none = t.scan([("commit", "in", ["c1x", "c2x"])], plan_out=plan)
+    assert plan["bloom_skipped_files"] > 0 and none.count() == 0
+    # one live value in the list keeps the file
+    plan2: dict = {}
+    some = t.scan([("commit", "in", ["c1x", "c7"])], plan_out=plan2)
+    assert some.count() == 1
+
+
+def test_scan_in_rejects_scalar_value(spark, mk_table):
+    t = mk_table("in5")
+    seed(spark, t, n=4)
+    with pytest.raises(ValueError, match="list"):
+        t.scan_plan([("repo", "in", "repo1")])
+
+
+def test_delete_where_in_filter(spark, mk_table):
+    """DML rides the same filter surface: DELETE WHERE path IN (...)."""
+    t = mk_table("in6")
+    seed(spark, t, n=12)
+    m = t.delete_where([("path", "in", ["f1.py", "f2.py"])])
+    assert m["rows"] == 2
+    paths = {r["path"] for r in t.read().collect()}
+    assert "f1.py" not in paths and "f2.py" not in paths and len(paths) == 10

@@ -191,40 +191,43 @@ def build_blooms(
     return out
 
 
-def probe_hashes(
+def probe_hashes_multi(
     spark: SparkSession, schema: T.StructType, eq_filters: dict
 ) -> dict:
-    """(h1, h2) per equality filter, computed IN SPARK for exact build
-    parity: literals cast through the column dtype, then to string —
-    {col_lower: (h1, h2)}; uncastable values are omitted (conservative:
-    no pruning)."""
+    """Probe hashes for =/IN filters ({col: [v, …]} → {col: [(h1, h2),
+    …]}), all values hashed in the same single 1-row job — literals
+    cast through the column dtype first for exact build parity. A
+    column whose every value fails the cast is omitted (conservative:
+    no pruning); cast-failed individual values are dropped the same
+    way."""
     by_l = {f.name.lower(): f for f in schema.fields}
-    rows, keys = [], []
-    exprs = []
-    for i, (cl, v) in enumerate(sorted(eq_filters.items())):
+    keys, exprs = [], []
+    i = 0
+    for cl, vals in sorted(eq_filters.items()):
         f = by_l.get(cl)
-        if f is None or v is None:
+        if f is None:
             continue
-        lit = F.lit(v)
-        try:
-            s = lit.cast(f.dataType).cast("string")
-        except Exception:
-            continue
-        keys.append(cl)
-        exprs.append(F.xxhash64(s).alias(f"h1_{i}"))
-        exprs.append(F.xxhash64(s, F.lit(1)).alias(f"h2_{i}"))
-        # xxhash64(NULL) returns the seed-mixed hash, not NULL — carry
-        # an explicit cast-failed flag instead
-        exprs.append(s.isNull().alias(f"nul_{i}"))
-        rows.append(i)
+        for v in vals:
+            if v is None:
+                continue
+            lit = F.lit(v)
+            try:
+                s = lit.cast(f.dataType).cast("string")
+            except Exception:
+                continue
+            keys.append((cl, i))
+            exprs.append(F.xxhash64(s).alias(f"h1_{i}"))
+            exprs.append(F.xxhash64(s, F.lit(1)).alias(f"h2_{i}"))
+            exprs.append(s.isNull().alias(f"nul_{i}"))
+            i += 1
     if not exprs:
         return {}
     got = spark.range(1).select(*exprs).collect()[0]
-    out = {}
-    for cl, i in zip(keys, rows):
-        if got[f"nul_{i}"]:  # value not representable in the column type
+    out: dict[str, list] = {}
+    for cl, j in keys:
+        if got[f"nul_{j}"]:
             continue
-        out[cl] = (got[f"h1_{i}"], got[f"h2_{i}"])
+        out.setdefault(cl, []).append((got[f"h1_{j}"], got[f"h2_{j}"]))
     return out
 
 

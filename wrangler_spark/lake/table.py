@@ -257,7 +257,7 @@ def _refresh_stats(path: str, snap: dict, spark: SparkSession | None = None) -> 
     snap["stats"] = {r: s for r, s in stats.items() if r in live}
 
 
-_SCAN_OPS = ("=", "<", "<=", ">", ">=")
+_SCAN_OPS = ("=", "<", "<=", ">", ">=", "in")
 
 # numeric widening lattice for schema evolution (set-type widen →
 # ALTER TABLE ... TYPE; reference column/SetType.java:126-176)
@@ -588,14 +588,10 @@ class LakeTable:
             # stats are normalized to naive-UTC. Only prune on them
             # when the session is UTC (the engine default) — otherwise
             # a naive literal means a different instant than the stat.
-            if (
-                isinstance(val, _dt.datetime)
-                and val.tzinfo is None
-                and self.spark.conf.get("spark.sql.session.timeZone", "UTC") != "UTC"
-            ):
-                continue
-            v = _stat_norm(val)
-            if v is None:
+            _vals_tz = val if op == "in" else [val]
+            if any(
+                isinstance(x, _dt.datetime) and x.tzinfo is None for x in _vals_tz
+            ) and self.spark.conf.get("spark.sql.session.timeZone", "UTC") != "UTC":
                 continue
             names = [col.lower()] + [
                 a for a in self.aliases.get(col.lower(), [])
@@ -604,6 +600,24 @@ class LakeTable:
             if st is None:
                 continue
             mn, mx, _nulls = st
+            if op == "in":
+                # prune only when EVERY listed value is provably outside
+                # [min, max]; one unprovable value keeps the file
+                vals = [_stat_norm(x) for x in val]
+                if any(
+                    v_ is None
+                    or (mn is not None and not _stat_comparable(mn, v_))
+                    or not (
+                        (mn is not None and v_ < mn)
+                        or (mx is not None and v_ > mx)
+                    )
+                    for v_ in vals
+                ):
+                    continue
+                return False
+            v = _stat_norm(val)
+            if v is None:
+                continue
             if mn is not None and not _stat_comparable(mn, v):
                 continue
             if op == "=":
@@ -647,17 +661,47 @@ class LakeTable:
         for f_ in filters:
             if len(f_) != 3 or f_[1] not in _SCAN_OPS:
                 raise ValueError(f"bad scan filter {f_!r}; want (col, op, value), op in {_SCAN_OPS}")
+            if f_[1] == "in" and not isinstance(f_[2], (list, tuple, set)):
+                raise ValueError(f"'in' filter value must be a list/tuple/set, got {f_[2]!r}")
         cand = list(range(self.num_buckets)) if buckets is None else list(buckets)
         keys_l = [k.lower() for k in self.key_cols]
         eq = {c.lower(): v for c, op, v in filters if op == "=" and v is not None}
-        point = bool(keys_l) and all(k in eq for k in keys_l)
+        # per-column candidate VALUE LISTS over =/in conjuncts (an "in"
+        # on a key prunes to the value set's buckets, like Iceberg's
+        # in-predicate partition pruning); "=" wins when both appear
+        eqmulti: dict[str, list] = {}
+        for c, op, v in filters:
+            cl = c.lower()
+            if op == "=" and v is not None:
+                eqmulti[cl] = [v]
+            elif op == "in" and cl not in eq:
+                vals = [x for x in v if x is not None]
+                if vals:
+                    eqmulti.setdefault(cl, vals)
+        point = bool(keys_l) and all(k in eqmulti for k in keys_l)
         if point:
-            b = self._bucket_of({k: eq[k.lower()] for k in self.key_cols})
-            if b is not None:
-                cand = [x for x in cand if x == b]
+            import itertools
+
+            combo_lists = [eqmulti[k] for k in keys_l]
+            n_combos = 1
+            for lst in combo_lists:
+                n_combos *= len(lst)
+            if n_combos <= 8:  # planning cost: one 1-row hash job each
+                pins = set()
+                ok = True
+                for combo in itertools.product(*combo_lists):
+                    b = self._bucket_of(dict(zip(self.key_cols, combo)))
+                    if b is None:
+                        ok = False
+                        break
+                    pins.add(b)
+                if ok:
+                    cand = [x for x in cand if x in pins]
+            else:
+                point = False
         stats = self.snap.get("stats", {})
         deltas = self.snap.get("deltas", {})
-        probes, bloom_idx = self._bloom_probes(eq)
+        probes, bloom_idx = self._bloom_probes(eqmulti)
         kept: list[str] = []
         skipped = 0
         bloom_skipped = 0
@@ -685,20 +729,26 @@ class LakeTable:
         }
 
     def _bloom_probes(self, eq: dict) -> tuple[dict, dict]:
-        """(probe hashes, rel → col → bloom entry) for the equality
-        filters that hit a bloom-indexed column. One 1-row Spark job
-        hashes all probe values with the exact build expressions; the
-        sidecar manifests load lazily and are cached per handle."""
+        """(probe hashes, rel → col → bloom entry) for the =/IN filters
+        that hit a bloom-indexed column: {col: [values]} in, {col:
+        [(h1, h2), …]} out — an IN conjunct passes a file when ANY of
+        its values might be present. One 1-row Spark job hashes all
+        probe values with the exact build expressions; the sidecar
+        manifests load lazily and are cached per handle."""
         from wrangler_spark.lake import bloom as _bloom
 
         manifests = self.snap.get("bloom_manifests") or []
         if not manifests or not eq:
             return {}, {}
         cols_l = {c.lower() for c in _bloom.bloom_cols(self.snap)}
-        hit = {cl: v for cl, v in eq.items() if cl in cols_l}
+        hit = {
+            cl: (vs if isinstance(vs, (list, tuple, set)) else [vs])
+            for cl, vs in eq.items()
+            if cl in cols_l
+        }
         if not hit:
             return {}, {}
-        probes = _bloom.probe_hashes(self.spark, self.schema, hit)
+        probes = _bloom.probe_hashes_multi(self.spark, self.schema, hit)
         if not probes:
             return {}, {}
         cache = getattr(self, "_bloom_cache", None)
@@ -720,10 +770,12 @@ class LakeTable:
             return True
         from wrangler_spark.lake import bloom as _bloom
 
-        for cl, (h1, h2) in probes.items():
+        for cl, pairs in probes.items():
             names = [cl] + [a for a in self.aliases.get(cl, [])]
             entry = next((fblooms[n] for n in names if n in fblooms), None)
-            if entry is not None and not _bloom.may_contain(entry, h1, h2):
+            if entry is not None and not any(
+                _bloom.may_contain(entry, h1, h2) for h1, h2 in pairs
+            ):
                 return False
         return True
 
@@ -731,13 +783,17 @@ class LakeTable:
         cond = None
         for col, op, val in filters or []:
             c = F.col(col)
-            expr = {
-                "=": c == F.lit(val),
-                "<": c < F.lit(val),
-                "<=": c <= F.lit(val),
-                ">": c > F.lit(val),
-                ">=": c >= F.lit(val),
-            }[op]
+            if op == "in":
+                vals = [x for x in val if x is not None]
+                expr = c.isin(*vals) if vals else F.lit(False)
+            else:
+                expr = {
+                    "=": c == F.lit(val),
+                    "<": c < F.lit(val),
+                    "<=": c <= F.lit(val),
+                    ">": c > F.lit(val),
+                    ">=": c >= F.lit(val),
+                }[op]
             cond = expr if cond is None else (cond & expr)
         return cond
 
@@ -749,7 +805,9 @@ class LakeTable:
         plan_out: dict | None = None,
     ) -> DataFrame:
         """`read()` + a conjunctive filter, with metadata pruning first:
-        `filters` is a list of (column, op, value), op ∈ =, <, <=, >, >=.
+        `filters` is a list of (column, op, value), op ∈ =, <, <=, >,
+        >=, in (value = list; a key-column IN prunes to the value
+        set's buckets, Iceberg in-predicate partition pruning).
         Semantically identical to `read(buckets).filter(...)` — stats
         only remove files that provably cannot contribute; the same
         predicate is ALSO applied as a real Spark filter (and pushed into
