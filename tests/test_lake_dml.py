@@ -415,3 +415,15 @@ def test_truncate_is_metadata_only_reset(spark, mk_table):
     # time travel still sees the pre-truncate state
     old = LakeTable.load(spark, t.path, version=2)
     assert old.read().count() == 12
+
+
+def test_cli_filter_in_syntax(spark, mk_table, capsys):
+    import json
+
+    from wrangler_spark.cli import main
+
+    t = mk_table("cli_in")
+    seed(spark, t, n=12)
+    assert main(["delete", "--table", t.path, "--filter", "path in f1.py,f2.py"]) == 0
+    m = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert m["rows"] == 2

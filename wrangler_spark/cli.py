@@ -261,9 +261,16 @@ def _parse_filters(table, raws) -> list:
 
     filters = []
     for raw in raws or []:
+        m_in = re.match(r"^([A-Za-z_][\w]*) in (.+)$", raw)
+        if m_in:
+            col, vals = m_in.groups()
+            filters.append((col, "in", [v.strip() for v in vals.split(",") if v.strip()]))
+            continue
         m = re.match(r"^([A-Za-z_][\w]*)(<=|>=|=|<|>)(.*)$", raw)
         if not m:
-            raise SystemExit(f"bad --filter {raw!r}; want col<op>value")
+            raise SystemExit(
+                f"bad --filter {raw!r}; want col<op>value or 'col in v1,v2'"
+            )
         col, op, val = m.groups()
         fld = next(
             (f for f in table.schema.fields if f.name.lower() == col.lower()), None
