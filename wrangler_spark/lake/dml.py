@@ -331,14 +331,18 @@ class MergeBuilder:
       stamp the same fresh sequence, so later CDC replay orders
       correctly against the DML.
 
-    Plan shape: skinny source-key probe → affected buckets → one
-    right-outer join from the resolved base to the source, pure Column
-    clause logic, bucket-granular rewrite of only the affected buckets.
+    Plan shape: skinny source-key probe → affected buckets → base LEFT
+    JOIN broadcast(source) for the matched logic (no full-outer join —
+    full outer forbids broadcast and would sort-merge-shuffle the whole
+    base payload) + a skinny source-vs-base-keys anti-join for pure
+    inserts; pure Column clause logic; bucket-granular rewrite of only
+    the affected buckets, unshuffled when the base read was aligned.
     """
 
-    def __init__(self, table, source: DataFrame):
+    def __init__(self, table, source: DataFrame, broadcast_keys_max: int = 500_000):
         self.table = table
         self.source = source
+        self.broadcast_keys_max = broadcast_keys_max
         self._matched: list[tuple[str, dict | None, object]] = []  # (kind, sets, cond)
         self._insert: tuple[dict | None, object] | None = None
 
@@ -399,28 +403,38 @@ class MergeBuilder:
         affected = sorted(r["__b"] for r in probe)
         if not affected:
             return {"operation": "merge", "rows_source": 0, "version": t.version, "committed": False}
+        n_src_keys = sum(r["nkeys"] for r in probe)
 
-        base, _ = t._resolved(buckets=affected)
-        tgt = base.alias("t")
+        # ---- plan shape: NO full-outer join (full outer forbids the
+        # broadcast strategy, forcing a sort-merge that shuffles the
+        # whole base payload). Instead:
+        #   side A: base LEFT JOIN broadcast(source) — matched / keep /
+        #           tombstone-revival logic; base payload never shuffles
+        #           while the source fits the broadcast bound (the exact
+        #           key count comes from the probe that ran anyway);
+        #   side B: source ANTI JOIN base keys (skinny) — never-existed
+        #           keys taking the insert clause.
+        base, aligned = t._resolved(buckets=affected)
         src = self.source.alias("s")
+        build = F.broadcast(src) if n_src_keys <= self.broadcast_keys_max else src
         on = None
         for k in keys:
             c = F.col(f"t.{k}").eqNullSafe(F.col(f"s.{k}"))
             on = c if on is None else (on & c)
-        has_t = F.col("t.__seq").isNotNull()  # target row exists (incl. tombstone)
         has_s = None
         for k in keys:
             c = F.col(f"s.{k}").isNotNull()
             has_s = c if has_s is None else (has_s | c)
-        j = tgt.join(src, on, "full_outer").withColumn(
-            "__matched", has_t & ~F.col("t.__deleted") & F.coalesce(has_s, F.lit(False))
+        j = base.alias("t").join(build, on, "left").withColumn(
+            "__matched", ~F.col("t.__deleted") & F.coalesce(has_s, F.lit(False))
         )
 
-        # ---- action resolution: 0 = keep target (also: drop a source-only
-        # row with no insert clause), 1..n = matched clause i, -1 = insert.
-        # A tombstoned target key counts as NOT MATCHED (the key was
-        # deleted): the insert clause may revive it; without one the
-        # tombstone itself carries over via action 0.
+        # ---- action resolution (side A): 0 = keep target, 1..n =
+        # matched clause i, -1 = insert. A tombstoned target key counts
+        # as NOT MATCHED (the key was deleted): the insert clause may
+        # revive it in place; without one the tombstone carries over.
+        # Not-matched conditions may reference SOURCE columns only
+        # (Delta whenNotMatched semantics) — side B has no target half.
         action = None
         for i, (_kind, _sets, cond) in enumerate(self._matched, start=1):
             cl = F.col("__matched") & self._cond(cond)
@@ -428,7 +442,7 @@ class MergeBuilder:
         ins_action = F.lit(0)
         if self._insert is not None:
             ins_action = F.when(self._cond(self._insert[1]), F.lit(-1)).otherwise(F.lit(0))
-        not_matched = has_s & (~has_t | F.col("t.__deleted"))
+        not_matched = F.coalesce(has_s, F.lit(False)) & F.col("t.__deleted")
         base_action = F.when(not_matched, ins_action).otherwise(F.lit(0))
         action = base_action if action is None else action.otherwise(base_action)
         j = j.withColumn("__action", action)
@@ -475,14 +489,40 @@ class MergeBuilder:
             .otherwise(F.coalesce(F.col("t.__deleted"), F.lit(False)))
             .alias("__deleted")
         )
-        # source-only rows that took no insert land on action 0 with no
-        # target half — nothing to keep, drop them
-        result = j.filter((F.col("__action") != 0) | has_t).select(*out_cols).cache()
+        result = j.select(*out_cols)
 
+        # ---- side B: source keys with NO base row at all → insert
+        # clause (skinny anti-join; the source side is tiny relative to
+        # the base, and the base side is key columns only)
+        if self._insert is not None:
+            b_side = (
+                self.source.alias("s")
+                .join(base.select(*keys), on=list(keys), how="left_anti")
+                .filter(self._cond(self._insert[1]))
+            )
+            values = self._insert[0] or {}
+            keys_l = {k.lower() for k in keys}
+            b_cols = []
+            for f_ in schema.fields:
+                if f_.name in values:
+                    iv = values[f_.name]
+                    col = iv if isinstance(iv, Column) else F.expr(str(iv))
+                elif f_.name.lower() in keys_l or f_.name.lower() in src_cols_l:
+                    col = F.col(f"s.{f_.name}")
+                else:
+                    col = F.lit(None)
+                b_cols.append(col.cast(f_.dataType).alias(f_.name))
+            b_cols.append(F.lit(new_seq).cast("long").alias("__seq"))
+            b_cols.append(F.lit(False).alias("__deleted"))
+            # coalesce(1): side B is small by construction — one extra
+            # write task keeps the aligned fast path's file count bounded
+            result = result.unionByName(b_side.select(*b_cols).coalesce(1))
+
+        result = result.cache()
         n_changed = result.filter(F.col("__seq") == new_seq).count()
         out = result.withColumn("__b", t.bucket_expr(result))
         version = t.version + 1
-        new_files = t.write_buckets(out, version)
+        new_files = t.write_buckets(out, version, pre_partitioned=aligned)
         new_bucket_files = {str(b): new_files.get(str(b), []) for b in affected}
         changed_rows = result.filter(F.col("__seq") == new_seq).withColumn("__b", F.lit(0))
         change_rels = t.write_change_files(changed_rows, version)
