@@ -420,6 +420,31 @@ def main() -> None:
     )
     dml_probe_plan = plan_of(dml_probe)
     dml_m = tbl.delete_where(dml_filters)
+    # general MERGE (DML builder) — broadcast left join, never full-outer
+    from wrangler_spark.lake.table import LakeTable as _LT
+
+    mb_src = spark.createDataFrame(
+        [("r1", "f1", "X")], "repo string, path string, content string"
+    ).alias("s")
+    mb_base, _ = tbl._resolved(buckets=list(range(tbl.num_buckets)))
+    mb_on = None
+    for k in tbl.key_cols:
+        c = F.col(f"t.{k}").eqNullSafe(F.col(f"s.{k}"))
+        mb_on = c if mb_on is None else (mb_on & c)
+    mb_j = mb_base.alias("t").join(F.broadcast(mb_src), mb_on, "left")
+    sections.append((
+        "General MERGE (MergeBuilder) — broadcast left join, no full-outer",
+        "The matched/keep/tombstone-revival logic rides a LEFT join with "
+        "the source broadcast (gated by the key probe's exact count) — a "
+        "full-outer join would forbid the broadcast strategy and "
+        "sort-merge-shuffle the entire base payload. The plan below shows "
+        "BroadcastHashJoin and no SortMergeJoin: the base side streams "
+        "straight from its bucket files to the rewrite. Never-existed "
+        "keys insert via a separate skinny anti-join (source vs base key "
+        "columns only).",
+        plan_of(mb_j),
+    ))
+
     sections.append((
         "Predicate DML (DELETE/UPDATE WHERE) — metadata plan + column-pruned probe",
         "delete_where/update_where plan from scan_plan first (stats+bloom "
