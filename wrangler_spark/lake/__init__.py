@@ -1,3 +1,11 @@
-from wrangler_spark.lake.table import LakeTable
+from wrangler_spark.lake.dml import MergeBuilder, MergeConflictError, delete_where, update_where
+from wrangler_spark.lake.table import CommitConflictError, LakeTable
 
-__all__ = ["LakeTable"]
+__all__ = [
+    "LakeTable",
+    "CommitConflictError",
+    "MergeBuilder",
+    "MergeConflictError",
+    "delete_where",
+    "update_where",
+]
