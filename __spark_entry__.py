@@ -1627,6 +1627,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["dataset_split"] = q_dataset_split
 
+    def q_dedup_keep_best(spark, d):
+        """Canonical-document selection after clustering (the retention
+        step of a dedup pipeline): same trigram-Jaccard pairs +
+        connected components as dedup_clusters, then keep exactly one
+        document per cluster — the LONGEST (ties → smaller id). The
+        oracle recomputes pairs, transitive closure AND the argmax
+        relationally, so the whole retention policy is value-checked."""
+        from wrangler_spark.pipeline.dedup import (
+            dup_clusters,
+            keep_best_per_cluster,
+            ngram_jaccard_pairs,
+        )
+
+        docs = _t(spark, d, "documents").select(
+            "doc_id", F.substring("text", 1, 60).alias("text")
+        )
+        pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.5)
+        clusters = dup_clusters(pairs, docs.select("doc_id"))
+        kept = keep_best_per_cluster(docs, clusters, F.length("text"))
+        return kept.select("doc_id", F.length("text").alias("text_len"))
+    q["dedup_keep_best"] = q_dedup_keep_best
+
     return q
 
 
@@ -1747,6 +1769,56 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf": (
             "SELECT vec_id AS q_id, 5 AS k, true AS recall_floor_met "
             "FROM embeddings WHERE vec_id < 3"
+        ),
+        # dedup_keep_best: the dedup_clusters closure + per-cluster
+        # argmax (longest member, ties to the smaller id)
+        "dedup_keep_best": (
+            "WITH RECURSIVE t AS ("
+            "  SELECT doc_id, string_split(lower(trim(regexp_replace("
+            "         substring(text,1,60), '\\s+', ' ', 'g'))), ' ') AS toks"
+            "  FROM documents"
+            "), tok AS ("
+            "  SELECT doc_id, unnest(toks) AS tok, generate_subscripts(toks, 1) AS i,"
+            "         len(toks) AS n FROM t"
+            "), tri AS ("
+            "  SELECT doc_id,"
+            "         tok || ' ' || lead(tok,1) OVER w || ' ' || lead(tok,2) OVER w AS gram,"
+            "         lead(tok,2) OVER w AS l2"
+            "  FROM tok WHERE n >= 3"
+            "  WINDOW w AS (PARTITION BY doc_id ORDER BY i)"
+            "), short AS ("
+            "  SELECT doc_id, array_to_string(toks, ' ') AS gram FROM t WHERE len(toks) < 3"
+            "), gd AS ("
+            "  SELECT DISTINCT doc_id, gram FROM ("
+            "    SELECT doc_id, gram FROM tri WHERE l2 IS NOT NULL"
+            "    UNION ALL SELECT doc_id, gram FROM short)"
+            "), sizes AS (SELECT doc_id, count(*) AS n FROM gd GROUP BY doc_id"
+            "), pairs AS ("
+            "  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter"
+            "  FROM gd a JOIN gd b ON a.gram = b.gram AND a.doc_id < b.doc_id"
+            "  GROUP BY 1, 2)"
+            ", jp AS ("
+            "  SELECT id_a, id_b "
+            "  FROM pairs JOIN sizes sa ON sa.doc_id = pairs.id_a "
+            "  JOIN sizes sb ON sb.doc_id = pairs.id_b "
+            "  WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5"
+            "), edges AS ("
+            "  SELECT id_a AS u, id_b AS v FROM jp "
+            "  UNION ALL SELECT id_b, id_a FROM jp"
+            "), walk(u, lbl) AS ("
+            "  SELECT doc_id, doc_id FROM documents"
+            "  UNION"
+            "  SELECT e.u, w.lbl FROM edges e JOIN walk w ON w.u = e.v"
+            ") "
+            ", clusters AS (SELECT u AS doc_id, min(lbl) AS cluster FROM walk GROUP BY u"
+            "), scored AS ("
+            "  SELECT c.doc_id, c.cluster, len(substring(d.text, 1, 60)) AS text_len"
+            "  FROM clusters c JOIN documents d ON d.doc_id = c.doc_id"
+            "), sel AS ("
+            "  SELECT doc_id, text_len, row_number() OVER ("
+            "    PARTITION BY cluster ORDER BY text_len DESC, doc_id ASC) AS rn"
+            "  FROM scored) "
+            "SELECT doc_id, text_len FROM sel WHERE rn = 1"
         ),
         # dataset_split: recompute the sha256 split/sample buckets
         # relationally — sha256 is defined identically in both engines,

@@ -18,7 +18,7 @@ Scale notes:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -656,3 +656,45 @@ def minhash_lsh_pairs_incremental(
         cross = _cross_all(index)
     within = _bucket_pairs(new_idx, id_col, ["band", "bucket"], max_bucket)
     return cross.unionByName(within).distinct(), new_idx
+
+
+def keep_best_per_cluster(
+    docs: DataFrame,
+    clusters: DataFrame,
+    score: Column | str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Canonical-document selection — the retention step after
+    clustering: keep exactly ONE document per duplicate cluster, the
+    one maximizing `score` (a Column/SQL expression over the document
+    row, e.g. `quality_score_expr(F.col("text"))`), ties broken by the
+    smaller id so the choice is deterministic. Documents absent from
+    `clusters` are treated as singletons and always kept.
+
+    Scale shape: one broadcast-able join to attach cluster labels
+    (clusters carries two ids per row — skinny), then a single
+    max_by-style (cluster → struct(score, -id)) aggregation over a
+    (cluster, score, id) projection + an id semi-join back, so the
+    payload crosses one shuffle keyed by cluster and the winner
+    re-attach is AQE-broadcastable. The common pretraining-pipeline
+    alternative (a row_number window over the full payload) sorts
+    every payload column; this sorts nothing.
+
+    reference: no equivalent (the reference is transform-only); the
+    behavioral model is the canonical-doc selection step in public
+    dedup pipelines (e.g. the "keep longest/highest-quality member"
+    policy in SlimPajama/FineWeb-style minhash dedup).
+    """
+    sc = score if isinstance(score, Column) else F.expr(str(score))
+    labeled = docs.join(
+        clusters.select(id_col, "cluster"), on=id_col, how="left"
+    ).withColumn("__cl", F.coalesce(F.col("cluster"), F.col(id_col))).drop("cluster")
+    proj = labeled.select(id_col, "__cl", sc.cast("double").alias("__score"))
+    # deterministic argmax: max over (score, -id) structs — map-side
+    # combining, no window sort, no payload in the agg buffer
+    winners = (
+        proj.groupBy("__cl")
+        .agg(F.max(F.struct(F.col("__score"), (-F.col(id_col)).alias("__nid"))).alias("__w"))
+        .select((-F.col("__w.__nid")).alias(id_col))
+    )
+    return labeled.join(winners, on=id_col, how="left_semi").drop("__cl")
