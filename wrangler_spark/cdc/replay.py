@@ -50,6 +50,7 @@ class Replayer:
         precondition_language: str = "jexl",
         mode: str = "cow",
         compact_every: int | None = None,
+        audit: dict | None = None,
     ):
         self.table = table
         self.checkpoint_dir = checkpoint_dir
@@ -94,6 +95,16 @@ class Replayer:
         self.mode = mode
         self.compact_every = compact_every
         self._commits_since_compact = 0
+        # write-audit-publish gate (lake/wap.py): when set, every epoch
+        # merge is STAGED, the resolved staged state is validated
+        # against these name -> SQL-boolean expectations, and only a
+        # green audit publishes. A red audit aborts the stage (data
+        # files deleted, committed state untouched, checkpoint NOT
+        # advanced) and raises AuditError — the failed epoch replays
+        # after the upstream fix. This fences a poisoned batch BEFORE
+        # any reader can observe it, at the cost of one extra scan of
+        # the staged output per epoch.
+        self.audit = audit
 
     # ------------------------------------------------------------ checkpoint
     @property
@@ -286,7 +297,28 @@ class Replayer:
             # RENAME COLUMN equivalent; pre-rename files read via alias)
             renames=self.recipe.renames() if self.recipe else None,
             mode=self.mode,
+            staged=bool(self.audit),
         )
+        sc = res.pop("staged", None)
+        if sc is not None:
+            from wrangler_spark.lake.wap import AuditError
+
+            verdict = sc.audit(expectations=self.audit)
+            res["audit"] = verdict
+            if not verdict["ok"]:
+                sc.abort()
+                res["aborted"] = True
+                res["elapsed_sec"] = time.time() - t0
+                self._append_metrics(res)
+                raise AuditError(
+                    f"epoch {epoch} failed audit "
+                    f"{verdict['violations']}; staged commit aborted — "
+                    "fix upstream and replay (checkpoint not advanced)"
+                )
+            sc.publish(require_audit=True)
+            # the staged merge never advanced this handle — reload to
+            # the published head so the next epoch targets version N+1
+            self.table = LakeTable.load(self.table.spark, self.table.path)
         if self.mode == "mor" and not res.get("skipped"):
             # two compaction triggers, either sufficient:
             # - every K commits (compact_every) — the simple cadence;

@@ -1,11 +1,14 @@
 from wrangler_spark.lake.dml import MergeBuilder, MergeConflictError, delete_where, update_where
 from wrangler_spark.lake.table import CommitConflictError, LakeTable
+from wrangler_spark.lake.wap import AuditError, StagedCommit
 
 __all__ = [
     "LakeTable",
     "CommitConflictError",
     "MergeBuilder",
     "MergeConflictError",
+    "StagedCommit",
+    "AuditError",
     "delete_where",
     "update_where",
 ]

@@ -107,8 +107,16 @@ def merge_into(
     broadcast_keys_max: int = 500_000,
     explain_sink: list | None = None,
     mode: str = "cow",
+    staged: bool = False,
 ) -> dict:
     """Apply a change batch; returns lineage metrics.
+
+    `staged=True` runs the FULL merge (data files, stats, blooms, the
+    snapshot itself) but parks the result as a write-audit-publish
+    staged commit instead of publishing: the returned dict carries the
+    `StagedCommit` handle under "staged"; nothing is visible to
+    readers until `handle.publish()` (see lake/wap.py). Epoch fencing
+    applies only once published.
 
     `mode="cow"` (default) rewrites the affected base buckets
     (copy-on-write). `mode="mor"` (merge-on-read) writes ONLY the
@@ -262,17 +270,18 @@ def merge_into(
         # commit's change candidates (winner rows + __seq/__deleted) —
         # table_changes reads them instead of diffing snapshots
         change_rels = [r for rels in delta_files.values() for r in rels]
-        table.commit(
+        sc = table.commit(
             {}, epoch=epoch, properties=props, schema=schema, aliases=aliases,
             new_delta_files=delta_files, change_files=change_rels,
-            operation="merge(mor)",
+            operation="merge(mor)", staged=staged,
         )
         winners.unpersist()
         mx.unpersist()
         return {
             "skipped": False,
             "epoch": epoch,
-            "version": table.version,
+            "staged": sc,
+            "version": sc.version if sc is not None else table.version,
             "events": metrics["events"],
             "inserts": metrics["inserts"],
             "updates": metrics["updates"],
@@ -421,10 +430,10 @@ def merge_into(
         props["last_epoch"] = int(epoch)
     if metrics["max_seq"] is not None:
         props["max_seq"] = int(metrics["max_seq"])
-    table.commit(
+    sc = table.commit(
         bucket_files, epoch=epoch, properties=props, schema=schema, aliases=aliases,
         clear_delta_buckets=affected, change_files=change_rels,
-        operation="merge",
+        operation="merge", staged=staged,
     )
     winners.unpersist()
     mx.unpersist()
@@ -432,7 +441,8 @@ def merge_into(
     return {
         "skipped": False,
         "epoch": epoch,
-        "version": table.version,
+        "staged": sc,
+        "version": sc.version if sc is not None else table.version,
         "events": metrics["events"],
         "inserts": metrics["inserts"],
         "updates": metrics["updates"],

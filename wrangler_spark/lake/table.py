@@ -1070,7 +1070,8 @@ class LakeTable:
         clear_delta_buckets: list[int] | None = None,
         change_files: list[str] | None = None,
         operation: str | None = None,
-    ) -> None:
+        staged: bool = False,
+    ):
         """Commit a new snapshot. `new_bucket_files` REPLACES the listed
         buckets' base files (copy-on-write rewrite); `new_delta_files`
         APPENDS merge-on-read delta files per bucket;
@@ -1105,15 +1106,27 @@ class LakeTable:
         if epoch is not None:
             snap["committed_epochs"] = sorted(set(snap["committed_epochs"]) | {int(epoch)})
         if properties:
-            snap["properties"] = {**snap["properties"], **properties}
+            # a None value UNSETS the key (ALTER TABLE UNSET TBLPROPERTIES)
+            merged = {**snap["properties"], **properties}
+            snap["properties"] = {k: v for k, v in merged.items() if v is not None}
         if schema is not None:
             snap["schema"] = json.loads(schema.json())
         if aliases is not None:
             snap["aliases"] = aliases
         _refresh_stats(self.path, snap, spark=self.spark)
         self._refresh_blooms(snap, new_bucket_files)
+        if staged:
+            # write-audit-publish: park the fully-built snapshot under
+            # _meta/staged-<id>.json instead of CAS-publishing it; the
+            # handle's audit()/publish()/abort() finish the protocol.
+            # This handle's view is NOT advanced — readers (including
+            # this process) keep seeing the committed head.
+            from wrangler_spark.lake.wap import StagedCommit
+
+            return StagedCommit.stage(self, snap)
         self.snap = snap
         self._write_snapshot()
+        return None
 
     def _refresh_blooms(self, snap: dict, new_bucket_files: dict) -> None:
         """Build per-file bloom indexes for this commit's NEW base files
@@ -1163,6 +1176,7 @@ class LakeTable:
         broadcast_keys_max: int = 500_000,
         explain_sink: list | None = None,
         mode: str = "cow",
+        staged: bool = False,
     ) -> dict:
         from wrangler_spark.lake.merge import merge_into
 
@@ -1171,7 +1185,7 @@ class LakeTable:
             evolve=evolve, salted=salted, metrics=metrics,
             broadcast_hint_keys=broadcast_hint_keys, renames=renames,
             broadcast_keys_max=broadcast_keys_max, explain_sink=explain_sink,
-            mode=mode,
+            mode=mode, staged=staged,
         )
 
     # ------------------------------------------------------------ DML
