@@ -200,6 +200,30 @@ def _rewrite_where(
 
     op_name = "delete" if sets is None else "update"
 
+    # CHECK constraints: the rows an UPDATE would write must satisfy
+    # every table constraint — violations always raise (Delta UPDATE
+    # semantics; deletes are tombstones, exempt by design)
+    if sets is not None and rows_hit:
+        from wrangler_spark.lake.constraints import (
+            ConstraintViolationError,
+            table_constraints,
+            violation_counts,
+        )
+
+        cons = table_constraints(table.snap)
+        if cons:
+            upd = None
+            for c in caches:
+                piece = _apply(c.filter(hit))
+                upd = piece if upd is None else upd.unionByName(piece)
+            viol = violation_counts(upd.filter(~F.col("__deleted")), cons)
+            if sum(viol.values()):
+                for c in caches:
+                    c.unpersist()
+                raise ConstraintViolationError(
+                    f"UPDATE violates table constraints {viol}; nothing committed"
+                )
+
     if mode == "mor":
         # delta path: ONLY the transformed matched rows land, as bucketed
         # delta files — they ARE the change-data manifest too (the mor
@@ -520,6 +544,24 @@ class MergeBuilder:
 
         result = result.cache()
         n_changed = result.filter(F.col("__seq") == new_seq).count()
+        # CHECK constraints: rows this MERGE writes (updated or
+        # inserted, tombstones exempt) must satisfy every constraint
+        from wrangler_spark.lake.constraints import (
+            ConstraintViolationError,
+            table_constraints,
+            violation_counts,
+        )
+
+        cons = table_constraints(t.snap)
+        if cons and n_changed:
+            viol = violation_counts(
+                result.filter((F.col("__seq") == new_seq) & ~F.col("__deleted")), cons
+            )
+            if sum(viol.values()):
+                result.unpersist()
+                raise ConstraintViolationError(
+                    f"MERGE violates table constraints {viol}; nothing committed"
+                )
         out = result.withColumn("__b", t.bucket_expr(result))
         version = t.version + 1
         new_files = t.write_buckets(out, version, pre_partitioned=aligned)

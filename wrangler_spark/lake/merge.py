@@ -166,6 +166,40 @@ def merge_into(
     else:
         schema, aliases = table.schema, table.aliases
 
+    # ---- CHECK constraints (Delta ADD CONSTRAINT parity): validate the
+    # incoming batch's non-delete events BEFORE the LWW agg — one
+    # O(batch) aggregation job, only when constraints exist. `fail`
+    # aborts the epoch unfenced (nothing written, replays after the
+    # upstream fix); `drop` discards the violating EVENTS so an older
+    # valid event for the same key may still win LWW.
+    from wrangler_spark.lake.constraints import (
+        ConstraintViolationError,
+        satisfies_all,
+        table_constraints,
+        violation_counts,
+    )
+
+    cons = table_constraints(table.snap)
+    constraint_viol: dict | None = None
+    if cons:
+        constraint_viol = violation_counts(
+            changes.filter(F.col(op_col) != "delete"), cons
+        )
+        total_viol = sum(constraint_viol.values())
+        if total_viol:
+            cmode = str(
+                table.snap.get("properties", {}).get("constraints.mode", "fail")
+            ).lower()
+            if cmode == "fail":
+                raise ConstraintViolationError(
+                    f"epoch {epoch}: {total_viol} event(s) violate table "
+                    f"constraints {constraint_viol}; nothing committed "
+                    "(set constraints.mode=drop to discard violating events)"
+                )
+            changes = changes.filter(
+                (F.col(op_col) == "delete") | satisfies_all(cons)
+            )
+
     # ---- LWW winner per key (salted two-stage hash agg; no window sort).
     # Shape: tiny max-seq agg over a (keys, seq) projection, cached, then
     # a join back to the full rows (measured 10× faster than
@@ -281,6 +315,7 @@ def merge_into(
             "skipped": False,
             "epoch": epoch,
             "staged": sc,
+            "constraint_violations": constraint_viol,
             "version": sc.version if sc is not None else table.version,
             "events": metrics["events"],
             "inserts": metrics["inserts"],
@@ -442,6 +477,7 @@ def merge_into(
         "skipped": False,
         "epoch": epoch,
         "staged": sc,
+        "constraint_violations": constraint_viol,
         "version": sc.version if sc is not None else table.version,
         "events": metrics["events"],
         "inserts": metrics["inserts"],

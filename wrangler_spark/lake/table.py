@@ -1365,6 +1365,27 @@ class LakeTable:
         return {"version": self.version,
                 "properties": dict(self.snap.get("properties", {}))}
 
+    def add_constraint(self, name: str, expr: str) -> dict:
+        """Delta `ALTER TABLE ADD CONSTRAINT` shape: validate existing
+        data (one resolved scan), then record the SQL CHECK expression
+        as property `constraint.<name>` in a metadata-only commit.
+        Every subsequent merge/UPDATE/MERGE enforces it (see
+        lake/constraints.py for modes and CDC semantics)."""
+        from wrangler_spark.lake.constraints import add_constraint
+
+        return add_constraint(self, name, expr)
+
+    def drop_constraint(self, name: str) -> dict:
+        from wrangler_spark.lake.constraints import drop_constraint
+
+        return drop_constraint(self, name)
+
+    @property
+    def constraints(self) -> dict:
+        from wrangler_spark.lake.constraints import table_constraints
+
+        return table_constraints(self.snap)
+
     def drop_column(self, name: str) -> dict:
         """Iceberg `DROP COLUMN` shape: metadata-only — the field leaves
         the schema in a new commit, data files are untouched, and every
