@@ -24,6 +24,7 @@ on a multi-executor cluster. Subcommands:
 - changes      changelog between two snapshots (CDC source)
 - lineage      column-level recipe lineage
 - history      retained commit history
+- describe     DESCRIBE DETAIL + files/partitions metadata tables
 - rollback     metadata-only rollback to a retained version
 - alter        metadata-only schema/property changes
 - migrate      rewrite a v1 recipe as canonical v2 text
@@ -384,6 +385,23 @@ def cmd_history(args) -> int:
     return 0
 
 
+def cmd_describe(args) -> int:
+    """DESCRIBE DETAIL + metadata tables: the summary dict as JSON;
+    --files / --partitions print the per-file / per-bucket metadata
+    tables as JSON lines (Iceberg t.files / t.partitions)."""
+    from wrangler_spark.lake import LakeTable
+
+    t = LakeTable.load(_spark(args), args.table)
+    print(json.dumps(t.describe()))
+    if args.files:
+        for r in t.inspect_files().collect():
+            print(json.dumps(r.asDict()))
+    if args.partitions:
+        for r in t.inspect_partitions().collect():
+            print(json.dumps(r.asDict()))
+    return 0
+
+
 def cmd_rollback(args) -> int:
     """Metadata-only rollback to a retained version (new commit)."""
     from wrangler_spark.lake import LakeTable
@@ -593,6 +611,12 @@ def build_parser() -> argparse.ArgumentParser:
     hs = sub.add_parser("history", help="retained commit history, one JSON line per version")
     hs.add_argument("--table", required=True)
     hs.set_defaults(fn=cmd_history)
+
+    de = sub.add_parser("describe", help="DESCRIBE DETAIL + files/partitions metadata tables")
+    de.add_argument("--table", required=True)
+    de.add_argument("--files", action="store_true", help="also print the per-file metadata table")
+    de.add_argument("--partitions", action="store_true", help="also print the per-bucket summary")
+    de.set_defaults(fn=cmd_describe)
 
     rb = sub.add_parser("rollback", help="metadata-only rollback to a retained version")
     rb.add_argument("--table", required=True)

@@ -1334,6 +1334,28 @@ class LakeTable:
             )
         return out
 
+    def inspect_files(self) -> DataFrame:
+        """Iceberg `t.files` metadata table (see lake/inspect.py)."""
+        from wrangler_spark.lake.inspect import files_df
+
+        return files_df(self.spark, self)
+
+    def inspect_partitions(self) -> DataFrame:
+        from wrangler_spark.lake.inspect import partitions_df
+
+        return partitions_df(self.spark, self)
+
+    def inspect_snapshots(self) -> DataFrame:
+        from wrangler_spark.lake.inspect import snapshots_df
+
+        return snapshots_df(self.spark, self)
+
+    def describe(self) -> dict:
+        """DESCRIBE DETAIL: one metadata-only summary dict."""
+        from wrangler_spark.lake.inspect import describe
+
+        return describe(self)
+
     def rename_column(self, old: str, new: str) -> dict:
         """Iceberg `RENAME COLUMN` as a standalone metadata-only commit
         (renames also flow through merges via `renames=`): the old name
