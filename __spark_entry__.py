@@ -1649,6 +1649,51 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return kept.select("doc_id", F.length("text").alias("text_len"))
     q["dedup_keep_best"] = q_dedup_keep_best
 
+    def q_lake_constraints(spark, d):
+        """Table CHECK constraints in the CDC path (Delta ADD CONSTRAINT
+        parity, lake/constraints.py): create the table with
+        `value_positive: value > 0` in constraints.mode=drop, then
+        replay an event stream where every 13th event carries a
+        NEGATED value. The violating EVENTS are discarded pre-LWW, so
+        an older valid event for the same key wins — the oracle
+        recomputes LWW over the stream minus poisoned non-delete
+        events. Fail-mode/ADD-validation/DML enforcement are covered
+        by tests/test_constraints.py."""
+        import tempfile
+
+        from pyspark.sql import types as TT
+
+        from wrangler_spark.cdc import Replayer
+        from wrangler_spark.lake import LakeTable
+
+        ev = _t(spark, d, "events").select(
+            F.col("event_id").alias("seq"),
+            (F.col("event_id") % 3).cast("long").alias("epoch"),
+            F.when(F.col("event_type") == "signup", "insert")
+            .when(F.col("event_type") == "error", "delete")
+            .otherwise("update")
+            .alias("op"),
+            "user_id",
+            "event_type",
+            F.when(F.col("event_id") % 13 == 0, -F.col("value"))
+            .otherwise(F.col("value"))
+            .alias("value"),
+        )
+        schema = TT.StructType(
+            [f for f in ev.schema.fields if f.name not in ("seq", "epoch", "op")]
+        )
+        base = tempfile.mkdtemp(prefix="wr_cons_")
+        table = LakeTable.create(
+            spark, f"{base}/tbl", schema, ["user_id"], num_buckets=4,
+            properties={"constraints.mode": "drop"},
+        )
+        table.add_constraint("value_positive", "value > 0")
+        Replayer(table, f"{base}/ckpt").replay(ev)
+        return LakeTable.load(spark, f"{base}/tbl").read().select(
+            "user_id", "event_type", "value"
+        )
+    q["lake_constraints"] = q_lake_constraints
+
     return q
 
 
@@ -2373,6 +2418,22 @@ def oracle_sql() -> dict[str, str]:
             "UNION ALL "
             "SELECT m.user_id, 'merged' AS event_type, NULL AS value FROM m "
             "WHERE m.user_id NOT IN (SELECT user_id FROM afterupd)"
+        ),
+        # lake_constraints: CHECK constraint in drop mode discards
+        # violating EVENTS pre-LWW — final state = LWW over the stream
+        # minus poisoned non-delete events
+        "lake_constraints": (
+            "WITH src AS (SELECT user_id, event_type, "
+            "CASE WHEN event_id % 13 = 0 THEN -value ELSE value END AS value, "
+            "event_id, "
+            "CASE WHEN event_type = 'signup' THEN 'insert' "
+            "WHEN event_type = 'error' THEN 'delete' ELSE 'update' END AS op "
+            "FROM events), "
+            "kept AS (SELECT * FROM src WHERE op = 'delete' OR value > 0), "
+            "d AS (SELECT *, row_number() OVER (PARTITION BY user_id "
+            "ORDER BY event_id DESC) AS rn FROM kept) "
+            "SELECT user_id, event_type, value FROM d "
+            "WHERE rn = 1 AND op <> 'delete'"
         ),
         # cdc_replicate: the replica synced off the changelog must hold
         # exactly the direct-LWW state of the full stream
