@@ -25,6 +25,7 @@ on a multi-executor cluster. Subcommands:
 - lineage      column-level recipe lineage
 - history      retained commit history
 - describe     DESCRIBE DETAIL + files/partitions metadata tables
+- tag          create/drop named snapshot pins (vacuum-proof refs)
 - rollback     metadata-only rollback to a retained version
 - alter        metadata-only schema/property changes
 - migrate      rewrite a v1 recipe as canonical v2 text
@@ -402,6 +403,19 @@ def cmd_describe(args) -> int:
     return 0
 
 
+def cmd_tag(args) -> int:
+    """Named snapshot pins (Iceberg CREATE/DROP TAG): tagged versions
+    survive vacuum until the tag is dropped."""
+    from wrangler_spark.lake import LakeTable
+
+    t = LakeTable.load(_spark(args), args.table)
+    if args.drop:
+        print(json.dumps(t.drop_tag(args.name)))
+    else:
+        print(json.dumps(t.tag(args.name, args.version)))
+    return 0
+
+
 def cmd_rollback(args) -> int:
     """Metadata-only rollback to a retained version (new commit)."""
     from wrangler_spark.lake import LakeTable
@@ -611,6 +625,13 @@ def build_parser() -> argparse.ArgumentParser:
     hs = sub.add_parser("history", help="retained commit history, one JSON line per version")
     hs.add_argument("--table", required=True)
     hs.set_defaults(fn=cmd_history)
+
+    tg = sub.add_parser("tag", help="create/drop a named snapshot pin (survives vacuum)")
+    tg.add_argument("--table", required=True)
+    tg.add_argument("--name", required=True)
+    tg.add_argument("--version", type=int, default=None, help="default: current head")
+    tg.add_argument("--drop", action="store_true")
+    tg.set_defaults(fn=cmd_tag)
 
     de = sub.add_parser("describe", help="DESCRIBE DETAIL + files/partitions metadata tables")
     de.add_argument("--table", required=True)

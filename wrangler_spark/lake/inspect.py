@@ -154,6 +154,7 @@ def describe(table) -> dict:
         "aliases": table.aliases,
         "properties": dict(snap.get("properties", {})),
         "constraints": table.constraints,
+        "tags": dict(snap.get("tags", {})),
         "committed_epochs": sorted(table.committed_epochs),
         "files": {
             kind: {

@@ -393,10 +393,25 @@ class LakeTable:
         return t
 
     @staticmethod
-    def load(spark: SparkSession, path: str, version: int | None = None) -> "LakeTable":
+    def load(
+        spark: SparkSession,
+        path: str,
+        version: int | None = None,
+        tag: str | None = None,
+    ) -> "LakeTable":
         """Load the current snapshot, or a historical one (time travel —
-        Iceberg `VERSION AS OF`). Readers pin the snapshot they loaded:
-        concurrent commits never change what an open table sees."""
+        Iceberg `VERSION AS OF` / `tag` = named pin, resolved through
+        the HEAD snapshot's tag map). Readers pin the snapshot they
+        loaded: concurrent commits never change what an open table
+        sees."""
+        if tag is not None:
+            if version is not None:
+                raise ValueError("pass version OR tag, not both")
+            head = LakeTable.load(spark, path)
+            tags = head.snap.get("tags", {})
+            if tag not in tags:
+                raise ValueError(f"no tag {tag!r} on this table (have {sorted(tags)})")
+            version = int(tags[tag])
         if version is None:
             vfile = os.path.join(path, _META, "VERSION")
             with open(vfile) as f:
@@ -1071,6 +1086,7 @@ class LakeTable:
         change_files: list[str] | None = None,
         operation: str | None = None,
         staged: bool = False,
+        tags: dict | None = None,
     ):
         """Commit a new snapshot. `new_bucket_files` REPLACES the listed
         buckets' base files (copy-on-write rewrite); `new_delta_files`
@@ -1113,6 +1129,10 @@ class LakeTable:
             snap["schema"] = json.loads(schema.json())
         if aliases is not None:
             snap["aliases"] = aliases
+        if tags is not None:
+            # full replacement (tag/drop_tag build the new dict); never
+            # mutate the parent's dict — snap is a SHALLOW copy
+            snap["tags"] = dict(tags)
         _refresh_stats(self.path, snap, spark=self.spark)
         self._refresh_blooms(snap, new_bucket_files)
         if staged:
@@ -1253,7 +1273,11 @@ class LakeTable:
 
         keep_last = max(1, keep_last)
         current = self.version
-        keep = [v for v in range(current - keep_last + 1, current + 1) if v >= 0]
+        recent = {v for v in range(current - keep_last + 1, current + 1) if v >= 0}
+        # tagged versions are pinned: a tag is a retention promise, so
+        # its snapshot (and files) survive until the tag is dropped
+        pinned = {int(v) for v in self.snap.get("tags", {}).values()}
+        keep = sorted(recent | pinned)
         live: set[str] = set()
         meta_dir = os.path.join(self.path, _META)
         for v in keep:
@@ -1304,6 +1328,42 @@ class LakeTable:
             "removed_data_files": removed_files,
             "removed_snapshots": removed_meta,
         }
+
+    def tag(self, name: str, version: int | None = None) -> dict:
+        """Iceberg `CREATE TAG`: a named pin of a snapshot version,
+        recorded in a metadata-only commit. A tagged version (and every
+        file it references) survives `expire_snapshots` until the tag
+        is dropped — the audit/compliance retention story ("keep the
+        monthly snapshot") without keeping everything since.
+
+        Tags resolve at read time via `LakeTable.load(path, tag=name)`
+        and never move (Iceberg tags are immutable refs; re-pointing
+        requires drop + re-create)."""
+        v = self.version if version is None else int(version)
+        if not os.path.exists(
+            os.path.join(self.path, _META, f"version-{v:06d}.json")
+        ):
+            raise ValueError(f"version {v} is not retained; cannot tag it")
+        tags = dict(self.snap.get("tags", {}))
+        if name in tags:
+            raise ValueError(
+                f"tag {name!r} already points at version {tags[name]}; drop it first"
+            )
+        tags[name] = v
+        self.commit({}, change_files=[], operation="tag", tags=tags)
+        return {"version": self.version, "tag": {name: v}}
+
+    def drop_tag(self, name: str) -> dict:
+        tags = dict(self.snap.get("tags", {}))
+        if name not in tags:
+            raise ValueError(f"no tag {name!r} on this table")
+        tags.pop(name)
+        self.commit({}, change_files=[], operation="drop-tag", tags=tags)
+        return {"version": self.version, "dropped": name}
+
+    @property
+    def tags(self) -> dict:
+        return dict(self.snap.get("tags", {}))
 
     def history(self) -> list[dict]:
         """Commit history of the retained snapshots, newest first — the
