@@ -62,15 +62,23 @@ def satisfies_all(cons: dict[str, str]) -> Column:
     return c
 
 
-def violation_counts(df: DataFrame, cons: dict[str, str]) -> dict[str, int]:
-    """Per-constraint violating-row counts, one aggregation job."""
+def violation_agg(df: DataFrame, cons: dict[str, str]) -> DataFrame:
+    """The single-row aggregation plan behind `violation_counts` —
+    exposed so the plan audit (PLANS.md) can show it: one HashAggregate
+    pair (partial map-side, final 1-group) over the batch, no joins, no
+    table scan."""
     aggs = [
         F.sum(
             (~F.coalesce(F.expr(expr).cast("boolean"), F.lit(False))).cast("long")
         ).alias(f"__c_{i}")
         for i, expr in enumerate(cons.values())
     ]
-    row = df.agg(*aggs).first()
+    return df.agg(*aggs)
+
+
+def violation_counts(df: DataFrame, cons: dict[str, str]) -> dict[str, int]:
+    """Per-constraint violating-row counts, one aggregation job."""
+    row = violation_agg(df, cons).first()
     return {
         name: int(row[f"__c_{i}"] or 0) for i, name in enumerate(cons.keys())
     }
