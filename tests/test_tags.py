@@ -53,7 +53,7 @@ def test_tag_resolves_and_is_immutable(spark, table):
         table.tag("audited")
     with pytest.raises(ValueError, match="no tag"):
         LakeTable.load(spark, table.path, tag="nope")
-    with pytest.raises(ValueError, match="version OR tag"):
+    with pytest.raises(ValueError, match="at most one"):
         LakeTable.load(spark, table.path, version=0, tag="audited")
     with pytest.raises(ValueError, match="not retained"):
         table.tag("future", version=999)
@@ -109,3 +109,21 @@ def test_cli_tag_roundtrip(spark, table, capsys):
     assert out[1]["tags"] == {"rel": table.version}
     assert main(["tag", "--table", table.path, "--name", "rel", "--drop"]) == 0
     assert json.loads(capsys.readouterr().out)["dropped"] == "rel"
+
+
+def test_timestamp_as_of(spark, table):
+    """Iceberg TIMESTAMP AS OF: newest retained commit at-or-before ts."""
+    v1 = table.version
+    ts1 = table.snap["ts"]
+    table.merge(
+        ch(spark, [(300, "update", "r0", "f0.py", "cT", "python", "later")]), epoch=1
+    )
+    ts2 = table.snap["ts"]
+    old = LakeTable.load(spark, table.path, as_of_ts=ts1)
+    assert old.version == v1
+    assert _contents(old)["f0.py"] == "v1-0"
+    assert LakeTable.load(spark, table.path, as_of_ts=ts2 + 1).version == table.version
+    with pytest.raises(ValueError, match="no retained snapshot"):
+        LakeTable.load(spark, table.path, as_of_ts=0.5)
+    with pytest.raises(ValueError, match="at most one"):
+        LakeTable.load(spark, table.path, version=v1, as_of_ts=ts1)

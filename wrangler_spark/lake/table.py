@@ -398,20 +398,36 @@ class LakeTable:
         path: str,
         version: int | None = None,
         tag: str | None = None,
+        as_of_ts: float | None = None,
     ) -> "LakeTable":
         """Load the current snapshot, or a historical one (time travel —
-        Iceberg `VERSION AS OF` / `tag` = named pin, resolved through
-        the HEAD snapshot's tag map). Readers pin the snapshot they
-        loaded: concurrent commits never change what an open table
-        sees."""
+        Iceberg `VERSION AS OF` / `TIMESTAMP AS OF` / `tag` = named pin,
+        resolved through the HEAD snapshot's tag map). Readers pin the
+        snapshot they loaded: concurrent commits never change what an
+        open table sees."""
+        if sum(x is not None for x in (version, tag, as_of_ts)) > 1:
+            raise ValueError("pass at most one of version / tag / as_of_ts")
         if tag is not None:
-            if version is not None:
-                raise ValueError("pass version OR tag, not both")
             head = LakeTable.load(spark, path)
             tags = head.snap.get("tags", {})
             if tag not in tags:
                 raise ValueError(f"no tag {tag!r} on this table (have {sorted(tags)})")
             version = int(tags[tag])
+        if as_of_ts is not None:
+            # TIMESTAMP AS OF: newest RETAINED commit at-or-before ts
+            # (one metadata read per retained version, like history())
+            head = LakeTable.load(spark, path)
+            cands = [
+                h["version"]
+                for h in head.history()
+                if h.get("ts") is not None and float(h["ts"]) <= float(as_of_ts)
+            ]
+            if not cands:
+                raise ValueError(
+                    f"no retained snapshot at or before ts={as_of_ts} "
+                    "(earlier ones may have been expired)"
+                )
+            version = max(cands)
         if version is None:
             vfile = os.path.join(path, _META, "VERSION")
             with open(vfile) as f:
