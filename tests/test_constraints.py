@@ -217,3 +217,29 @@ def test_replayer_surfaces_violations_in_lineage(spark, mk_table, tmp_path):
         .count()
         == 0
     )
+
+
+def test_cli_alter_constraints(spark, mk_table, capsys):
+    import json
+
+    from wrangler_spark.cli import main
+
+    t = mk_table("c9")
+    seed(spark, t)
+    rc = main(
+        ["alter", "--table", t.path,
+         "--add-constraint", "content_present=content IS NOT NULL"]
+    )
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out[0]["constraint"] == {"content_present": "content IS NOT NULL"}
+    from wrangler_spark.lake import LakeTable
+
+    assert LakeTable.load(spark, t.path).constraints == {
+        "content_present": "content IS NOT NULL"
+    }
+    assert main(
+        ["alter", "--table", t.path, "--drop-constraint", "content_present"]
+    ) == 0
+    assert json.loads(capsys.readouterr().out)[0]["dropped"] == "content_present"
+    assert LakeTable.load(spark, t.path).constraints == {}

@@ -427,8 +427,9 @@ def cmd_rollback(args) -> int:
 
 def cmd_alter(args) -> int:
     """Metadata-only schema/property changes (ALTER TABLE shape):
-    --rename old=new, --drop-column name, --set key=value — each a
-    separate commit, applied in that order."""
+    --rename old=new, --drop-column name, --set key=value,
+    --add-constraint name=expr (validates existing data first),
+    --drop-constraint name — each a separate commit, in that order."""
     from wrangler_spark.lake import LakeTable
 
     t = LakeTable.load(_spark(args), args.table)
@@ -440,6 +441,13 @@ def cmd_alter(args) -> int:
         out.append(t.rename_column(old, new))
     for name in args.drop_column or []:
         out.append(t.drop_column(name))
+    for spec in args.add_constraint or []:
+        name, _, expr = spec.partition("=")
+        if not expr:
+            raise SystemExit(f"bad --add-constraint {spec!r}; want name=SQL_EXPR")
+        out.append(t.add_constraint(name, expr))
+    for name in args.drop_constraint or []:
+        out.append(t.drop_constraint(name))
     if args.set_prop:
         props = {}
         for spec in args.set_prop:
@@ -649,6 +657,10 @@ def build_parser() -> argparse.ArgumentParser:
     al.add_argument("--rename", action="append", metavar="OLD=NEW")
     al.add_argument("--drop-column", dest="drop_column", action="append", metavar="NAME")
     al.add_argument("--set", dest="set_prop", action="append", metavar="KEY=VALUE")
+    al.add_argument("--add-constraint", dest="add_constraint", action="append",
+                    metavar="NAME=SQL_EXPR")
+    al.add_argument("--drop-constraint", dest="drop_constraint", action="append",
+                    metavar="NAME")
     al.set_defaults(fn=cmd_alter)
 
     mg = sub.add_parser("migrate", help="rewrite a v1 recipe as canonical v2 text")
