@@ -127,3 +127,61 @@ def test_timestamp_as_of(spark, table):
         LakeTable.load(spark, table.path, as_of_ts=0.5)
     with pytest.raises(ValueError, match="at most one"):
         LakeTable.load(spark, table.path, version=v1, as_of_ts=ts1)
+
+
+def test_tag_races_merge_cas(spark, table, tmp_path):
+    """A metadata-only tag commit races a real merge THREAD into the
+    same table: the CAS admits exactly one writer per version, the
+    loser retries after reload, and both effects land — the tag pins a
+    real retained version and the merge's rows are present."""
+    import threading
+    import time as _t
+
+    from wrangler_spark.lake.table import CommitConflictError
+
+    failures = []
+
+    def tagger():
+        try:
+            for i in range(4):
+                while True:
+                    t = LakeTable.load(spark, table.path)
+                    try:
+                        t.tag(f"pin{i}")
+                        break
+                    except CommitConflictError:
+                        _t.sleep(0.02)
+        except Exception as exc:  # noqa: BLE001
+            failures.append(exc)
+
+    def merger():
+        try:
+            for e in range(1, 5):
+                while True:
+                    t = LakeTable.load(spark, table.path)
+                    try:
+                        t.merge(
+                            ch(spark, [(100 + e, "update", "r0", f"f{e}.py",
+                                        f"c{e}", "python", f"m{e}")]),
+                            epoch=e,
+                        )
+                        break
+                    except CommitConflictError:
+                        _t.sleep(0.02)
+        except Exception as exc:  # noqa: BLE001
+            failures.append(exc)
+
+    th = [threading.Thread(target=tagger), threading.Thread(target=merger)]
+    [x.start() for x in th]
+    [x.join(timeout=300) for x in th]
+    assert not failures, failures
+    cur = LakeTable.load(spark, table.path)
+    # every tag resolves to a retained, loadable version
+    for name, v in cur.tags.items():
+        assert LakeTable.load(spark, table.path, tag=name).version == v
+    assert set(cur.tags) == {f"pin{i}" for i in range(4)}
+    # every merge landed exactly once
+    got = _contents(cur)
+    for e in range(1, 5):
+        assert got[f"f{e}.py"] == f"m{e}"
+    assert cur.committed_epochs == {0, 1, 2, 3, 4}
