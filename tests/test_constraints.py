@@ -243,3 +243,70 @@ def test_cli_alter_constraints(spark, mk_table, capsys):
     ) == 0
     assert json.loads(capsys.readouterr().out)[0]["dropped"] == "content_present"
     assert LakeTable.load(spark, t.path).constraints == {}
+
+
+# ---------------------------------------------------- property (hypothesis)
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+from wrangler_spark.lake.table import LakeTable as _LT  # noqa: E402
+
+_KEYS = [("r1", "a.py"), ("r1", "b.py"), ("r2", "a.py")]
+
+
+@st.composite
+def _event_log(draw):
+    n = draw(st.integers(min_value=1, max_value=20))
+    seqs = draw(st.lists(st.integers(0, 10_000), min_size=n, max_size=n, unique=True))
+    events = []
+    for s in seqs:
+        k = draw(st.sampled_from(_KEYS))
+        op = draw(st.sampled_from(["insert", "update", "delete"]))
+        poison = op != "delete" and draw(st.booleans())
+        events.append((s, op, k[0], k[1], poison))
+    cuts = draw(st.lists(st.integers(0, n), max_size=3))
+    bounds = sorted(set([0, n, *cuts]))
+    return [events[a:b] for a, b in zip(bounds, bounds[1:]) if b > a]
+
+
+def _fold_valid(batches):
+    """Python oracle: LWW over events MINUS poisoned non-delete events
+    (drop mode discards them before they can win)."""
+    state = {}
+    for batch in batches:
+        for s, op, repo, path, poison in sorted(batch):
+            if poison:
+                continue
+            cur = state.get((repo, path))
+            if cur is None or s > cur[0]:
+                state[(repo, path)] = (s, op)
+    return {k: f"v{v[0]}" for k, v in state.items() if v[1] != "delete"}
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(_event_log())
+def test_drop_mode_equals_python_fold(spark, tmp_path_factory, batches):
+    tmp = tmp_path_factory.mktemp("consprop")
+    t = _LT.create(
+        spark, str(tmp / "t"), repo_files_schema(), ["repo", "path"], num_buckets=4,
+        properties={"constraints.mode": "drop"},
+    )
+    t.add_constraint("content_present", "content IS NOT NULL")
+    for i, batch in enumerate(batches):
+        rows = [
+            (s, op, r, p, f"c{s}",
+             None if op == "delete" else "python",
+             None if (op == "delete" or poison) else f"v{s}")
+            for s, op, r, p, poison in batch
+        ]
+        t.merge(ch(spark, rows), epoch=i)
+    got = {
+        (r["repo"], r["path"]): r["content"]
+        for r in _LT.load(spark, t.path).read().collect()
+    }
+    assert got == _fold_valid(batches)
