@@ -67,6 +67,10 @@ def test_files_df_matches_manifest_and_disk(spark, table):
             assert 0 <= r["bucket"] < table.num_buckets
     # every data file carries footer stats and a bloom for `commit`
     assert all(r["stats_cols"] > 0 for r in by_kind["data"])
+    # per-file record counts ride the stats manifest (Iceberg
+    # files.record_count): the 40 seeded rows, no tombstones yet
+    assert all(r["record_count"] is not None for r in by_kind["data"])
+    assert sum(r["record_count"] for r in by_kind["data"]) == 40
     assert all(r["bloom_cols"] == 1 for r in by_kind["data"])
     # deltas are never bloom-indexed (scan exempts delta buckets)
     assert all(r["bloom_cols"] == 0 for r in by_kind["delta"])
@@ -79,6 +83,7 @@ def test_partitions_df_is_the_compaction_worklist(spark, table):
         assert p[b]["n_data_files"] == len(table.snap["files"].get(str(b), []))
         assert p[b]["n_delta_files"] == len(deltas.get(str(b), []))
     assert sum(r["n_delta_files"] for r in p.values()) == len(table.delta_files())
+    assert sum(r["data_rows"] for r in p.values()) == 40
     # bytes agree with files_df
     fsum = sum(
         r["size_bytes"]
@@ -109,6 +114,7 @@ def test_describe_detail(spark, table):
     assert d["files"]["data"]["count"] == len(table.all_files())
     assert d["files"]["delta"]["count"] == len(table.delta_files())
     assert d["files"]["data"]["bytes"] > 0
+    assert d["files"]["data"]["rows"] == 40
     assert d["stats_covered_files"] >= d["files"]["data"]["count"]
     json.dumps(d)  # CLI-serializable
 

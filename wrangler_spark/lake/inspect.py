@@ -33,6 +33,7 @@ _FILES_SCHEMA = T.StructType(
         T.StructField("bucket", T.IntegerType(), True),  # None for change files
         T.StructField("file_path", T.StringType(), False),  # table-relative
         T.StructField("size_bytes", T.LongType(), True),  # None if missing
+        T.StructField("record_count", T.LongType(), True),  # None if no footer stats
         T.StructField("stats_cols", T.IntegerType(), False),  # footer-stats cols
         T.StructField("bloom_cols", T.IntegerType(), False),  # bloom-indexed cols
     ]
@@ -72,13 +73,16 @@ def _file_rows(table) -> list[tuple]:
             size = os.stat(full).st_size
         except OSError:
             size = None
+        fstats = stats.get(rel) or {}
+        nrows = fstats.get("__nrows")
         rows.append(
             (
                 kind,
                 bucket,
                 rel,
                 size,
-                len(stats.get(rel) or {}),
+                None if nrows is None else int(nrows),
+                sum(1 for k in fstats if not k.startswith("__")),
                 n_bloom_cols if rel in bloomed else 0,
             )
         )
@@ -110,6 +114,7 @@ def partitions_df(spark: SparkSession, table) -> DataFrame:
         f.groupBy("bucket")
         .agg(
             F.sum(F.when(F.col("content") == "data", 1).otherwise(0)).alias("n_data_files"),
+            F.sum(F.when(F.col("content") == "data", F.col("record_count")).otherwise(0)).alias("data_rows"),
             F.sum(F.when(F.col("content") == "data", F.col("size_bytes")).otherwise(0)).alias("data_bytes"),
             F.sum(F.when(F.col("content") == "delta", 1).otherwise(0)).alias("n_delta_files"),
             F.sum(F.when(F.col("content") == "delta", F.col("size_bytes")).otherwise(0)).alias("delta_bytes"),
@@ -160,10 +165,11 @@ def describe(table) -> dict:
             kind: {
                 "count": len(v),
                 "bytes": sum(x[3] or 0 for x in v),
+                "rows": sum(x[4] or 0 for x in v),
             }
             for kind, v in by_kind.items()
         },
-        "stats_covered_files": sum(1 for r in rows if r[4] > 0),
-        "bloom_covered_files": sum(1 for r in rows if r[5] > 0),
+        "stats_covered_files": sum(1 for r in rows if r[5] > 0),
+        "bloom_covered_files": sum(1 for r in rows if r[6] > 0),
         "retained_snapshots": len(table.history()),
     }

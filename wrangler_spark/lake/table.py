@@ -180,7 +180,11 @@ def _footer_stats_one(full_path: str, want: frozenset) -> dict | None:
         if isinstance(mx, str) and len(mx) > _STATS_MAX_STRLEN:
             mx = None
         per[name.lower()] = [mn, mx, nulls]
-    return per or None
+    # reserved key (never a filter column, ignored by pruning lookups):
+    # per-file row count for the metadata tables (Iceberg
+    # files.record_count) — free, the footer is already open
+    per["__nrows"] = md.num_rows
+    return per
 
 
 # below this many fresh files the footer reads run serially on the
