@@ -1694,6 +1694,53 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["lake_constraints"] = q_lake_constraints
 
+    def q_lake_inspect(spark, d):
+        """Metadata inspection tables (lake/inspect.py): after a full
+        cow replay, the `files` metadata table must account for every
+        physical row — sum(record_count) over base files equals the
+        number of DISTINCT keys ever seen (cow keeps one winner row per
+        key, tombstones included), while the resolved read returns only
+        the LWW non-delete keys. Both accounted driver-side from the
+        manifest, both recomputed relationally by the oracle."""
+        import tempfile
+
+        from pyspark.sql import types as TT
+
+        from wrangler_spark.cdc import Replayer
+        from wrangler_spark.lake import LakeTable
+
+        ev = _t(spark, d, "events").select(
+            F.col("event_id").alias("seq"),
+            (F.col("event_id") % 3).cast("long").alias("epoch"),
+            F.when(F.col("event_type") == "signup", "insert")
+            .when(F.col("event_type") == "error", "delete")
+            .otherwise("update")
+            .alias("op"),
+            "user_id",
+            "event_type",
+            "value",
+        )
+        schema = TT.StructType(
+            [f for f in ev.schema.fields if f.name not in ("seq", "epoch", "op")]
+        )
+        base = tempfile.mkdtemp(prefix="wr_insp_")
+        table = LakeTable.create(
+            spark, f"{base}/tbl", schema, ["user_id"], num_buckets=4
+        )
+        Replayer(table, f"{base}/ckpt").replay(ev)
+        t = LakeTable.load(spark, f"{base}/tbl")
+        physical = (
+            t.inspect_files()
+            .filter(F.col("content") == "data")
+            .agg(F.sum("record_count").alias("n"))
+            .first()["n"]
+        )
+        live = t.read().count()
+        return spark.createDataFrame(
+            [(int(physical), int(live))], "physical_rows long, live_rows long"
+        )
+    q["lake_inspect"] = q_lake_inspect
+
     return q
 
 
@@ -2434,6 +2481,18 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY event_id DESC) AS rn FROM kept) "
             "SELECT user_id, event_type, value FROM d "
             "WHERE rn = 1 AND op <> 'delete'"
+        ),
+        # lake_inspect: the files metadata table accounts for every
+        # physical row (one winner per key ever seen, tombstones
+        # included); the resolved read returns only live LWW keys
+        "lake_inspect": (
+            "WITH d AS (SELECT user_id, "
+            "CASE WHEN event_type = 'signup' THEN 'insert' "
+            "WHEN event_type = 'error' THEN 'delete' ELSE 'update' END AS op, "
+            "row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn "
+            "FROM events) "
+            "SELECT (SELECT count(DISTINCT user_id) FROM events) AS physical_rows, "
+            "(SELECT count(*) FROM d WHERE rn = 1 AND op <> 'delete') AS live_rows"
         ),
         # cdc_replicate: the replica synced off the changelog must hold
         # exactly the direct-LWW state of the full stream
