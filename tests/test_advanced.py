@@ -91,7 +91,9 @@ def test_parse_as_hl7_components(spark):
 
 
 def test_invoke_http_local_server(spark):
-    """Real HTTP round trip against a local stdlib server: the batched
+    """Real HTTP round trip against a local stdlib server (reference:
+    wrangler-core directives/external/InvokeHttpTest.java, same
+    local-service shape): the batched
     mapInPandas enrichment posts each row's selected columns and
     attaches the response body."""
     import http.server
