@@ -44,7 +44,7 @@ def seed(spark, table, n=40, mode="cow"):
 def test_stats_collected_on_commit(spark, mk_table):
     t = mk_table("t1")
     seed(spark, t)
-    stats = t.snap.get("stats", {})
+    stats = t.file_stats
     # every committed base file has stats for the tracked columns
     all_rels = [rel for rels in t.snap["files"].values() for rel in rels]
     assert all_rels and set(stats) == set(all_rels)
@@ -163,7 +163,7 @@ def test_scan_through_rename_alias(spark, mk_table):
 def test_stats_disabled_property(spark, mk_table):
     t = mk_table("t7", properties={"stats.enabled": "false"})
     seed(spark, t)
-    assert "stats" not in t.snap or not t.snap["stats"]
+    assert not t.file_stats and not t.snap.get("stats_manifests")
     # scan still works, just without file skipping
     plan = {}
     assert t.scan([("repo", "=", "repo1")], plan_out=plan).count() == 4
@@ -179,7 +179,7 @@ def test_stats_pruned_to_live_files(spark, mk_table):
     live = {rel for rels in t.snap["files"].values() for rel in rels} | {
         rel for rels in t.snap.get("deltas", {}).values() for rel in rels
     }
-    assert set(t.snap["stats"]) <= live
+    assert set(t.file_stats) <= live
 
 
 def test_bad_filter_rejected(spark, mk_table):
@@ -347,7 +347,7 @@ def test_stats_collection_paths_agree(spark, mk_table, monkeypatch):
     threaded = lt._collect_file_stats(t.path, t.snap, rels, spark=None)
     monkeypatch.setattr(lt, "_STATS_DISTRIBUTE_MIN", 1)
     distributed = lt._collect_file_stats(t.path, t.snap, rels, spark=spark)
-    assert distributed == threaded == {r: t.snap["stats"][r] for r in rels}
+    assert distributed == threaded == {r: t.file_stats[r] for r in rels}
 
 
 def test_large_commit_uses_distributed_stats(spark, mk_table, monkeypatch):
@@ -372,7 +372,7 @@ def test_large_commit_uses_distributed_stats(spark, mk_table, monkeypatch):
     # module function by reference, so the monkeypatched counter seeing
     # zero hits proves the driver pool was skipped)
     assert calls["n"] == 0
-    assert t.snap.get("stats")
+    assert t.file_stats
     got = t.scan([("repo", "=", "repo3")]).select("repo").distinct().collect()
     assert [r["repo"] for r in got] == ["repo3"]
 
@@ -461,3 +461,56 @@ def test_delete_where_in_filter(spark, mk_table):
     assert m["rows"] == 2
     paths = {r["path"] for r in t.read().collect()}
     assert "f1.py" not in paths and "f2.py" not in paths and len(paths) == 10
+
+
+def test_stats_sidecars_are_commit_scoped(spark, mk_table):
+    """Stats live in immutable per-commit sidecars (Iceberg manifest
+    model): a new commit writes ONE sidecar covering only its own new
+    files, earlier sidecars are untouched (pointer carry-forward), the
+    snapshot JSON itself carries no per-file stats, and expire collects
+    sidecars once none of their files are referenced."""
+    import json as _json
+    import os as _os
+
+    t = mk_table("t_sidecar")
+    seed(spark, t)
+    m1 = t.snap.get("stats_manifests", [])
+    assert len(m1) == 1 and "stats" not in t.snap
+    sidecar1 = m1[0]["path"]
+    size1 = _os.stat(_os.path.join(t.path, sidecar1)).st_size
+    n_files1 = len(m1[0]["files"])
+    # a 1-key epoch: the new sidecar covers ONLY the rewritten bucket's
+    # new files; the first sidecar is untouched on disk
+    t.merge(
+        ch(spark, [(1000, "update", "repo1", "f1.py", "cX", "python", "new")]),
+        epoch=1,
+    )
+    m2 = t.snap["stats_manifests"]
+    assert [m["path"] for m in m2][0] == sidecar1
+    assert _os.stat(_os.path.join(t.path, sidecar1)).st_size == size1
+    assert len(m2) == 2 and len(m2[1]["files"]) < n_files1
+    with open(_os.path.join(t.path, m2[1]["path"])) as f:
+        assert set(_json.load(f)) == set(m2[1]["files"])
+    # pruning still answers from the merged view
+    plan = {}
+    got = t.scan([("repo", "=", "repo1")], plan_out=plan).count()
+    assert got == 4 and plan["skipped_files"] > 0
+    # expire: after enough rewrites every file of sidecar1 dies and the
+    # pointer + file go away
+    for e in range(2, 12):
+        t.merge(
+            ch(spark, [(1000 + e, "update", f"repo{e % 10}", f"f{e % 10}.py",
+                        f"c{e}", "python", f"v{e}")]),
+            epoch=e,
+        )
+    t.expire_snapshots(keep_last=1)
+    cur = LakeTable.load(spark, t.path)
+    live = {r for rels in cur.snap["files"].values() for r in rels}
+    for m in cur.snap["stats_manifests"]:
+        assert any(r in live for r in m["files"])
+        assert _os.path.exists(_os.path.join(t.path, m["path"]))
+    # a sidecar none of whose files live anymore is gone from disk
+    meta = _os.path.join(t.path, "_meta")
+    on_disk = {f"_meta/{fn}" for fn in _os.listdir(meta) if fn.startswith("stats-v")}
+    assert on_disk == {m["path"] for m in cur.snap["stats_manifests"]}
+    assert set(cur.file_stats) == live

@@ -55,7 +55,7 @@ _SNAPSHOTS_SCHEMA = T.StructType(
 
 def _file_rows(table) -> list[tuple]:
     snap = table.snap
-    stats = snap.get("stats", {})
+    stats = table.file_stats
     # the manifest POINTER records which files a sidecar covers but not
     # the column list (that was the table's bloom.cols at build time) —
     # report the current indexed-column count for covered files

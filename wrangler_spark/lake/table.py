@@ -242,23 +242,55 @@ def _collect_file_stats(
     return out
 
 
+def _write_stats_manifest(path: str, version: int, stats: dict) -> str:
+    """Persist one commit's file stats as an IMMUTABLE sidecar (the
+    Iceberg manifest-file model): the snapshot carries only a pointer,
+    so the per-commit metadata WRITE is O(this commit's files), not
+    O(table files). Unique name for the same CAS-loser reason as bloom
+    sidecars (write_manifest); expire_snapshots collects orphans."""
+    rel = os.path.join(_META, f"stats-v{version:06d}-{uuid.uuid4().hex[:8]}.json")
+    _atomic_write(os.path.join(path, rel), json.dumps(stats))
+    return rel
+
+
 def _refresh_stats(path: str, snap: dict, spark: SparkSession | None = None) -> None:
-    """Update snap['stats'] in place: collect footer stats for newly
-    referenced files, drop entries for files no longer referenced by
-    this snapshot (manifest size stays proportional to live files)."""
+    """Update snap['stats_manifests'] in place: collect footer stats
+    for newly referenced files into ONE new sidecar, keep pointers to
+    prior sidecars while any of their files is still referenced, and
+    drop pointers whose files are all dead. Legacy inline snap['stats']
+    (pre-sidecar snapshots) migrates into the new sidecar once.
+
+    Why sidecars: the snapshot JSON is rewritten EVERY commit — inline
+    per-file stats made that write O(table files) (at 10^6 files,
+    hundreds of MB of driver JSON per epoch). With pointers the
+    snapshot stays O(file COUNT) and the stats bytes are written once,
+    when the files are born."""
     if str(snap.get("properties", {}).get("stats.enabled", "true")).lower() == "false":
         snap.pop("stats", None)
+        snap.pop("stats_manifests", None)
         return
-    stats = dict(snap.get("stats", {}))
     live: set[str] = set()
     for rels in snap["files"].values():
         live.update(rels)
     for rels in snap.get("deltas", {}).values():
         live.update(rels)
-    fresh = [r for r in live if r not in stats]
+    manifests = [
+        m
+        for m in snap.get("stats_manifests", [])
+        if any(r in live for r in m["files"])
+    ]
+    covered = {r for m in manifests for r in m["files"]}
+    # one-time migration of legacy inline stats (still-live files only)
+    legacy = snap.pop("stats", None) or {}
+    new_stats = {r: s for r, s in legacy.items() if r in live}
+    fresh = [r for r in live if r not in covered and r not in new_stats]
     if fresh:
-        stats.update(_collect_file_stats(path, snap, fresh, spark=spark))
-    snap["stats"] = {r: s for r, s in stats.items() if r in live}
+        new_stats.update(_collect_file_stats(path, snap, fresh, spark=spark))
+    if new_stats:
+        rel = _write_stats_manifest(path, snap["version"], new_stats)
+        manifests.append({"path": rel, "files": sorted(new_stats)})
+    if manifests or "stats_manifests" in snap:
+        snap["stats_manifests"] = manifests
 
 
 _SCAN_OPS = ("=", "<", "<=", ">", ">=", "in")
@@ -445,6 +477,8 @@ class LakeTable:
         return os.path.exists(os.path.join(path, _META, "VERSION"))
 
     def _write_snapshot(self) -> None:
+        # the handle's snapshot just changed — drop plan-time caches
+        self.__dict__.pop("_stats_cache", None)
         v = self.snap["version"]
         vfile = os.path.join(self.path, _META, "VERSION")
         if v > 0 and os.path.exists(vfile):
@@ -490,6 +524,33 @@ class LakeTable:
     @property
     def version(self) -> int:
         return int(self.snap["version"])
+
+    @property
+    def file_stats(self) -> dict:
+        """Per-file footer stats, merged from the snapshot's sidecar
+        manifests (plus legacy inline stats on pre-sidecar snapshots)
+        and restricted to files this snapshot references. Loaded
+        lazily, once per handle — the Iceberg model of reading
+        manifests at plan time; the merged dict is the scan planner's
+        working set (O(live files), never rewritten)."""
+        cached = self.__dict__.get("_stats_cache")
+        if cached is not None:
+            return cached
+        out = dict(self.snap.get("stats", {}))
+        for m in self.snap.get("stats_manifests", []):
+            try:
+                with open(os.path.join(self.path, m["path"])) as f:
+                    out.update(json.load(f))
+            except OSError:
+                continue  # expired sidecar: pruning degrades, never errors
+        live: set[str] = set()
+        for rels in self.snap["files"].values():
+            live.update(rels)
+        for rels in self.snap.get("deltas", {}).values():
+            live.update(rels)
+        out = {r: s for r, s in out.items() if r in live}
+        self.__dict__["_stats_cache"] = out
+        return out
 
     def all_files(self) -> list[str]:
         return [
@@ -734,7 +795,7 @@ class LakeTable:
                     cand = [x for x in cand if x in pins]
             else:
                 point = False
-        stats = self.snap.get("stats", {})
+        stats = self.file_stats
         deltas = self.snap.get("deltas", {})
         probes, bloom_idx = self._bloom_probes(eqmulti)
         kept: list[str] = []
@@ -1325,23 +1386,29 @@ class LakeTable:
             if not os.listdir(root) and root != data_dir:
                 _shutil.rmtree(root, ignore_errors=True)
         removed_meta = 0
-        # bloom sidecars survive only while a retained snapshot points
-        # at them (pointers carry forward across commits, so a sidecar
-        # can outlive the version that wrote it)
+        # bloom/stats sidecars survive only while a retained snapshot
+        # points at them (pointers carry forward across commits, so a
+        # sidecar can outlive the version that wrote it); orphans from
+        # CAS-losing or aborted-staged writers are collected here too
         live_sidecars: set[str] = set()
         for v in keep:
             p = os.path.join(meta_dir, f"version-{v:06d}.json")
             if os.path.exists(p):
                 with open(p) as f:
-                    for m in json.load(f).get("bloom_manifests") or []:
-                        live_sidecars.add(os.path.basename(m["path"]))
+                    retained = json.load(f)
+                for m in retained.get("bloom_manifests") or []:
+                    live_sidecars.add(os.path.basename(m["path"]))
+                for m in retained.get("stats_manifests") or []:
+                    live_sidecars.add(os.path.basename(m["path"]))
         for fn in os.listdir(meta_dir):
             if fn.startswith("version-") and fn.endswith(".json"):
                 v = int(fn[len("version-"):-len(".json")])
                 if v not in keep:
                     os.remove(os.path.join(meta_dir, fn))
                     removed_meta += 1
-            elif fn.startswith("bloom-v") and fn not in live_sidecars:
+            elif (
+                fn.startswith("bloom-v") or fn.startswith("stats-v")
+            ) and fn not in live_sidecars:
                 os.remove(os.path.join(meta_dir, fn))
         return {
             "kept_versions": keep,
@@ -1537,7 +1604,7 @@ class LakeTable:
         snap["parent"] = snap["version"]
         snap["version"] = snap["version"] + 1
         for k in ("files", "deltas", "schema", "aliases", "committed_epochs",
-                  "properties", "stats"):
+                  "properties", "stats", "stats_manifests"):
             if k in target:
                 snap[k] = target[k]
             else:

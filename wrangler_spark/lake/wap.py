@@ -121,6 +121,8 @@ class StagedCommit:
             refs.update(snap.get("changes") or [])
             for m in snap.get("bloom_manifests", []):
                 refs.add(m["path"])
+            for m in snap.get("stats_manifests", []):
+                refs.add(m["path"])
             return refs
 
         from wrangler_spark.lake.table import LakeTable
