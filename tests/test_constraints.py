@@ -310,3 +310,30 @@ def test_drop_mode_equals_python_fold(spark, tmp_path_factory, batches):
         for r in _LT.load(spark, t.path).read().collect()
     }
     assert got == _fold_valid(batches)
+
+
+def test_rename_and_drop_refuse_constrained_columns(spark, mk_table):
+    """Delta refuses RENAME/DROP of a column a CHECK references — the
+    stored expression would stop resolving and abort every later write.
+    Detection is by analysis (lake/constraints.py
+    constraints_referencing), so backticks/case/function wrapping all
+    count as references."""
+    t = mk_table("c_ref")
+    seed(spark, t)
+    t.add_constraint("lang_known", "Lang IN ('python','java') OR lang IS NULL")
+    t.add_constraint("has_content", "length(`content`) > 0")
+    with pytest.raises(ValueError, match=r"lang_known.*reference"):
+        t.rename_column("lang", "language")
+    with pytest.raises(ValueError, match=r"has_content.*reference"):
+        t.drop_column("content")
+    # an unreferenced column still renames/drops freely
+    t.rename_column("commit", "commit_sha")
+    t.drop_column("commit_sha")
+    # dropping the constraint unblocks the schema change
+    t.drop_constraint("lang_known")
+    t.rename_column("lang", "language")
+    assert "language" in [f.name for f in t.schema.fields]
+    # and the surviving constraint still enforces (DML path — the event
+    # schema predates the renames, so we assert through update_where)
+    with pytest.raises(ConstraintViolationError):
+        t.update_where([("repo", "=", "repo0")], {"content": "''"})

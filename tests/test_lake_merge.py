@@ -423,3 +423,38 @@ def test_rename_column_standalone_and_set_properties(spark, tmp_path):
         "seq long, op string, repo string, path string, commit string, language string, content string",
     ), epoch=1)
     assert t.snap.get("bloom_manifests")
+
+
+def test_late_old_name_batch_folds_onto_renamed_column(spark, table):
+    """A producer that lags a declared rename keeps emitting the OLD
+    column name. That name must fold back onto the renamed column
+    (evolve_schema alias_to_cur + merge _align alias resolution) — NOT
+    be appended as a new field, which would collide with the read alias
+    and make old files serve values under the resurrected name while
+    nulling the current one."""
+    table.merge(
+        ch(spark, [(1, "insert", "r1", "a.py", "c1", "python", "v1")]), epoch=0
+    )
+    table.rename_column("lang", "language")
+    # late batch, pre-rename schema (still says `lang`)
+    table.merge(
+        ch(spark, [(2, "insert", "r2", "b.py", "c2", "java", "v2")]), epoch=1
+    )
+    names = [f.name for f in table.schema.fields]
+    assert "language" in names and "lang" not in names
+    got = {r["repo"]: r["language"] for r in table.read().collect()}
+    # old file resolves through the alias; late batch lands in language
+    assert got == {"r1": "python", "r2": "java"}
+
+
+def test_widen_through_alias():
+    """An old-name incoming column that is numerically wider widens the
+    RENAMED column in place (no duplicate field)."""
+    old = T.StructType(
+        [T.StructField("k", T.StringType()), T.StructField("size_b", T.IntegerType())]
+    )
+    new = T.StructType([T.StructField("size", T.LongType())])
+    schema, aliases = evolve_schema(old, new, aliases={"size_b": ["size"]})
+    names = {f.name: f.dataType.simpleString() for f in schema.fields}
+    assert names == {"k": "string", "size_b": "bigint"}
+    assert aliases == {"size_b": ["size"]}

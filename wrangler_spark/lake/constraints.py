@@ -120,3 +120,33 @@ def drop_constraint(table, name: str) -> dict:
         raise ValueError(f"no constraint {name!r} on this table")
     table.commit({}, properties={key: None}, change_files=[], operation="drop-constraint")
     return {"version": table.version, "dropped": name}
+
+
+def constraints_referencing(table, column: str) -> list[str]:
+    """Names of CHECK constraints that reference `column` — used by
+    rename_column/drop_column to refuse schema changes that would leave
+    an unevaluable constraint behind (Delta refuses the same way:
+    a CHECK referencing a renamed/dropped column would otherwise abort
+    EVERY subsequent merge with an analysis error, permanently).
+
+    Detection is by ANALYSIS, not string matching: each expression is
+    planned against an empty frame built from the schema minus
+    `column`; an expression that no longer resolves references it.
+    Driver-only plan work — no Spark job runs."""
+    cons = table_constraints(table.snap)
+    if not cons:
+        return []
+    import pyspark.sql.types as T
+
+    c_l = column.lower()
+    reduced = T.StructType(
+        [f for f in table.schema.fields if f.name.lower() != c_l]
+    )
+    probe = table.spark.createDataFrame([], reduced)
+    hit = []
+    for name, expr in cons.items():
+        try:
+            probe.select(F.expr(expr).cast("boolean"))
+        except Exception:
+            hit.append(name)
+    return sorted(hit)

@@ -254,9 +254,20 @@ def merge_into(
     def _align(df: DataFrame, extra: list) -> DataFrame:
         cols = []
         have = {c.lower() for c in df.columns}
+        schema_l = {f_.name.lower() for f_ in schema.fields}
         for f_ in schema.fields:
-            if f_.name.lower() in have:
-                cols.append(F.col(f_.name).cast(f_.dataType).alias(f_.name))
+            # a late producer may still emit a PRE-RENAME name: resolve
+            # the payload through the read aliases (current name wins
+            # when both are present) so old-name batches land in the
+            # renamed column instead of null (mirrors _read_files)
+            cands = [f_.name.lower()] + [
+                a
+                for a in aliases.get(f_.name.lower(), [])
+                if a in have and a not in schema_l
+            ]
+            src = next((c for c in cands if c in have), None)
+            if src is not None:
+                cols.append(F.col(src).cast(f_.dataType).alias(f_.name))
             else:
                 cols.append(F.lit(None).cast(f_.dataType).alias(f_.name))
         return df.select(*cols, *extra)

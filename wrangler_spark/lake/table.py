@@ -379,8 +379,21 @@ def evolve_schema(
         fields[idx] = T.StructField(n, fields[idx].dataType, True)
         aliases[n_l] = aliases.pop(o_l, []) + [o_l]
     old_map = {f.name.lower(): f for f in fields}
+    # alias → current-name map: an incoming batch still using a PRE-
+    # RENAME column name refers to the SAME logical column (late CDC
+    # producers lag declared renames). Without this, the old name would
+    # be appended as a brand-new field whose name collides with the
+    # read alias — old data files would then serve their values under
+    # the resurrected name and NULL under the current one. Iceberg
+    # resolves this with field ids; name-mapped formats must fold the
+    # alias back onto its current column.
+    alias_to_cur = {
+        a: cur for cur, olds in aliases.items() for a in olds if a not in old_map
+    }
     for nf in new.fields:
         of = old_map.get(nf.name.lower())
+        if of is None and nf.name.lower() in alias_to_cur:
+            of = old_map.get(alias_to_cur[nf.name.lower()])
         if of is None:
             fields.append(T.StructField(nf.name, nf.dataType, True))
             continue
@@ -1513,6 +1526,15 @@ class LakeTable:
             raise ValueError(f"cannot rename table key column {old!r}")
         if not any(f.name.lower() == old.lower() for f in self.schema.fields):
             raise ValueError(f"rename_column: no column {old!r} in table schema")
+        from wrangler_spark.lake.constraints import constraints_referencing
+
+        refs = constraints_referencing(self, old)
+        if refs:
+            raise ValueError(
+                f"cannot rename {old!r}: CHECK constraint(s) {refs} reference "
+                "it (the stored expression would stop resolving and abort "
+                "every future write); drop the constraint(s) first"
+            )
         schema, aliases = evolve_schema(
             self.schema, T.StructType([]), renames={old: new},
             aliases=self.aliases, dropped=self.snap.get("dropped", []),
@@ -1570,6 +1592,15 @@ class LakeTable:
         fields = self.schema.fields
         if not any(f.name.lower() == n_l for f in fields):
             raise ValueError(f"drop_column: no column {name!r} in table schema")
+        from wrangler_spark.lake.constraints import constraints_referencing
+
+        refs = constraints_referencing(self, name)
+        if refs:
+            raise ValueError(
+                f"cannot drop {name!r}: CHECK constraint(s) {refs} reference "
+                "it (the stored expression would stop resolving and abort "
+                "every future write); drop the constraint(s) first"
+            )
         new_schema = T.StructType([f for f in fields if f.name.lower() != n_l])
         aliases = dict(self.aliases)
         retired = [n_l, *aliases.pop(n_l, [])]
