@@ -1736,8 +1736,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .first()["n"]
         )
         live = t.read().count()
+        # metadata-only COUNT(*): zero Spark jobs, served from the
+        # commit-time stats sidecars (__nrows − __ndel per file). After
+        # a cow replay it must be available AND equal the scan count —
+        # -1 (never matching the oracle) if the fast path went missing.
+        meta = t._count_from_metadata()
         return spark.createDataFrame(
-            [(int(physical), int(live))], "physical_rows long, live_rows long"
+            [(int(physical), int(live), -1 if meta is None else int(meta))],
+            "physical_rows long, live_rows long, meta_live_rows long",
         )
     q["lake_inspect"] = q_lake_inspect
 
@@ -2492,7 +2498,8 @@ def oracle_sql() -> dict[str, str]:
             "row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn "
             "FROM events) "
             "SELECT (SELECT count(DISTINCT user_id) FROM events) AS physical_rows, "
-            "(SELECT count(*) FROM d WHERE rn = 1 AND op <> 'delete') AS live_rows"
+            "(SELECT count(*) FROM d WHERE rn = 1 AND op <> 'delete') AS live_rows, "
+            "(SELECT count(*) FROM d WHERE rn = 1 AND op <> 'delete') AS meta_live_rows"
         ),
         # cdc_replicate: the replica synced off the changelog must hold
         # exactly the direct-LWW state of the full stream

@@ -169,6 +169,9 @@ def describe(table) -> dict:
             }
             for kind, v in by_kind.items()
         },
+        # metadata-exact live-row count (None when a scan is required:
+        # pending MoR deltas or pre-__ndel sidecars)
+        "live_rows": table._count_from_metadata(),
         "stats_covered_files": sum(1 for r in rows if r[5] > 0),
         "bloom_covered_files": sum(1 for r in rows if r[6] > 0),
         "retained_snapshots": len(table.history()),

@@ -145,7 +145,8 @@ def _footer_stats_one(full_path: str, want: frozenset) -> dict | None:
     import pyarrow.parquet as pq
 
     try:
-        md = pq.ParquetFile(full_path).metadata
+        pf = pq.ParquetFile(full_path)
+        md = pf.metadata
     except Exception:
         return None
     per: dict[str, list] = {}
@@ -184,6 +185,45 @@ def _footer_stats_one(full_path: str, want: frozenset) -> dict | None:
     # per-file row count for the metadata tables (Iceberg
     # files.record_count) — free, the footer is already open
     per["__nrows"] = md.num_rows
+    # exact tombstone count, so COUNT(*) is answerable from metadata
+    # alone (Delta/Iceberg serve SELECT COUNT(*) without touching data
+    # files). Row groups whose boolean stats pin __deleted to all-false
+    # (the common insert-epoch case) or all-true cost nothing; only a
+    # MIXED group forces one column-pruned read of the boolean column.
+    # A file without __deleted (pre-merge layout) has no tombstones.
+    ndel = 0
+    di = next(
+        (i for i in range(md.num_columns) if md.schema.column(i).name == "__deleted"),
+        None,
+    )
+    if di is not None:
+        mixed = False
+        for rg in range(md.num_row_groups):
+            col = md.row_group(rg).column(di)
+            st = col.statistics
+            if st is not None and st.has_min_max and st.max is False:
+                continue  # all live (NULL __deleted coalesces to live)
+            if (
+                st is not None
+                and st.has_min_max
+                and st.min is True
+                and st.has_null_count
+                and st.null_count == 0
+            ):
+                ndel += md.row_group(rg).num_rows
+                continue
+            mixed = True
+            break
+        if mixed:
+            try:
+                import pyarrow.compute as pc
+
+                flags = pf.read(columns=["__deleted"]).column("__deleted")
+                s = pc.sum(flags)  # nulls skipped = live
+                ndel = int(s.as_py() or 0)
+            except Exception:
+                ndel = None  # unknown → metadata count falls back
+    per["__ndel"] = ndel
     return per
 
 
@@ -638,6 +678,39 @@ class LakeTable:
         if with_meta:
             return df
         return df.filter(~F.col("__deleted")).drop("__seq", "__deleted")
+
+    # ------------------------------------------------------------ count (metadata-only)
+    def _count_from_metadata(self) -> int | None:
+        """Exact live-row count from the stats manifests alone — ZERO
+        Spark jobs, zero data-file reads (the Delta/Iceberg model:
+        SELECT COUNT(*) is answered at plan time from per-file
+        record_count). Live rows per file = __nrows − __ndel, both
+        collected at commit time by _footer_stats_one.
+
+        Returns None (caller falls back to a scan) when the count is
+        not provably exact from metadata: pending merge-on-read deltas
+        (per-key resolution changes liveness across files), or a live
+        base file whose sidecar predates __ndel collection."""
+        if self.delta_rels():
+            return None
+        stats = self.file_stats
+        total = 0
+        for rels in self.snap["files"].values():
+            for rel in rels:
+                st = stats.get(rel)
+                if not st or st.get("__nrows") is None or st.get("__ndel") is None:
+                    return None
+                total += int(st["__nrows"]) - int(st["__ndel"])
+        return total
+
+    def count_rows(self) -> int:
+        """Number of live rows in the current snapshot. Metadata-only
+        when exact (common case: CoW table, post-compaction MoR);
+        otherwise one column-pruned resolved scan."""
+        n = self._count_from_metadata()
+        if n is not None:
+            return n
+        return self.read().count()
 
     # ------------------------------------------------------------ scan (data skipping)
     def _bucket_of(self, key_values: dict) -> int | None:
