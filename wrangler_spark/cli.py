@@ -220,6 +220,25 @@ def cmd_rescale(args) -> int:
     return 0
 
 
+def cmd_clone(args) -> int:
+    from wrangler_spark.lake.table import LakeTable
+
+    spark = _spark(args)
+    table = LakeTable.load(spark, args.table)
+    out = table.clone(args.dest, mode=args.mode)
+    print(
+        json.dumps(
+            {
+                "dest": out.path,
+                "cloned_from": out.snap["cloned_from"],
+                "files": sum(len(v) for v in out.snap["files"].values()),
+                "live_rows": out._count_from_metadata(),
+            }
+        )
+    )
+    return 0
+
+
 def cmd_replicate(args) -> int:
     """One replication cycle: apply all source changes since the last
     sync to the replica (run on any cadence; fenced + watermarked, so
@@ -568,6 +587,12 @@ def build_parser() -> argparse.ArgumentParser:
     rs.add_argument("--table", required=True)
     rs.add_argument("--buckets", type=int, required=True)
     rs.set_defaults(fn=cmd_rescale)
+
+    cl = sub.add_parser("clone", help="zero-copy shallow clone of the current snapshot")
+    cl.add_argument("--table", required=True)
+    cl.add_argument("--dest", required=True)
+    cl.add_argument("--mode", choices=["auto", "hardlink", "copy"], default="auto")
+    cl.set_defaults(fn=cmd_clone)
 
     rp2 = sub.add_parser("replicate", help="incremental changelog replication to a replica table")
     rp2.add_argument("--source", required=True)

@@ -1871,6 +1871,79 @@ class LakeTable:
         self._write_snapshot()
         return {"num_buckets": int(num_buckets), "version": self.version}
 
+    def clone(self, dest_path: str, mode: str = "auto") -> "LakeTable":
+        """Shallow clone (Delta `SHALLOW CLONE` / an Iceberg snapshot
+        fork): a NEW independent table whose v0 snapshot references the
+        SAME physical bytes as this snapshot — an O(files) metadata
+        operation, zero data bytes rewritten.
+
+        Soundness rests on the immutable-file layout: writers only ever
+        ADD files and commits retire names from their own metadata, so
+        the two tables can merge/compact/vacuum independently — each
+        vacuum unlinks only its own directory entry and the shared
+        bytes live until the last link drops. On local/NFS filesystems
+        the share is a HARDLINK; `mode='copy'` forces byte copies, and
+        `'auto'` falls back per file on cross-device links (EXDEV). On
+        object storage the same semantics are metadata-only
+        absolute-path references (the Delta model); hardlinks are the
+        local equivalent with identical lifecycle behavior.
+
+        Carried: schema + aliases, key/bucket layout, pending MoR
+        deltas, stats/bloom sidecars (scan pruning and metadata counts
+        work immediately), CHECK constraints, properties, and the
+        committed-epoch set — so exactly-once fencing still rejects a
+        replayed epoch against the clone. Not carried: change-data
+        files, tags and history (they describe the SOURCE's timeline;
+        the clone starts a fresh one, with `cloned_from` provenance)."""
+        import copy as _copy
+        import shutil as _shutil
+
+        if mode not in ("auto", "hardlink", "copy"):
+            raise ValueError(f"clone mode {mode!r}: use auto|hardlink|copy")
+        dest = os.path.abspath(dest_path)
+        src_root = os.path.abspath(self.path)
+        if dest == src_root or dest.startswith(src_root + os.sep):
+            raise ValueError("clone destination cannot live inside the source table")
+        if LakeTable.exists(dest):
+            raise ValueError(f"a table already exists at {dest}")
+        os.makedirs(os.path.join(dest, _META), exist_ok=True)
+        os.makedirs(os.path.join(dest, _DATA), exist_ok=True)
+
+        rels: list[str] = []
+        for d in (self.snap["files"], self.snap.get("deltas", {})):
+            for file_list in d.values():
+                rels.extend(file_list)
+        for key in ("stats_manifests", "bloom_manifests"):
+            rels.extend(m["path"] for m in self.snap.get(key) or [])
+        for rel in rels:
+            s, t_ = os.path.join(src_root, rel), os.path.join(dest, rel)
+            os.makedirs(os.path.dirname(t_), exist_ok=True)
+            if mode == "copy":
+                _shutil.copy2(s, t_)
+                continue
+            try:
+                os.link(s, t_)
+            except OSError:
+                if mode == "hardlink":
+                    raise
+                _shutil.copy2(s, t_)
+
+        snap = _copy.deepcopy(self.snap)
+        snap.update(
+            {
+                "version": 0,
+                "parent": None,
+                "changes": [],
+                "tags": {},
+                "operation": "clone",
+                "ts": round(time.time(), 3),
+                "cloned_from": {"path": src_root, "version": self.version},
+            }
+        )
+        out = LakeTable(self.spark, dest, snap)
+        out._write_snapshot()
+        return out
+
     def table_changes(self, from_version: int, to_version: int | None = None) -> DataFrame:
         """Changelog between two retained snapshots (Iceberg
         `table_changes` / incremental read — the table as a CDC SOURCE,
