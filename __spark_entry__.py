@@ -1747,6 +1747,63 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["lake_inspect"] = q_lake_inspect
 
+    def q_lake_clone(spark, d):
+        """Zero-copy shallow clone (lake/table.py clone): fork a
+        replayed table, then mutate BOTH sides divergently — a cow
+        DELETE in the source, a fresh insert epoch in the clone. The
+        emitted live counts prove independence over shared bytes
+        (hardlinked files): the source loses exactly the deleted live
+        keys, the clone gains exactly the inserted ones, and the
+        metadata-only COUNT(*) fast path agrees with each scan. The
+        oracle recomputes all four relationally from the event log."""
+        import tempfile
+
+        from pyspark.sql import types as TT
+
+        from wrangler_spark.cdc import Replayer
+        from wrangler_spark.lake import LakeTable
+
+        ev = _t(spark, d, "events").select(
+            F.col("event_id").alias("seq"),
+            (F.col("event_id") % 3).cast("long").alias("epoch"),
+            F.when(F.col("event_type") == "signup", "insert")
+            .when(F.col("event_type") == "error", "delete")
+            .otherwise("update")
+            .alias("op"),
+            "user_id",
+            "event_type",
+            "value",
+        )
+        schema = TT.StructType(
+            [f for f in ev.schema.fields if f.name not in ("seq", "epoch", "op")]
+        )
+        base = tempfile.mkdtemp(prefix="wr_clone_")
+        table = LakeTable.create(
+            spark, f"{base}/tbl", schema, ["user_id"], num_buckets=4
+        )
+        Replayer(table, f"{base}/ckpt").replay(ev)
+        t = LakeTable.load(spark, f"{base}/tbl")
+        fork = t.clone(f"{base}/fork")
+        t.delete_where([("event_type", "=", "click")])
+        fresh = spark.createDataFrame(
+            [(10**12 + i, "insert", -(i + 1), "signup", 0.0) for i in range(5)],
+            "seq long, op string, user_id long, event_type string, value double",
+        )
+        fork.merge(fresh, epoch=10**9)
+        src = LakeTable.load(spark, f"{base}/tbl")
+        frk = LakeTable.load(spark, f"{base}/fork")
+        sm, fm = src._count_from_metadata(), frk._count_from_metadata()
+        return spark.createDataFrame(
+            [(
+                int(src.read().count()),
+                -1 if sm is None else int(sm),
+                int(frk.read().count()),
+                -1 if fm is None else int(fm),
+            )],
+            "src_live long, src_meta long, clone_live long, clone_meta long",
+        )
+    q["lake_clone"] = q_lake_clone
+
     return q
 
 
@@ -2500,6 +2557,22 @@ def oracle_sql() -> dict[str, str]:
             "SELECT (SELECT count(DISTINCT user_id) FROM events) AS physical_rows, "
             "(SELECT count(*) FROM d WHERE rn = 1 AND op <> 'delete') AS live_rows, "
             "(SELECT count(*) FROM d WHERE rn = 1 AND op <> 'delete') AS meta_live_rows"
+        ),
+        # lake_clone: divergent mutations on a shallow clone — the
+        # source's cow DELETE and the clone's insert epoch are both
+        # recomputable from the event log's LWW state
+        "lake_clone": (
+            "WITH d AS (SELECT user_id, event_type, "
+            "CASE WHEN event_type = 'signup' THEN 'insert' "
+            "WHEN event_type = 'error' THEN 'delete' ELSE 'update' END AS op, "
+            "row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn "
+            "FROM events), "
+            "live AS (SELECT * FROM d WHERE rn = 1 AND op <> 'delete') "
+            "SELECT "
+            "(SELECT count(*) FROM live WHERE event_type <> 'click') AS src_live, "
+            "(SELECT count(*) FROM live WHERE event_type <> 'click') AS src_meta, "
+            "(SELECT count(*) + 5 FROM live) AS clone_live, "
+            "(SELECT count(*) + 5 FROM live) AS clone_meta"
         ),
         # cdc_replicate: the replica synced off the changelog must hold
         # exactly the direct-LWW state of the full stream
