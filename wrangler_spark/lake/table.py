@@ -1423,7 +1423,110 @@ class LakeTable:
         return {"version": self.version, "files_dropped": sum(map(len, self.snap["files"].values())) == 0}
 
     # ------------------------------------------------------------ maintenance
-    def expire_snapshots(self, keep_last: int = 2) -> dict:
+    @staticmethod
+    def _snapshot_refs(snap: dict) -> set[str]:
+        """Every data-plane relpath a snapshot pins: base files, pending
+        MoR deltas, and its change-data (CDF) files."""
+        refs: set[str] = set()
+        for rels in snap.get("files", {}).values():
+            refs.update(rels)
+        for rels in snap.get("deltas", {}).values():
+            refs.update(rels)
+        refs.update(snap.get("changes") or [])
+        return refs
+
+    @staticmethod
+    def _snapshot_sidecars(snap: dict) -> set[str]:
+        """Basenames of the stats/bloom sidecar manifests a snapshot
+        points at (pointers carry forward, so a sidecar can outlive the
+        version that wrote it)."""
+        return {
+            os.path.basename(m["path"])
+            for key in ("bloom_manifests", "stats_manifests")
+            for m in (snap.get(key) or [])
+        }
+
+    def _protected_snapshots(self) -> list[dict]:
+        """Snapshots that pin files REGARDLESS of version retention:
+        staged write-audit-publish commits (their data landed before the
+        snapshot was parked under _meta/staged-<id>.json — deleting it
+        would corrupt a later publish) and branch heads (each branch's
+        retained snapshots reference shared data files by relpath)."""
+        out: list[dict] = []
+        meta_dir = os.path.join(self.path, _META)
+        for fn in os.listdir(meta_dir):
+            if fn.startswith("staged-") and fn.endswith(".json"):
+                with open(os.path.join(meta_dir, fn)) as f:
+                    out.append(json.load(f))
+        for name in self.branches():
+            bdir = os.path.join(meta_dir, f"branch-{name}")
+            for fn in os.listdir(bdir):
+                if fn.startswith("version-") and fn.endswith(".json"):
+                    with open(os.path.join(bdir, fn)) as f:
+                        out.append(json.load(f))
+        return out
+
+    def remove_orphans(self, older_than_s: float = 3 * 86400) -> dict:
+        """Delete data files and sidecar manifests on disk that no
+        retained snapshot, staged commit, or branch references (Iceberg
+        `remove_orphan_files`): the leavings of CAS-losing writers,
+        crashed jobs that wrote data but never reached the commit, and
+        aborted Spark tasks. NO snapshot is expired — every retained
+        version stays time-travelable.
+
+        `older_than_s` is the same safety valve Iceberg ships (default
+        3 days there and here): a concurrent writer's files exist on
+        disk BEFORE its commit CAS lands, so only files older than the
+        grace window are collectable. Pass 0 only when no writer can be
+        in flight."""
+        cutoff = time.time() - max(0.0, float(older_than_s))
+        meta_dir = os.path.join(self.path, _META)
+        live: set[str] = set()
+        live_sidecars: set[str] = set()
+        snaps = list(self._protected_snapshots())
+        for fn in os.listdir(meta_dir):
+            if fn.startswith("version-") and fn.endswith(".json"):
+                with open(os.path.join(meta_dir, fn)) as f:
+                    snaps.append(json.load(f))
+        for snap in snaps:
+            live |= self._snapshot_refs(snap)
+            live_sidecars |= self._snapshot_sidecars(snap)
+        removed = self._sweep_data_dir(live, cutoff)
+        removed_sidecars = 0
+        for fn in os.listdir(meta_dir):
+            if (
+                (fn.startswith("bloom-v") or fn.startswith("stats-v"))
+                and fn not in live_sidecars
+            ):
+                full = os.path.join(meta_dir, fn)
+                if os.path.getmtime(full) < cutoff:
+                    os.remove(full)
+                    removed_sidecars += 1
+        return {
+            "removed_data_files": removed,
+            "removed_sidecars": removed_sidecars,
+            "live_files": len(live),
+        }
+
+    def _sweep_data_dir(self, live: set[str], cutoff: float) -> int:
+        """Remove unreferenced data files older than `cutoff`; prune
+        directories that end up empty. Returns files removed."""
+        import shutil as _shutil
+
+        removed = 0
+        data_dir = os.path.join(self.path, _DATA)
+        for root, _dirs, files in os.walk(data_dir, topdown=False):
+            for fn in files:
+                full = os.path.join(root, fn)
+                rel = os.path.relpath(full, self.path)
+                if rel not in live and os.path.getmtime(full) < cutoff:
+                    os.remove(full)
+                    removed += 1
+            if root != data_dir and not os.listdir(root):
+                _shutil.rmtree(root, ignore_errors=True)
+        return removed
+
+    def expire_snapshots(self, keep_last: int = 2, older_than_s: float = 0.0) -> dict:
         """Expire old snapshots and delete their orphaned data files
         (Iceberg `expire_snapshots` equivalent). Keeps the most recent
         `keep_last` versions time-travelable; any data file not
@@ -1436,8 +1539,6 @@ class LakeTable:
         is the dominant storage cost; expiry bounds it to keep_last
         copies.
         """
-        import shutil as _shutil
-
         keep_last = max(1, keep_last)
         current = self.version
         recent = {v for v in range(current - keep_last + 1, current + 1) if v >= 0}
@@ -1445,47 +1546,31 @@ class LakeTable:
         # its snapshot (and files) survive until the tag is dropped
         pinned = {int(v) for v in self.snap.get("tags", {}).values()}
         keep = sorted(recent | pinned)
-        live: set[str] = set()
         meta_dir = os.path.join(self.path, _META)
-        for v in keep:
-            p = os.path.join(meta_dir, f"version-{v:06d}.json")
-            if not os.path.exists(p):
-                continue
-            with open(p) as f:
-                snap = json.load(f)
-            for rels in snap["files"].values():
-                live.update(rels)
-            for rels in snap.get("deltas", {}).values():
-                live.update(rels)
-            # change-data files referenced by a retained commit stay
-            # readable for incremental table_changes over that window
-            live.update(snap.get("changes") or [])
-        removed_files = 0
-        data_dir = os.path.join(self.path, _DATA)
-        for root, _dirs, files in os.walk(data_dir, topdown=False):
-            for fn in files:
-                full = os.path.join(root, fn)
-                rel = os.path.relpath(full, self.path)
-                if rel not in live:
-                    os.remove(full)
-                    removed_files += 1
-            if not os.listdir(root) and root != data_dir:
-                _shutil.rmtree(root, ignore_errors=True)
-        removed_meta = 0
-        # bloom/stats sidecars survive only while a retained snapshot
-        # points at them (pointers carry forward across commits, so a
-        # sidecar can outlive the version that wrote it); orphans from
-        # CAS-losing or aborted-staged writers are collected here too
+        # staged WAP commits and branch snapshots pin their files even
+        # though no retained main version references them yet — expiring
+        # under a staged commit must not corrupt its later publish
+        live: set[str] = set()
         live_sidecars: set[str] = set()
+        snaps = list(self._protected_snapshots())
         for v in keep:
             p = os.path.join(meta_dir, f"version-{v:06d}.json")
             if os.path.exists(p):
                 with open(p) as f:
-                    retained = json.load(f)
-                for m in retained.get("bloom_manifests") or []:
-                    live_sidecars.add(os.path.basename(m["path"]))
-                for m in retained.get("stats_manifests") or []:
-                    live_sidecars.add(os.path.basename(m["path"]))
+                    snaps.append(json.load(f))
+        for snap in snaps:
+            # change-data files referenced by a retained commit stay
+            # readable for incremental table_changes over that window
+            live |= self._snapshot_refs(snap)
+            live_sidecars |= self._snapshot_sidecars(snap)
+        # `older_than_s` grace (Iceberg remove_orphan_files safety
+        # valve): a CONCURRENT writer's files hit disk before its commit
+        # CAS — with a grace window those survive; 0 keeps the
+        # single-writer maintenance semantics (collect everything now)
+        cutoff = time.time() - max(0.0, float(older_than_s))
+        removed_files = self._sweep_data_dir(live, cutoff)
+        removed_meta = 0
+        # CAS-losing or aborted-staged writers' sidecars collect here too
         for fn in os.listdir(meta_dir):
             if fn.startswith("version-") and fn.endswith(".json"):
                 v = int(fn[len("version-"):-len(".json")])
@@ -1495,7 +1580,9 @@ class LakeTable:
             elif (
                 fn.startswith("bloom-v") or fn.startswith("stats-v")
             ) and fn not in live_sidecars:
-                os.remove(os.path.join(meta_dir, fn))
+                full = os.path.join(meta_dir, fn)
+                if os.path.getmtime(full) < cutoff:
+                    os.remove(full)
         return {
             "kept_versions": keep,
             "removed_data_files": removed_files,
@@ -1533,6 +1620,17 @@ class LakeTable:
         tags.pop(name)
         self.commit({}, change_files=[], operation="drop-tag", tags=tags)
         return {"version": self.version, "dropped": name}
+
+    def branches(self) -> list[str]:
+        """Names of live branches (Iceberg refs): each is an independent
+        metadata namespace under `_meta/branch-<name>/` whose snapshots
+        share this table's data files by relpath."""
+        meta_dir = os.path.join(self.path, _META)
+        return sorted(
+            fn[len("branch-"):]
+            for fn in os.listdir(meta_dir)
+            if fn.startswith("branch-") and os.path.isdir(os.path.join(meta_dir, fn))
+        )
 
     @property
     def tags(self) -> dict:
