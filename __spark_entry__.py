@@ -1804,6 +1804,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["lake_clone"] = q_lake_clone
 
+    def q_lake_branch(spark, d):
+        """Writable branch + fast-forward (lake/table.py create_branch /
+        fast_forward): epochs 0-1 replay to main, epoch 2 replays onto a
+        branch — invisible to main (pinned by the constant
+        `branch_invisible` column: main's version and live count are
+        unchanged while the branch holds the epoch) — then fast-forward
+        publishes it; the final state must equal the whole stream's LWW
+        oracle, exactly as if every epoch had landed on main."""
+        import tempfile
+
+        from pyspark.sql import types as TT
+
+        from wrangler_spark.cdc import Replayer
+        from wrangler_spark.lake import LakeTable
+
+        ev = _t(spark, d, "events").select(
+            F.col("event_id").alias("seq"),
+            (F.col("event_id") % 3).cast("long").alias("epoch"),
+            F.when(F.col("event_type") == "signup", "insert")
+            .when(F.col("event_type") == "error", "delete")
+            .otherwise("update")
+            .alias("op"),
+            "user_id",
+            "event_type",
+            "value",
+        )
+        schema = TT.StructType(
+            [f for f in ev.schema.fields if f.name not in ("seq", "epoch", "op")]
+        )
+        base = tempfile.mkdtemp(prefix="wr_branch_")
+        table = LakeTable.create(
+            spark, f"{base}/tbl", schema, ["user_id"], num_buckets=4
+        )
+        Replayer(table, f"{base}/ckpt_main").replay(ev, to_epoch=1)
+        main = LakeTable.load(spark, f"{base}/tbl")
+        v_pre, n_pre = main.version, main.read().count()
+        branch = main.create_branch("ingest")
+        Replayer(branch, f"{base}/ckpt_br").replay(ev, from_epoch=2)
+        check = LakeTable.load(spark, f"{base}/tbl")
+        invisible = check.version == v_pre and check.read().count() == n_pre
+        check.fast_forward("ingest")
+        final = LakeTable.load(spark, f"{base}/tbl")
+        return final.read().select(
+            "user_id",
+            "event_type",
+            "value",
+            F.lit(bool(invisible)).alias("branch_invisible"),
+        )
+    q["lake_branch"] = q_lake_branch
+
     return q
 
 
@@ -2573,6 +2623,18 @@ def oracle_sql() -> dict[str, str]:
             "(SELECT count(*) FROM live WHERE event_type <> 'click') AS src_meta, "
             "(SELECT count(*) + 5 FROM live) AS clone_live, "
             "(SELECT count(*) + 5 FROM live) AS clone_meta"
+        ),
+        # lake_branch: an epoch staged on a branch then fast-forwarded
+        # must land exactly the whole stream's LWW state, and the
+        # branch_invisible pin proves main never saw it pre-publish
+        "lake_branch": (
+            "WITH d AS (SELECT user_id, event_type, value, "
+            "CASE WHEN event_type = 'signup' THEN 'insert' "
+            "WHEN event_type = 'error' THEN 'delete' ELSE 'update' END AS op, "
+            "row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn "
+            "FROM events) "
+            "SELECT user_id, event_type, value, TRUE AS branch_invisible "
+            "FROM d WHERE rn = 1 AND op <> 'delete'"
         ),
         # cdc_replicate: the replica synced off the changelog must hold
         # exactly the direct-LWW state of the full stream

@@ -318,7 +318,11 @@ class Replayer:
             sc.publish(require_audit=True)
             # the staged merge never advanced this handle — reload to
             # the published head so the next epoch targets version N+1
-            self.table = LakeTable.load(self.table.spark, self.table.path)
+            self.table = LakeTable.load(
+                self.table.spark,
+                self.table.path,
+                branch=self.table.snap.get("branch"),
+            )
         if self.mode == "mor" and not res.get("skipped"):
             # two compaction triggers, either sufficient:
             # - every K commits (compact_every) — the simple cadence;

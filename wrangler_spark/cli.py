@@ -121,7 +121,7 @@ def cmd_replay(args) -> int:
     from wrangler_spark.lake.table import LakeTable
 
     spark = _spark(args)
-    table = LakeTable.load(spark, args.table)
+    table = LakeTable.load(spark, args.table, branch=getattr(args, "branch", None))
     events = spark.read.parquet(args.events)
     rp = Replayer(
         table, args.checkpoint, recipe=_read_recipe(args.recipe),
@@ -435,6 +435,34 @@ def cmd_tag(args) -> int:
     return 0
 
 
+def cmd_branch(args) -> int:
+    """Branch refs (Iceberg CREATE/DROP BRANCH + fast_forward): commits
+    to a branch are invisible to main until --ff publishes them."""
+    from wrangler_spark.lake import LakeTable
+
+    t = LakeTable.load(_spark(args), args.table)
+    if args.create:
+        b = t.create_branch(args.create)
+        print(json.dumps({"created": args.create, "base": b.snap["branch_base"]}))
+    elif args.drop:
+        print(json.dumps(t.drop_branch(args.drop)))
+    elif args.ff:
+        print(json.dumps(t.fast_forward(args.ff)))
+    else:
+        print(json.dumps({"branches": t.branches()}))
+    return 0
+
+
+def cmd_gc(args) -> int:
+    """remove_orphans: collect crash-loser files no retained snapshot,
+    staged commit, or branch references; never expires a snapshot."""
+    from wrangler_spark.lake import LakeTable
+
+    t = LakeTable.load(_spark(args), args.table)
+    print(json.dumps(t.remove_orphans(older_than_s=args.older_than)))
+    return 0
+
+
 def cmd_rollback(args) -> int:
     """Metadata-only rollback to a retained version (new commit)."""
     from wrangler_spark.lake import LakeTable
@@ -556,6 +584,8 @@ def build_parser() -> argparse.ArgumentParser:
                         "mor: append merge-on-read deltas (O(epoch) merge I/O)")
     r.add_argument("--compact-every", type=int, default=None,
                    help="mor only: fold deltas into base every K epochs")
+    r.add_argument("--branch", default=None,
+                   help="replay into this branch (publish later via `branch --ff`)")
     r.set_defaults(fn=cmd_replay)
 
     s = sub.add_parser("stream", help="structured-streaming replay")
@@ -671,6 +701,20 @@ def build_parser() -> argparse.ArgumentParser:
     de.add_argument("--files", action="store_true", help="also print the per-file metadata table")
     de.add_argument("--partitions", action="store_true", help="also print the per-bucket summary")
     de.set_defaults(fn=cmd_describe)
+
+    br = sub.add_parser("branch", help="create/drop/fast-forward/list branch refs")
+    br.add_argument("--table", required=True)
+    brg = br.add_mutually_exclusive_group()
+    brg.add_argument("--create", metavar="NAME")
+    brg.add_argument("--drop", metavar="NAME")
+    brg.add_argument("--ff", metavar="NAME", help="fast-forward main to this branch")
+    br.set_defaults(fn=cmd_branch)
+
+    gc = sub.add_parser("gc", help="remove orphan files (no snapshot expiry)")
+    gc.add_argument("--table", required=True)
+    gc.add_argument("--older-than", type=float, default=3 * 86400,
+                    help="grace window in seconds (default 3 days)")
+    gc.set_defaults(fn=cmd_gc)
 
     rb = sub.add_parser("rollback", help="metadata-only rollback to a retained version")
     rb.add_argument("--table", required=True)

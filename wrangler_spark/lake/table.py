@@ -67,6 +67,16 @@ from pyspark.sql import types as T
 _META = "_meta"
 _DATA = "data"
 
+
+def _ref_meta(path: str, branch: str | None) -> str:
+    """Metadata directory for a ref: main lives in `_meta/`, a branch in
+    `_meta/branch-<name>/`. Branch snapshots reference the SAME data
+    files by relpath (Iceberg refs over one file store); only the
+    version chain is namespaced."""
+    if not branch or branch == "main":
+        return os.path.join(path, _META)
+    return os.path.join(path, _META, f"branch-{branch}")
+
 # file-stats collection cap: one footer read per file regardless of
 # column count, but the snapshot JSON (the manifest) stores one
 # [min, max, nulls] triple per (file, column) — cap the tracked columns
@@ -488,6 +498,7 @@ class LakeTable:
         version: int | None = None,
         tag: str | None = None,
         as_of_ts: float | None = None,
+        branch: str | None = None,
     ) -> "LakeTable":
         """Load the current snapshot, or a historical one (time travel —
         Iceberg `VERSION AS OF` / `TIMESTAMP AS OF` / `tag` = named pin,
@@ -496,8 +507,14 @@ class LakeTable:
         open table sees."""
         if sum(x is not None for x in (version, tag, as_of_ts)) > 1:
             raise ValueError("pass at most one of version / tag / as_of_ts")
+        mdir = _ref_meta(path, branch)
+        if branch and not os.path.isdir(mdir):
+            raise ValueError(
+                f"no branch {branch!r} on this table "
+                f"(have {LakeTable.load(spark, path).branches()})"
+            )
         if tag is not None:
-            head = LakeTable.load(spark, path)
+            head = LakeTable.load(spark, path, branch=branch)
             tags = head.snap.get("tags", {})
             if tag not in tags:
                 raise ValueError(f"no tag {tag!r} on this table (have {sorted(tags)})")
@@ -505,7 +522,7 @@ class LakeTable:
         if as_of_ts is not None:
             # TIMESTAMP AS OF: newest RETAINED commit at-or-before ts
             # (one metadata read per retained version, like history())
-            head = LakeTable.load(spark, path)
+            head = LakeTable.load(spark, path, branch=branch)
             cands = [
                 h["version"]
                 for h in head.history()
@@ -518,10 +535,10 @@ class LakeTable:
                 )
             version = max(cands)
         if version is None:
-            vfile = os.path.join(path, _META, "VERSION")
+            vfile = os.path.join(mdir, "VERSION")
             with open(vfile) as f:
                 version = int(f.read().strip())
-        with open(os.path.join(path, _META, f"version-{version:06d}.json")) as f:
+        with open(os.path.join(mdir, f"version-{version:06d}.json")) as f:
             snap = json.load(f)
         return LakeTable(spark, path, snap)
 
@@ -533,7 +550,8 @@ class LakeTable:
         # the handle's snapshot just changed — drop plan-time caches
         self.__dict__.pop("_stats_cache", None)
         v = self.snap["version"]
-        vfile = os.path.join(self.path, _META, "VERSION")
+        mdir = _ref_meta(self.path, self.snap.get("branch"))
+        vfile = os.path.join(mdir, "VERSION")
         if v > 0 and os.path.exists(vfile):
             # optimistic-concurrency guard #1: a stale handle (loaded at
             # an older version) must not roll the table back — its next
@@ -548,7 +566,7 @@ class LakeTable:
         # guard #2: two writers racing from the SAME base version — the
         # exclusive create of version-N.json is the CAS; exactly one wins
         _atomic_create(
-            os.path.join(self.path, _META, f"version-{v:06d}.json"),
+            os.path.join(mdir, f"version-{v:06d}.json"),
             json.dumps(self.snap, indent=1),
         )
         _atomic_write(vfile, str(v))
@@ -1479,6 +1497,7 @@ class LakeTable:
         disk BEFORE its commit CAS lands, so only files older than the
         grace window are collectable. Pass 0 only when no writer can be
         in flight."""
+        self._main_only("remove_orphans")
         cutoff = time.time() - max(0.0, float(older_than_s))
         meta_dir = os.path.join(self.path, _META)
         live: set[str] = set()
@@ -1539,6 +1558,7 @@ class LakeTable:
         is the dominant storage cost; expiry bounds it to keep_last
         copies.
         """
+        self._main_only("expire_snapshots")
         keep_last = max(1, keep_last)
         current = self.version
         recent = {v for v in range(current - keep_last + 1, current + 1) if v >= 0}
@@ -1601,7 +1621,9 @@ class LakeTable:
         requires drop + re-create)."""
         v = self.version if version is None else int(version)
         if not os.path.exists(
-            os.path.join(self.path, _META, f"version-{v:06d}.json")
+            os.path.join(
+                _ref_meta(self.path, self.snap.get("branch")), f"version-{v:06d}.json"
+            )
         ):
             raise ValueError(f"version {v} is not retained; cannot tag it")
         tags = dict(self.snap.get("tags", {}))
@@ -1632,6 +1654,160 @@ class LakeTable:
             if fn.startswith("branch-") and os.path.isdir(os.path.join(meta_dir, fn))
         )
 
+    def _main_only(self, op: str) -> None:
+        if self.snap.get("branch"):
+            raise ValueError(
+                f"{op} must run on the main ref, not branch "
+                f"{self.snap['branch']!r} (it reasons over the whole table's files)"
+            )
+
+    def create_branch(self, name: str) -> "LakeTable":
+        """Fork a writable branch at this snapshot (Iceberg `CREATE
+        BRANCH` — a named ref with its own version chain under
+        `_meta/branch-<name>/`, sharing data files by relpath). Commits
+        through the returned handle are invisible to main until
+        `fast_forward(name)` publishes them — multi-commit staging, the
+        generalization of single-commit write-audit-publish.
+
+        The branch carries schema, pending MoR deltas, CHECK
+        constraints, properties and the committed-epoch set, so a
+        Replayer pointed at the branch keeps exactly-once fencing.
+        `expire_snapshots`/`remove_orphans` on main treat every branch
+        snapshot as live (nothing a branch references is collectable).
+
+        Creation is atomic: the branch directory itself is the CAS
+        (mkdir is exclusive), so two racers get exactly one branch."""
+        import copy as _copy
+        import re as _re
+
+        self._main_only("create_branch")
+        if not _re.fullmatch(r"[A-Za-z0-9][A-Za-z0-9._-]*", name) or name == "main":
+            raise ValueError(f"invalid branch name {name!r}")
+        bdir = _ref_meta(self.path, name)
+        try:
+            os.makedirs(bdir, exist_ok=False)
+        except FileExistsError:
+            raise ValueError(f"branch {name!r} already exists") from None
+        snap = _copy.deepcopy(self.snap)
+        snap.update(
+            {
+                "version": 0,
+                "parent": None,
+                "branch": name,
+                "branch_base": self.version,
+                "ff_from": 0,
+                "changes": [],
+                "tags": {},
+                "operation": "create-branch",
+                "ts": round(time.time(), 3),
+            }
+        )
+        bt = LakeTable(self.spark, self.path, snap)
+        bt._write_snapshot()
+        return bt
+
+    def drop_branch(self, name: str) -> dict:
+        """Delete a branch ref. Data files only the branch referenced
+        become orphans, collected by the next expire_snapshots /
+        remove_orphans pass (exactly the Iceberg model: dropping a ref
+        releases its retention pins)."""
+        import shutil as _shutil
+
+        self._main_only("drop_branch")
+        bdir = _ref_meta(self.path, name)
+        if not os.path.isdir(bdir):
+            raise ValueError(f"no branch {name!r} (have {self.branches()})")
+        _shutil.rmtree(bdir)
+        return {"dropped": name}
+
+    def fast_forward(self, name: str) -> dict:
+        """Publish a branch's commits onto main (Iceberg
+        `fast_forward`): allowed only when main has NOT moved since the
+        branch's base (otherwise CommitConflictError — drop and
+        re-create the branch from the new head; there is no automatic
+        rebase). The branch state lands as ONE main commit through the
+        same version-file CAS as every other write, so it is atomic
+        against concurrent writers.
+
+        Change-data manifests are preserved: if every folded branch
+        commit recorded its CDF files, the fast-forward commit's
+        `changes` is their concatenation in commit order and
+        `table_changes` across the publish stays O(delta); any unknown
+        window degrades to `changes: null` (snapshot-diff fallback).
+        The branch then re-bases onto the new main head (`branch_base`
+        advances, `ff_from` marks the folded prefix) so work can
+        continue on it and a later fast-forward folds only NEW
+        commits."""
+        import copy as _copy
+
+        self._main_only("fast_forward")
+        bt = LakeTable.load(self.spark, self.path, branch=name)
+        base = int(bt.snap["branch_base"])
+        if base != self.version:
+            raise CommitConflictError(
+                f"fast_forward({name!r}): main moved to version "
+                f"{self.version} since the branch based on {base}; "
+                "drop and re-create the branch from the current head"
+            )
+        ff_from = int(bt.snap.get("ff_from", 0))
+        if bt.version <= ff_from:
+            return {"version": self.version, "commits_folded": 0}
+        # concatenate the folded commits' CDF manifests (commit order);
+        # one unknown change set poisons the window → null
+        bdir = _ref_meta(self.path, name)
+        changes: list[str] | None = []
+        for v in range(ff_from + 1, bt.version + 1):
+            p = os.path.join(bdir, f"version-{v:06d}.json")
+            if not os.path.exists(p):
+                changes = None
+                break
+            with open(p) as f:
+                ch = json.load(f).get("changes")
+            if ch is None:
+                changes = None
+                break
+            changes.extend(ch)
+        new = _copy.deepcopy(bt.snap)
+        for k in ("branch", "branch_base", "ff_from"):
+            new.pop(k, None)
+        new.update(
+            {
+                "version": self.version + 1,
+                "parent": self.version,
+                "changes": changes,
+                "tags": dict(self.snap.get("tags", {})),
+                "operation": f"fast-forward({name})",
+                "ts": round(time.time(), 3),
+            }
+        )
+        published = LakeTable(self.spark, self.path, new)
+        published._write_snapshot()  # CAS — raises on a concurrent commit
+        folded = bt.version - ff_from
+        self.snap = new
+        self.__dict__.pop("_stats_cache", None)
+        # re-base the branch; if a branch writer raced us the stamp
+        # loses its CAS — main already published, and the stale
+        # branch_base correctly refuses the NEXT fast-forward
+        stamp = _copy.deepcopy(bt.snap)
+        stamp.update(
+            {
+                "version": bt.version + 1,
+                "parent": bt.version,
+                "branch_base": new["version"],
+                # the stamp itself is already-published state: the next
+                # fast-forward folds only commits AFTER it
+                "ff_from": bt.version + 1,
+                "changes": [],
+                "operation": "rebase",
+                "ts": round(time.time(), 3),
+            }
+        )
+        try:
+            LakeTable(self.spark, self.path, stamp)._write_snapshot()
+        except CommitConflictError:
+            pass
+        return {"version": new["version"], "commits_folded": folded}
+
     @property
     def tags(self) -> dict:
         return dict(self.snap.get("tags", {}))
@@ -1642,7 +1818,7 @@ class LakeTable:
         equivalent: version, parent, wall-clock ts, operation, epochs
         committed at that version, and file counts. Pure metadata (one
         JSON read per retained version, no Spark jobs)."""
-        meta_dir = os.path.join(self.path, _META)
+        meta_dir = _ref_meta(self.path, self.snap.get("branch"))
         out = []
         for fn in sorted(os.listdir(meta_dir), reverse=True):
             if not (fn.startswith("version-") and fn.endswith(".json")):
@@ -1794,7 +1970,9 @@ class LakeTable:
         Change set vs the parent is unknown → `changes: null`, so
         `table_changes` across the rollback falls back to the snapshot
         diff (correct by construction)."""
-        p = os.path.join(self.path, _META, f"version-{version:06d}.json")
+        p = os.path.join(
+            _ref_meta(self.path, self.snap.get("branch")), f"version-{version:06d}.json"
+        )
         if not os.path.exists(p):
             raise ValueError(
                 f"rollback: version {version} is not retained "
@@ -2072,13 +2250,14 @@ class LakeTable:
         if to_version is None:
             to_version = self.version
         from_version, to_version = int(from_version), int(to_version)
-        new = LakeTable.load(self.spark, self.path, version=to_version)
+        br = self.snap.get("branch")
+        new = LakeTable.load(self.spark, self.path, version=to_version, branch=br)
         schema, aliases, keys = new.schema, new.aliases, self.key_cols
         if to_version <= from_version:
             return self._empty_changes(schema, keys)
         rels: list[str] = []
         recorded = True
-        meta_dir = os.path.join(self.path, _META)
+        meta_dir = _ref_meta(self.path, br)
         for v in range(from_version + 1, to_version + 1):
             p = os.path.join(meta_dir, f"version-{v:06d}.json")
             if not os.path.exists(p):
@@ -2094,7 +2273,7 @@ class LakeTable:
         if not recorded:
             return self._table_changes_diff(from_version, to_version)
         # v0 must still be retained — same contract as the diff path
-        old = LakeTable.load(self.spark, self.path, version=from_version)
+        old = LakeTable.load(self.spark, self.path, version=from_version, branch=br)
         if not rels:
             return self._empty_changes(schema, keys)
         w = self._read_files(
@@ -2187,8 +2366,9 @@ class LakeTable:
         contributes a skinny column-pruned scan. O(table) per window;
         kept as the fallback for windows containing a commit without a
         change manifest."""
-        old = LakeTable.load(self.spark, self.path, version=from_version)
-        new = LakeTable.load(self.spark, self.path, version=to_version)
+        br = self.snap.get("branch")
+        old = LakeTable.load(self.spark, self.path, version=from_version, branch=br)
+        new = LakeTable.load(self.spark, self.path, version=to_version, branch=br)
         keys = self.key_cols
         # read through the NEW schema so evolved columns align; old files
         # null-fill columns they predate (same rule as any read)
