@@ -10,7 +10,12 @@ environment, so this module implements the same contract natively:
   granularity, which is how the cost stays bounded at 100 TB (a 1%
   key-touch epoch rewrites ~1% of buckets, not the table).
 - metadata: `_meta/version-N.json` snapshots (schema, per-bucket file
-  lists, properties, committed epoch set) + `_meta/VERSION` pointer,
+  lists, properties, committed epoch set) + `_meta/VERSION` pointer;
+  on disk each snapshot is a DIFF against its parent (touched buckets
+  + sidecar-pointer adds/drops) with a full checkpoint every
+  `metadata.checkpoint-interval` versions — per-commit metadata writes
+  are O(epoch), not O(table files) (Delta _delta_log + checkpoint
+  model; in-memory snapshots are always fully hydrated),
   both updated by atomic rename. Single-writer (the replayer), so no
   CAS is needed; snapshot isolation for readers falls out of readers
   pinning a version file.
@@ -386,6 +391,123 @@ def _atomic_create(path: str, text: str) -> None:
         os.remove(tmp)
 
 
+# ---------------------------------------------------------------- metadata log
+#
+# Snapshot JSONs are written as Delta-log-style DIFFS: a commit that
+# touches k buckets serializes only those k bucket lists (plus the
+# scalar fields), not the whole bucket→files map — per-commit metadata
+# writes are O(epoch), not O(table files). Every
+# `metadata.checkpoint-interval`-th version (default 25) is a full
+# CHECKPOINT, so hydrating any snapshot walks at most interval-1 small
+# diffs back to a checkpoint. In-memory snapshots (LakeTable.snap) are
+# ALWAYS fully hydrated — only the on-disk representation changes.
+# (Delta Lake's _delta_log add/remove actions + checkpoint.parquet;
+# Iceberg's manifest-list reuse solves the same O(table) problem.)
+
+_CKPT_INTERVAL_PROP = "metadata.checkpoint-interval"
+_CKPT_INTERVAL_DEFAULT = 25
+# keys diffed against the parent snapshot (bucket→[relpath] maps)
+_LOG_DIFF_KEYS = ("files", "deltas")
+# sidecar-pointer lists ([{path, files}]) — entries are immutable (a
+# manifest file never changes once written), so the diff is adds by
+# path + dropped paths. Without this the pointer lists alone keep the
+# snapshot O(table files): each entry carries its covered-file list.
+_LOG_MANIFEST_KEYS = ("stats_manifests", "bloom_manifests")
+
+
+def _ckpt_interval(snap: dict) -> int:
+    try:
+        return max(2, int(snap.get("properties", {}).get(
+            _CKPT_INTERVAL_PROP, _CKPT_INTERVAL_DEFAULT)))
+    except (TypeError, ValueError):
+        return _CKPT_INTERVAL_DEFAULT
+
+
+def _dehydrate(snap: dict, parent: dict) -> dict:
+    """On-disk DIFF form of `snap` against its (hydrated) parent: for
+    each of files/deltas, record only buckets whose lists CHANGED
+    (full replacement list per changed bucket — commit() semantics)
+    and buckets that disappeared. Scalar fields stay inline; summary
+    counts ride along so history()/inspect never hydrate."""
+    skip = set(_LOG_DIFF_KEYS) | set(_LOG_MANIFEST_KEYS)
+    out = {k: v for k, v in snap.items() if k not in skip}
+    log: dict = {"base": parent["version"]}
+    for key in _LOG_DIFF_KEYS:
+        cur = snap.get(key, {}) or {}
+        par = parent.get(key, {}) or {}
+        changed = {b: rels for b, rels in cur.items() if par.get(b) != rels}
+        gone = sorted(b for b in par if b not in cur)
+        log[key] = changed
+        log[key + "_dropped"] = gone
+    for key in _LOG_MANIFEST_KEYS:
+        cur = snap.get(key) or []
+        par_paths = {m["path"] for m in (parent.get(key) or [])}
+        cur_paths = {m["path"] for m in cur}
+        log[key] = [m for m in cur if m["path"] not in par_paths]
+        log[key + "_dropped"] = sorted(par_paths - cur_paths)
+    out["log"] = log
+    out["n_files"] = sum(len(v) for v in (snap.get("files") or {}).values())
+    out["n_delta_files"] = sum(len(v) for v in (snap.get("deltas") or {}).values())
+    return out
+
+
+def _version_path(mdir: str, v: int) -> str:
+    return os.path.join(mdir, f"version-{v:06d}.json")
+
+
+def _hydrate(mdir: str, snap: dict) -> dict:
+    """Resolve a snapshot read from disk to its full files/deltas maps
+    by walking its diff chain back to the nearest checkpoint (bounded
+    by the checkpoint interval). Checkpoints return unchanged."""
+    if "log" not in snap:
+        return snap
+    chain = [snap]
+    cur = snap
+    while "log" in cur:
+        base_v = int(cur["log"]["base"])
+        p = _version_path(mdir, base_v)
+        try:
+            with open(p) as f:
+                cur = json.load(f)
+        except FileNotFoundError:
+            raise RuntimeError(
+                f"metadata log broken: version {chain[-1]['version']} needs "
+                f"base snapshot {base_v} but {p} is gone (expire_snapshots "
+                "should have checkpointed retained diffs)"
+            ) from None
+        if "log" in cur:
+            chain.append(cur)
+    state = {k: {b: list(r) for b, r in (cur.get(k) or {}).items()}
+             for k in _LOG_DIFF_KEYS}
+    manifests = {k: list(cur.get(k) or []) for k in _LOG_MANIFEST_KEYS}
+    for d in reversed(chain):
+        log = d["log"]
+        for key in _LOG_DIFF_KEYS:
+            for b in log.get(key + "_dropped", []):
+                state[key].pop(b, None)
+            state[key].update({b: list(r) for b, r in log.get(key, {}).items()})
+        for key in _LOG_MANIFEST_KEYS:
+            dropped = set(log.get(key + "_dropped", []))
+            added = log.get(key, [])
+            add_paths = {m["path"] for m in added}
+            manifests[key] = [
+                m for m in manifests[key]
+                if m["path"] not in dropped and m["path"] not in add_paths
+            ] + list(added)
+    out = {k: v for k, v in snap.items() if k not in ("log", "n_files", "n_delta_files")}
+    out["files"] = state["files"]
+    out["deltas"] = state["deltas"]
+    for key in _LOG_MANIFEST_KEYS:
+        out[key] = manifests[key]
+    return out
+
+
+def _read_snapshot(mdir: str, version: int) -> dict:
+    """One hydrated snapshot from disk."""
+    with open(_version_path(mdir, version)) as f:
+        return _hydrate(mdir, json.load(f))
+
+
 def evolve_schema(
     old: T.StructType,
     new: T.StructType,
@@ -538,15 +660,19 @@ class LakeTable:
             vfile = os.path.join(mdir, "VERSION")
             with open(vfile) as f:
                 version = int(f.read().strip())
-        with open(os.path.join(mdir, f"version-{version:06d}.json")) as f:
-            snap = json.load(f)
-        return LakeTable(spark, path, snap)
+        return LakeTable(spark, path, _read_snapshot(mdir, version))
 
     @staticmethod
     def exists(path: str) -> bool:
         return os.path.exists(os.path.join(path, _META, "VERSION"))
 
-    def _write_snapshot(self) -> None:
+    def _write_snapshot(self, parent: dict | None = None) -> None:
+        """Publish self.snap (always fully hydrated in memory). On disk
+        it lands as a DIFF against its parent whenever the parent
+        snapshot is retained and this version is not a checkpoint —
+        O(touched buckets) bytes per commit. `parent` is the hydrated
+        parent snapshot when the caller still holds it (saves the disk
+        chain walk); omitted, it is read back from the log."""
         # the handle's snapshot just changed — drop plan-time caches
         self.__dict__.pop("_stats_cache", None)
         v = self.snap["version"]
@@ -563,11 +689,25 @@ class LakeTable:
                     f"table moved to version {current} since this handle "
                     f"loaded (attempted commit: {v}); reload and retry"
                 )
+        payload = self.snap
+        pv = self.snap.get("parent")
+        if (
+            pv is not None
+            and v % _ckpt_interval(self.snap) != 0
+            and str(self.snap.get("properties", {}).get(
+                "metadata.log.enabled", "true")).lower() != "false"
+        ):
+            try:
+                if parent is None or parent.get("version") != pv:
+                    parent = _read_snapshot(mdir, int(pv))
+                payload = _dehydrate(self.snap, parent)
+            except (FileNotFoundError, RuntimeError):
+                pass  # parent expired / broken chain → write a checkpoint
         # guard #2: two writers racing from the SAME base version — the
         # exclusive create of version-N.json is the CAS; exactly one wins
         _atomic_create(
             os.path.join(mdir, f"version-{v:06d}.json"),
-            json.dumps(self.snap, indent=1),
+            json.dumps(payload, indent=1),
         )
         _atomic_write(vfile, str(v))
 
@@ -1329,8 +1469,9 @@ class LakeTable:
             from wrangler_spark.lake.wap import StagedCommit
 
             return StagedCommit.stage(self, snap)
+        prev = self.snap
         self.snap = snap
-        self._write_snapshot()
+        self._write_snapshot(parent=prev)
         return None
 
     def _refresh_blooms(self, snap: dict, new_bucket_files: dict) -> None:
@@ -1481,7 +1622,7 @@ class LakeTable:
             for fn in os.listdir(bdir):
                 if fn.startswith("version-") and fn.endswith(".json"):
                     with open(os.path.join(bdir, fn)) as f:
-                        out.append(json.load(f))
+                        out.append(_hydrate(bdir, json.load(f)))
         return out
 
     def remove_orphans(self, older_than_s: float = 3 * 86400) -> dict:
@@ -1506,7 +1647,7 @@ class LakeTable:
         for fn in os.listdir(meta_dir):
             if fn.startswith("version-") and fn.endswith(".json"):
                 with open(os.path.join(meta_dir, fn)) as f:
-                    snaps.append(json.load(f))
+                    snaps.append(_hydrate(meta_dir, json.load(f)))
         for snap in snaps:
             live |= self._snapshot_refs(snap)
             live_sidecars |= self._snapshot_sidecars(snap)
@@ -1572,12 +1713,24 @@ class LakeTable:
         # under a staged commit must not corrupt its later publish
         live: set[str] = set()
         live_sidecars: set[str] = set()
+        keep_set = set(keep)
+        # a retained DIFF snapshot whose parent is about to expire must
+        # become a self-contained checkpoint first, or its hydration
+        # chain breaks. Ascending order: once version v-1 is rewritten
+        # (or kept), v's one-hop base is guaranteed readable.
+        for v in keep:
+            p = _version_path(meta_dir, v)
+            if not os.path.exists(p):
+                continue
+            with open(p) as f:
+                raw = json.load(f)
+            if "log" in raw and int(raw["log"]["base"]) not in keep_set:
+                _atomic_write(p, json.dumps(_hydrate(meta_dir, raw), indent=1))
         snaps = list(self._protected_snapshots())
         for v in keep:
-            p = os.path.join(meta_dir, f"version-{v:06d}.json")
+            p = _version_path(meta_dir, v)
             if os.path.exists(p):
-                with open(p) as f:
-                    snaps.append(json.load(f))
+                snaps.append(_read_snapshot(meta_dir, v))
         for snap in snaps:
             # change-data files referenced by a retained commit stay
             # readable for incremental table_changes over that window
@@ -1781,7 +1934,8 @@ class LakeTable:
             }
         )
         published = LakeTable(self.spark, self.path, new)
-        published._write_snapshot()  # CAS — raises on a concurrent commit
+        # CAS — raises on a concurrent commit; parent is main's head
+        published._write_snapshot(parent=self.snap)
         folded = bt.version - ff_from
         self.snap = new
         self.__dict__.pop("_stats_cache", None)
@@ -1803,7 +1957,7 @@ class LakeTable:
             }
         )
         try:
-            LakeTable(self.spark, self.path, stamp)._write_snapshot()
+            LakeTable(self.spark, self.path, stamp)._write_snapshot(parent=bt.snap)
         except CommitConflictError:
             pass
         return {"version": new["version"], "commits_folded": folded}
@@ -1825,6 +1979,12 @@ class LakeTable:
                 continue
             with open(os.path.join(meta_dir, fn)) as f:
                 s = json.load(f)
+            if "files" in s:  # checkpoint — count inline
+                n_files = sum(len(v) for v in s["files"].values())
+                n_delta = sum(len(v) for v in s.get("deltas", {}).values())
+            else:  # diff snapshot — summary counts ride the log entry
+                n_files = int(s.get("n_files", 0))
+                n_delta = int(s.get("n_delta_files", 0))
             out.append(
                 {
                     "version": s["version"],
@@ -1832,10 +1992,8 @@ class LakeTable:
                     "ts": s.get("ts"),
                     "operation": s.get("operation", "commit"),
                     "committed_epochs": s.get("committed_epochs", []),
-                    "n_files": sum(len(v) for v in s["files"].values()),
-                    "n_delta_files": sum(
-                        len(v) for v in s.get("deltas", {}).values()
-                    ),
+                    "n_files": n_files,
+                    "n_delta_files": n_delta,
                     "n_change_files": len(s.get("changes") or []),
                 }
             )
@@ -1970,16 +2128,13 @@ class LakeTable:
         Change set vs the parent is unknown → `changes: null`, so
         `table_changes` across the rollback falls back to the snapshot
         diff (correct by construction)."""
-        p = os.path.join(
-            _ref_meta(self.path, self.snap.get("branch")), f"version-{version:06d}.json"
-        )
-        if not os.path.exists(p):
+        mdir = _ref_meta(self.path, self.snap.get("branch"))
+        if not os.path.exists(_version_path(mdir, int(version))):
             raise ValueError(
                 f"rollback: version {version} is not retained "
                 f"(expired or never existed)"
             )
-        with open(p) as f:
-            target = json.load(f)
+        target = _read_snapshot(mdir, int(version))
         snap = dict(self.snap)
         snap["parent"] = snap["version"]
         snap["version"] = snap["version"] + 1
@@ -1992,8 +2147,9 @@ class LakeTable:
         snap["changes"] = None
         snap["operation"] = f"rollback(to={version})"
         snap["ts"] = round(time.time(), 3)
+        prev = self.snap
         self.snap = snap
-        self._write_snapshot()
+        self._write_snapshot(parent=prev)
         return {"version": snap["version"], "restored": version}
 
     def _zorder_column(self, df: DataFrame, cols: list[str], bits: int = 8) -> F.Column:

@@ -212,11 +212,13 @@ class StagedCommit:
             parent_refs.update(snap_rels)
         # every historical snapshot ≤ parent may still be time-traveled
         # to — only remove dirs no committed snapshot references
+        from wrangler_spark.lake.table import _hydrate
+
         meta = os.path.join(self.path, _META)
         for fn in os.listdir(meta):
             if fn.startswith("version-") and fn.endswith(".json"):
                 with open(os.path.join(meta, fn)) as f:
-                    s = json.load(f)
+                    s = _hydrate(meta, json.load(f))
                 parent_refs.update(s.get("changes") or [])
                 for snap_rels in s.get("files", {}).values():
                     parent_refs.update(snap_rels)
