@@ -211,6 +211,25 @@ def cmd_compact(args) -> int:
     return 0
 
 
+def cmd_maintain(args) -> int:
+    from wrangler_spark.lake.table import LakeTable
+
+    spark = _spark(args)
+    table = LakeTable.load(spark, args.table)
+    print(
+        json.dumps(
+            table.maintain(
+                delta_files_max=args.delta_files_max,
+                small_files_max=args.small_files_max,
+                expire_keep_last=args.expire_keep_last,
+                orphan_older_than_s=args.orphan_older_than,
+                dry_run=args.dry_run,
+            )
+        )
+    )
+    return 0
+
+
 def cmd_rescale(args) -> int:
     from wrangler_spark.lake.table import LakeTable
 
@@ -612,6 +631,19 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument("--min-files", type=int, default=None,
                    help="also bin-pack buckets holding at least this many base files")
     c.set_defaults(fn=cmd_compact)
+
+    mt = sub.add_parser("maintain", help="policy-driven compaction + expiry + GC in one pass")
+    mt.add_argument("--table", required=True)
+    mt.add_argument("--delta-files-max", type=int, default=4,
+                    help="compact buckets carrying at least this many MoR delta files")
+    mt.add_argument("--small-files-max", type=int, default=16,
+                    help="bin-pack buckets holding at least this many base files")
+    mt.add_argument("--expire-keep-last", type=int, default=None,
+                    help="also expire snapshots, keeping this many")
+    mt.add_argument("--orphan-older-than", type=float, default=None,
+                    help="also remove orphan files older than this many seconds")
+    mt.add_argument("--dry-run", action="store_true", help="print the plan only")
+    mt.set_defaults(fn=cmd_maintain)
 
     rs = sub.add_parser("rescale", help="rewrite under a new hash-bucket count")
     rs.add_argument("--table", required=True)

@@ -2275,6 +2275,76 @@ class LakeTable:
                     operation="compact")
         return {"compacted_buckets": len(targets), "version": self.version}
 
+    def maintain(
+        self,
+        delta_files_max: int = 4,
+        small_files_max: int = 16,
+        expire_keep_last: int | None = None,
+        expire_older_than_s: float = 0.0,
+        orphan_older_than_s: float | None = None,
+        dry_run: bool = False,
+    ) -> dict:
+        """One policy-driven maintenance pass (Delta auto-compact /
+        Iceberg maintenance actions, folded into a single call for a
+        cron or post-replay hook). Planning is METADATA-ONLY — the
+        per-bucket worklist comes from the snapshot's file lists, zero
+        Spark jobs and zero data reads unless a rewrite is actually
+        due — so running it every epoch is safe at any table size.
+
+        Policy: compact a bucket when it carries >= `delta_files_max`
+        pending MoR delta files (bounds the read-resolution overlay) or
+        >= `small_files_max` base files (bounds per-file open/footer
+        cost — Delta OPTIMIZE bin-packing). Optionally expire snapshots
+        (`expire_keep_last`) and collect orphans
+        (`orphan_older_than_s`) in the same pass. `dry_run` returns the
+        plan without touching anything."""
+        self._main_only("maintain")
+        deltas = self.snap.get("deltas", {})
+        delta_due = sorted(
+            int(b) for b, r in deltas.items() if len(r) >= int(delta_files_max)
+        )
+        frag_due = sorted(
+            int(b) for b, r in self.snap["files"].items()
+            if len(r) >= int(small_files_max)
+        )
+        out: dict = {
+            "delta_buckets_due": delta_due,
+            "fragmented_buckets_due": frag_due,
+            "dry_run": bool(dry_run),
+        }
+        if dry_run:
+            return out
+        targets = sorted(set(delta_due) | set(frag_due))
+        if targets:
+            out["compact"] = self.compact(
+                buckets=targets, min_files=int(small_files_max)
+            )
+        if expire_keep_last is not None:
+            out["expire"] = self.expire_snapshots(
+                keep_last=int(expire_keep_last),
+                older_than_s=float(expire_older_than_s),
+            )
+        if orphan_older_than_s is not None:
+            out["gc"] = self.remove_orphans(older_than_s=float(orphan_older_than_s))
+        out["version"] = self.version
+        return out
+
+    def checkpoint_metadata(self) -> dict:
+        """Force the CURRENT version's on-disk snapshot to a full
+        checkpoint (rewrites the diff in place — semantically identical
+        state, atomic rename). Use after an operation that touched many
+        buckets (large DML, backfill) to cut every future reader's
+        hydration chain at this version instead of waiting for the next
+        interval checkpoint."""
+        mdir = _ref_meta(self.path, self.snap.get("branch"))
+        p = _version_path(mdir, self.version)
+        with open(p) as f:
+            raw = json.load(f)
+        if "log" not in raw:
+            return {"version": self.version, "rewritten": False}
+        _atomic_write(p, json.dumps(_hydrate(mdir, raw), indent=1))
+        return {"version": self.version, "rewritten": True}
+
     def rescale(self, num_buckets: int) -> dict:
         """Change the hash-bucket count (Iceberg partition-spec
         evolution, done eagerly): full resolved rewrite under the new
