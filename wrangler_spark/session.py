@@ -30,6 +30,7 @@ def get_spark(
         # AQE: runtime coalescing + skew-join splitting — the hot-repo skew
         # answer at 100 TB alongside explicit salting in lake/merge.py.
         .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         # the LWW join-back's build side is (keys, max seq) — tiny vs the
