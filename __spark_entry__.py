@@ -1854,6 +1854,54 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["lake_branch"] = q_lake_branch
 
+    def q_lake_source(spark, d):
+        """Batch `spark.read.format("lake")` source (lake/batch_source.py):
+        epochs 0-1 replay copy-on-write, epoch 2 merge-on-read — its
+        deltas stay PENDING at read time — then the table is read back
+        through Spark's native reader API. The source's per-bucket
+        executor-side LWW resolution must equal the whole stream's
+        relational LWW oracle; the `engine_equal` pin proves parity
+        with the engine's own LakeTable.read() on the same snapshot."""
+        import tempfile
+
+        from pyspark.sql import types as TT
+
+        from wrangler_spark.cdc import Replayer
+        from wrangler_spark.lake import LakeTable
+        from wrangler_spark.lake.batch_source import read_lake
+
+        ev = _t(spark, d, "events").select(
+            F.col("event_id").alias("seq"),
+            (F.col("event_id") % 3).cast("long").alias("epoch"),
+            F.when(F.col("event_type") == "signup", "insert")
+            .when(F.col("event_type") == "error", "delete")
+            .otherwise("update")
+            .alias("op"),
+            "user_id",
+            "event_type",
+            "value",
+        )
+        schema = TT.StructType(
+            [f for f in ev.schema.fields if f.name not in ("seq", "epoch", "op")]
+        )
+        base = tempfile.mkdtemp(prefix="wr_lakesrc_")
+        table = LakeTable.create(
+            spark, f"{base}/tbl", schema, ["user_id"], num_buckets=4
+        )
+        Replayer(table, f"{base}/ckpt").replay(ev, to_epoch=1)
+        t2 = LakeTable.load(spark, f"{base}/tbl")
+        Replayer(t2, f"{base}/ckpt2", mode="mor").replay(ev, from_epoch=2)
+        df = read_lake(spark, f"{base}/tbl")
+        t3 = LakeTable.load(spark, f"{base}/tbl")
+        engine_equal = df.count() == t3.read().count()
+        return df.select(
+            "user_id",
+            "event_type",
+            "value",
+            F.lit(bool(engine_equal)).alias("engine_equal"),
+        )
+    q["lake_source"] = q_lake_source
+
     return q
 
 
@@ -2634,6 +2682,18 @@ def oracle_sql() -> dict[str, str]:
             "row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn "
             "FROM events) "
             "SELECT user_id, event_type, value, TRUE AS branch_invisible "
+            "FROM d WHERE rn = 1 AND op <> 'delete'"
+        ),
+        # lake_source: the batch format("lake") reader (bucket
+        # partitions, executor-side pyarrow LWW resolution over pending
+        # MoR deltas) must serve exactly the stream's LWW live state
+        "lake_source": (
+            "WITH d AS (SELECT user_id, event_type, value, "
+            "CASE WHEN event_type = 'signup' THEN 'insert' "
+            "WHEN event_type = 'error' THEN 'delete' ELSE 'update' END AS op, "
+            "row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn "
+            "FROM events) "
+            "SELECT user_id, event_type, value, TRUE AS engine_equal "
             "FROM d WHERE rn = 1 AND op <> 'delete'"
         ),
         # cdc_replicate: the replica synced off the changelog must hold
