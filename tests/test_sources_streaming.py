@@ -336,15 +336,22 @@ def test_stream_replay_mor_mode(spark, tmp_path):
     )
     q.awaitTermination(120)
 
-    # MoR commits happened: the version log shows delta-bearing snapshots
-    import json as _json
+    # MoR commits happened: the version log shows delta-bearing
+    # snapshots (hydrated — on-disk snapshots are metadata-log diffs)
     import os as _os
+
+    from wrangler_spark.lake.table import _read_snapshot
 
     meta = _os.path.join(table.path, "_meta")
     had_deltas = any(
-        _json.load(open(_os.path.join(meta, fn))).get("deltas")
+        any(
+            rels
+            for rels in _read_snapshot(
+                meta, int(fn[len("version-"):-len(".json")])
+            ).get("deltas", {}).values()
+        )
         for fn in sorted(_os.listdir(meta))
-        if fn.startswith("version-")
+        if fn.startswith("version-") and fn.endswith(".json")
     )
     assert had_deltas, "no snapshot ever carried pending deltas"
 
