@@ -138,3 +138,31 @@ def test_pushdown_exempts_delta_buckets(spark, tmp_path):
 def test_empty_table_reads_zero_rows(spark, tmp_path):
     t = _mk(spark, tmp_path)
     assert read_lake(spark, t.path).count() == 0
+
+
+def test_as_of_timestamp_option(spark, tmp_path):
+    import time
+
+    t = _mk(spark, tmp_path)
+    t.merge(ch(spark, [ins(1, "a", "f.py", "old")]), epoch=0)
+    ts_between = time.time()
+    time.sleep(0.05)
+    t.merge(ch(spark, [ins(2, "a", "f.py", "new")]), epoch=1)
+    assert _state(read_lake(spark, t.path, as_of_ts=ts_between)) == {
+        ("a", "f.py"): "old"
+    }
+
+
+def test_option_errors(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    t.merge(ch(spark, [ins(1, "a", "f.py", "x")]), epoch=0)
+    register_lake_source(spark)
+    with pytest.raises(Exception, match="no tag"):
+        spark.read.format("lake").option("path", t.path).option(
+            "tag", "ghost").load().count()
+    with pytest.raises(Exception, match="at most one"):
+        (spark.read.format("lake").option("path", t.path)
+         .option("tag", "x").option("version", "1").load().count())
+    with pytest.raises(Exception, match="no table/branch"):
+        spark.read.format("lake").option(
+            "path", str(tmp_path / "nope")).load().count()

@@ -9,6 +9,8 @@ table scan."""
 import json
 import os
 
+from pyspark.sql import functions as F
+
 from wrangler_spark.cdc.events import repo_files_schema
 from wrangler_spark.lake.table import LakeTable, _version_path
 
@@ -120,3 +122,31 @@ def test_maintain_cli_round_trip(spark, tmp_path):
     after = LakeTable.load(spark, t.path)
     assert not any(after.snap["deltas"].values())
     assert [r["content"] for r in after.read().collect()] == ["v4"]
+
+
+def test_replayer_maintain_cadence(spark, tmp_path):
+    """maintain_every=K: the Replayer runs the policy pass every K
+    committed epochs — a mor replay with per-epoch deltas ends with the
+    overlay folded and (via maintain_opts) history expired."""
+    from wrangler_spark.cdc.replay import Replayer
+
+    t = _mk(spark, tmp_path)
+    ev = ch(spark, [
+        (e * 10 + i, "insert", f"r{i}", "f.py", f"c{e}", "python", f"v{e}")
+        for e in range(6) for i in range(3)
+    ]).withColumn("epoch", (F.col("seq") / 10).cast("long"))
+    r = Replayer(
+        t, str(tmp_path / "ckpt"), mode="mor",
+        maintain_every=2,
+        maintain_opts={"delta_files_max": 1, "expire_keep_last": 3},
+    )
+    r.replay(ev)
+    after = LakeTable.load(spark, t.path)
+    # the final maintain pass folded every pending delta (epoch count is
+    # a multiple of the cadence) and expiry bounded retained history
+    assert not any(after.snap.get("deltas", {}).values())
+    retained = [h["version"] for h in after.history()]
+    assert len(retained) <= 4  # keep_last=3 (+ the pass's own commit)
+    assert {r_["repo"]: r_["content"] for r_ in after.read().collect()} == {
+        f"r{i}": "v5" for i in range(3)
+    }

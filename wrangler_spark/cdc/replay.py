@@ -51,6 +51,8 @@ class Replayer:
         mode: str = "cow",
         compact_every: int | None = None,
         audit: dict | None = None,
+        maintain_every: int | None = None,
+        maintain_opts: dict | None = None,
     ):
         self.table = table
         self.checkpoint_dir = checkpoint_dir
@@ -94,6 +96,14 @@ class Replayer:
             raise ValueError(f"unknown replay mode: {mode!r} (cow|mor)")
         self.mode = mode
         self.compact_every = compact_every
+        # policy-driven maintenance cadence (LakeTable.maintain): every
+        # K committed epochs run the metadata-planned auto-compact (+
+        # optional expiry/GC via maintain_opts). Planning is zero-job,
+        # so a small K is safe at any table size; applies in BOTH cow
+        # (small-file bin-packing) and mor (delta folding) modes.
+        self.maintain_every = maintain_every
+        self.maintain_opts = dict(maintain_opts or {})
+        self._commits_since_maintain = 0
         self._commits_since_compact = 0
         # write-audit-publish gate (lake/wap.py): when set, every epoch
         # merge is STAGED, the resolved staged state is validated
@@ -343,6 +353,15 @@ class Replayer:
                 comp = self.table.compact()
                 self._commits_since_compact = 0
                 res["compacted_buckets"] = comp["compacted_buckets"]
+        if (
+            self.maintain_every
+            and not res.get("skipped")
+            and not self.table.snap.get("branch")  # maintain is main-only
+        ):
+            self._commits_since_maintain += 1
+            if self._commits_since_maintain >= self.maintain_every:
+                res["maintain"] = self.table.maintain(**self.maintain_opts)
+                self._commits_since_maintain = 0
         wm_rows = wm_box.get("rows", [])
         if self.cache_batches:
             batch.unpersist()
