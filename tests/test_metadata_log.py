@@ -166,3 +166,77 @@ def test_wap_staged_publish_lands_as_diff(spark, tmp_path):
     head = LakeTable.load(spark, t.path)
     assert {r["repo"] for r in head.read().collect()} == {"a", "b"}
     assert "log" in _raw(head, head.version)
+
+
+def test_random_op_walk_every_retained_version_hydrates(spark, tmp_path):
+    """Seeded 22-op walk over merge(cow|mor)/compact/tag/rollback/
+    expire/checkpoint_metadata: after every op, EVERY retained version
+    must hydrate to exactly the files/deltas state recorded when it was
+    committed — the metadata log's one invariant, under arbitrary
+    interleavings of diff chains, in-place checkpoint rewrites, expiry
+    rewrites and rollbacks."""
+    import random
+
+    rng = random.Random(42)
+    t = _mk(spark, tmp_path, props={"metadata.checkpoint-interval": "3"})
+    mdir = os.path.join(t.path, "_meta")
+    recorded: dict[int, tuple] = {}
+
+    def snap_state(s):
+        return (
+            {b: sorted(r) for b, r in s["files"].items() if r},
+            {b: sorted(r) for b, r in s.get("deltas", {}).items() if r},
+        )
+
+    def record():
+        recorded[t.version] = snap_state(t.snap)
+
+    record()
+    seq = [100]
+    tagged = []
+    for step in range(22):
+        op = rng.choice(
+            ["cow", "cow", "mor", "mor", "compact", "tag", "rollback",
+             "expire", "ckpt"]
+        )
+        seq[0] += 1
+        if op in ("cow", "mor"):
+            t.merge(
+                ch(spark, [ins(seq[0], f"r{rng.randrange(5)}", "f.py", f"s{step}")]),
+                epoch=100 + step,
+                mode=op,
+            )
+            record()
+        elif op == "compact":
+            t.compact()
+            record()
+        elif op == "tag":
+            name = f"tag{step}"
+            t.tag(name)
+            tagged.append(name)
+            record()
+        elif op == "rollback" and t.version >= 2:
+            vs = [v for v in recorded if v < t.version and os.path.exists(
+                _version_path(mdir, v))]
+            if vs:
+                t.rollback(rng.choice(vs))
+                record()
+        elif op == "expire":
+            t.expire_snapshots(keep_last=rng.choice([2, 4]))
+            recorded_keep = {
+                v for v in recorded if os.path.exists(_version_path(mdir, v))
+            }
+            for v in list(recorded):
+                if v not in recorded_keep:
+                    del recorded[v]
+        elif op == "ckpt":
+            t.checkpoint_metadata()
+        # the invariant: every retained recorded version hydrates true
+        for v, want in recorded.items():
+            got = _read_snapshot(mdir, v)
+            assert snap_state(got) == want, f"step {step} ({op}): v{v} diverged"
+    # and the final resolved read still works end to end
+    assert t.read().count() == len(
+        {k for k, _ in
+         ((r["repo"], r["path"]) for r in t.read().collect())}
+    )
