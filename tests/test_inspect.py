@@ -129,3 +129,50 @@ def test_cli_describe(spark, table, tmp_path, capsys):
     kinds = {ln["content"] for ln in lines[1:] if "content" in ln}
     assert {"data", "delta"} <= kinds
     assert any("n_data_files" in ln for ln in lines)
+
+
+def test_analyze_column_stats(spark, tmp_path):
+    """ANALYZE TABLE parity (table.analyze): one agg job stores
+    per-column NDV / null counts / avg string length as stats.*
+    properties in a metadata-only commit; describe() parses them back.
+    At tiny cardinalities HLL++ is exact, so the NDVs are checkable."""
+    from wrangler_spark.cdc.events import repo_files_schema
+    from wrangler_spark.lake.table import LakeTable
+
+    t = LakeTable.create(
+        spark, str(tmp_path / "an"), repo_files_schema(), ["repo", "path"],
+        num_buckets=4,
+    )
+    rows = [
+        (i, "insert", f"r{i % 3}", f"f{i}.py", f"c{i}", "python" if i % 2 else None,
+         "x" * 10)
+        for i in range(30)
+    ]
+    t.merge(
+        spark.createDataFrame(
+            rows,
+            "seq long, op string, repo string, path string, commit string, "
+            "lang string, content string",
+        ),
+        epoch=0,
+    )
+    v_before = t.version
+    res = t.analyze(columns=["repo", "lang", "content"])
+    assert t.version == v_before + 1  # metadata-only commit
+    assert res["row_count"] == 30 and res["columns"]["repo"] == 3
+    d = t.describe()
+    cs = d["column_stats"]
+    assert cs["repo"]["ndv"] == 3 and cs["repo"]["null_count"] == 0
+    assert cs["lang"]["ndv"] == 1 and cs["lang"]["null_count"] == 15
+    assert cs["content"]["avg_len"] == 10.0
+    # files untouched — the commit carried properties only
+    after = LakeTable.load(spark, t.path)
+    assert after.snap["files"] == t.snap["files"]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="no such column"):
+        t.analyze(columns=["ghost"])
+    # CLI round trip
+    from wrangler_spark.cli import main as cli
+
+    assert cli(["analyze", "--table", t.path, "--columns", "repo"]) == 0

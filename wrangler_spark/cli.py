@@ -211,6 +211,16 @@ def cmd_compact(args) -> int:
     return 0
 
 
+def cmd_analyze(args) -> int:
+    from wrangler_spark.lake.table import LakeTable
+
+    spark = _spark(args)
+    table = LakeTable.load(spark, args.table)
+    cols = [c.strip() for c in args.columns.split(",")] if args.columns else None
+    print(json.dumps(table.analyze(columns=cols)))
+    return 0
+
+
 def cmd_maintain(args) -> int:
     from wrangler_spark.lake.table import LakeTable
 
@@ -631,6 +641,11 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument("--min-files", type=int, default=None,
                    help="also bin-pack buckets holding at least this many base files")
     c.set_defaults(fn=cmd_compact)
+
+    an = sub.add_parser("analyze", help="compute per-column NDV/null/length stats into table properties")
+    an.add_argument("--table", required=True)
+    an.add_argument("--columns", default=None, help="comma-separated columns (default: all)")
+    an.set_defaults(fn=cmd_analyze)
 
     mt = sub.add_parser("maintain", help="policy-driven compaction + expiry + GC in one pass")
     mt.add_argument("--table", required=True)

@@ -175,4 +175,17 @@ def describe(table) -> dict:
         "stats_covered_files": sum(1 for r in rows if r[5] > 0),
         "bloom_covered_files": sum(1 for r in rows if r[6] > 0),
         "retained_snapshots": len(table.history()),
+        # ANALYZE results (table.analyze()), parsed back out of the
+        # stats.col.* properties: {col: {ndv, null_count, avg_len?}}
+        "column_stats": _column_stats(snap.get("properties", {})),
     }
+
+
+def _column_stats(props: dict) -> dict:
+    out: dict = {}
+    for k, v in props.items():
+        if not k.startswith("stats.col."):
+            continue
+        col, metric = k[len("stats.col."):].rsplit(".", 1)
+        out.setdefault(col, {})[metric] = v
+    return out

@@ -2329,6 +2329,58 @@ class LakeTable:
         out["version"] = self.version
         return out
 
+    def analyze(self, columns: list[str] | None = None) -> dict:
+        """ANALYZE TABLE (Delta `ANALYZE TABLE ... COMPUTE STATISTICS
+        FOR COLUMNS` / Iceberg `compute_table_stats` + Puffin NDV
+        parity): ONE aggregate job over the resolved live rows computes
+        per-column approx NDV (HLL++ via approx_count_distinct — the
+        same sketch family Iceberg stores in Puffin theta blobs), null
+        counts and average string length, plus the exact live row
+        count; results land as `stats.table.*` / `stats.col.*` table
+        properties in a metadata-only commit, surfaced by `describe()`.
+
+        At 100 TB these are the planner-feeding numbers: key-column NDV
+        sizes the bucket count (`rescale`) and broadcast-vs-shuffle
+        choices; payload NDV picks Z-order/sort columns whose file
+        stats will actually prune. One map-side-combining agg — never
+        per-file work, independent of file count."""
+        all_cols = [f.name for f in self.schema.fields]
+        if columns is None:
+            cols = all_cols
+        else:
+            by_l = {c.lower(): c for c in all_cols}
+            missing = [c for c in columns if c.lower() not in by_l]
+            if missing:
+                raise ValueError(f"analyze: no such column(s) {missing}")
+            cols = [by_l[c.lower()] for c in columns]
+        df = self.read()
+        aggs = [F.count(F.lit(1)).alias("__n")]
+        strings = {
+            f.name for f in self.schema.fields
+            if f.dataType.simpleString() == "string"
+        }
+        for c in cols:
+            aggs.append(F.approx_count_distinct(c).alias(f"ndv__{c}"))
+            aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"nulls__{c}"))
+            if c in strings:
+                aggs.append(F.avg(F.length(c)).alias(f"avglen__{c}"))
+        row = df.agg(*aggs).collect()[0].asDict()
+        props: dict = {
+            "stats.table.row_count": int(row["__n"]),
+            "stats.table.analyzed_version": self.version,
+        }
+        for c in cols:
+            props[f"stats.col.{c}.ndv"] = int(row[f"ndv__{c}"])
+            props[f"stats.col.{c}.null_count"] = int(row[f"nulls__{c}"] or 0)
+            if f"avglen__{c}" in row and row[f"avglen__{c}"] is not None:
+                props[f"stats.col.{c}.avg_len"] = round(float(row[f"avglen__{c}"]), 2)
+        self.commit({}, properties=props, change_files=[], operation="analyze")
+        return {
+            "version": self.version,
+            "row_count": int(row["__n"]),
+            "columns": {c: props[f"stats.col.{c}.ndv"] for c in cols},
+        }
+
     def checkpoint_metadata(self) -> dict:
         """Force the CURRENT version's on-disk snapshot to a full
         checkpoint (rewrites the diff in place — semantically identical
