@@ -427,3 +427,73 @@ def test_cli_filter_in_syntax(spark, mk_table, capsys):
     assert main(["delete", "--table", t.path, "--filter", "path in f1.py,f2.py"]) == 0
     m = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert m["rows"] == 2
+
+
+def test_upsert_dataframe_sugar(spark, tmp_path):
+    """upsert(df): schema-shaped rows land as LWW winners above the
+    high-water seq; new keys insert, existing keys overwrite, tombstoned
+    keys revive — then a LATER raw CDC event with a smaller seq must
+    stay fenced (the documented monotone-fence semantics)."""
+    from wrangler_spark.cdc.events import repo_files_schema
+    from wrangler_spark.lake.table import LakeTable
+
+    t = LakeTable.create(
+        spark, str(tmp_path / "ups"), repo_files_schema(), ["repo", "path"],
+        num_buckets=4,
+    )
+    ev = spark.createDataFrame(
+        [(5, "insert", "a", "f.py", "c5", "python", "old"),
+         (6, "insert", "b", "g.py", "c6", "python", "gone"),
+         (7, "delete", "b", "g.py", None, None, None)],
+        "seq long, op string, repo string, path string, commit string, "
+        "lang string, content string",
+    )
+    t.merge(ev, epoch=0)
+    batch = spark.createDataFrame(
+        [("a", "f.py", "cx", "python", "upserted"),     # overwrite
+         ("b", "g.py", "cy", "python", "revived"),      # revive tombstone
+         ("c", "h.py", "cz", "python", "fresh")],       # new key
+        "repo string, path string, commit string, lang string, content string",
+    )
+    res = t.upsert(batch)
+    assert res["events"] == 3
+    state = {(r["repo"], r["path"]): r["content"] for r in t.read().collect()}
+    assert state == {("a", "f.py"): "upserted", ("b", "g.py"): "revived",
+                     ("c", "h.py"): "fresh"}
+    # a late raw CDC event with a small seq loses to the upsert fence
+    late = spark.createDataFrame(
+        [(8, "update", "a", "f.py", "c8", "python", "stale")],
+        "seq long, op string, repo string, path string, commit string, "
+        "lang string, content string",
+    )
+    t.merge(late, epoch=1)
+    assert {r["content"] for r in t.read().filter("repo='a'").collect()} == {"upserted"}
+
+
+def test_delete_keys_batch(spark, tmp_path):
+    from wrangler_spark.cdc.events import repo_files_schema
+    from wrangler_spark.lake.table import LakeTable
+
+    t = LakeTable.create(
+        spark, str(tmp_path / "dk"), repo_files_schema(), ["repo", "path"],
+        num_buckets=4,
+    )
+    ev = spark.createDataFrame(
+        [(i, "insert", f"r{i}", "f.py", f"c{i}", "python", f"v{i}")
+         for i in range(1, 6)],
+        "seq long, op string, repo string, path string, commit string, "
+        "lang string, content string",
+    )
+    t.merge(ev, epoch=0)
+    keys = spark.createDataFrame([("r1", "f.py"), ("r3", "f.py")],
+                                 "repo string, path string")
+    t.delete_keys(keys)
+    assert {r["repo"] for r in t.read().collect()} == {"r2", "r4", "r5"}
+    # tombstones fence a late lower-seq update for the deleted keys
+    late = spark.createDataFrame(
+        [(2, "update", "r1", "f.py", "cz", "python", "zombie")],
+        "seq long, op string, repo string, path string, commit string, "
+        "lang string, content string",
+    )
+    t.merge(late, epoch=1)
+    assert {r["repo"] for r in t.read().collect()} == {"r2", "r4", "r5"}

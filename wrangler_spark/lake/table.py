@@ -1534,6 +1534,54 @@ class LakeTable:
             mode=mode, staged=staged,
         )
 
+    def upsert(self, df: DataFrame, mode: str = "cow") -> dict:
+        """Direct DataFrame upsert (DeltaTable `merge`-sugar for
+        consumers without a change stream): rows matching the table
+        schema land as LWW winners over the current state — every row
+        gets a commit sequence ABOVE the table's high-water `max_seq`,
+        so it beats any stored row for its key; new keys insert,
+        tombstoned keys revive. Duplicate keys WITHIN the batch resolve
+        arbitrarily (their seqs are assigned in partition order) — feed
+        a deduplicated batch when the winner matters.
+
+        Same engine path as CDC (`merge_into`): bucket-pruned
+        copy-on-write or `mode='mor'` delta append, CDF change files,
+        CHECK-constraint enforcement, stats/bloom sidecars — a plain
+        batch write is just a degenerate change stream.
+
+        Seqs come from `monotonically_increasing_id()` (shuffle-free;
+        sparse — partition id in the high bits), so `max_seq` advances
+        by up to ~2^40 per upsert batch: correct (strictly monotonic,
+        int64 has ~2^22 such batches of headroom) and intentionally
+        FENCING — raw CDC events with smaller seqs arriving later lose
+        LWW to this batch, exactly like `delete_where` tombstones."""
+        base = int(self.snap.get("properties", {}).get("max_seq", 0))
+        events = df.select(
+            (F.lit(base) + F.monotonically_increasing_id() + 1).alias("seq"),
+            F.lit("upsert").alias("op"),
+            "*",
+        )
+        return self.merge(events, mode=mode)
+
+    def delete_keys(self, df: DataFrame, mode: str = "cow") -> dict:
+        """Key-batch delete: each (key-columns) row in `df` becomes a
+        tombstone above the high-water seq (fencing any late lower-seq
+        CDC event for that key). The set-based companion of
+        `delete_where`'s predicate path."""
+        base = int(self.snap.get("properties", {}).get("max_seq", 0))
+        payload = [
+            F.lit(None).cast(f.dataType).alias(f.name)
+            for f in self.schema.fields
+            if f.name not in self.key_cols
+        ]
+        events = df.select(
+            (F.lit(base) + F.monotonically_increasing_id() + 1).alias("seq"),
+            F.lit("delete").alias("op"),
+            *self.key_cols,
+            *payload,
+        )
+        return self.merge(events, mode=mode)
+
     # ------------------------------------------------------------ DML
     def delete_where(
         self, filters: list, epoch: int | None = None, mode: str = "cow"
