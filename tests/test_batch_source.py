@@ -166,3 +166,36 @@ def test_option_errors(spark, tmp_path):
     with pytest.raises(Exception, match="no table/branch"):
         spark.read.format("lake").option(
             "path", str(tmp_path / "nope")).load().count()
+
+
+def test_in_filter_pushdown_prunes_and_matches(spark, tmp_path):
+    t = _mk(
+        spark, tmp_path,
+        properties={"write.sort.cols": "commit", "write.max-records-per-file": "50"},
+    )
+    t.merge(ch(spark, [(i, "insert", f"r{i % 3}", f"f{i}.py", f"c{i:05d}",
+                        "python", f"v{i}") for i in range(600)]), epoch=0)
+    total = sum(len(v) for v in t.snap["files"].values())
+    reader = LakeBatchReader({"path": t.path})
+    reader.pushed = [("commit", "in", ["c00001", "c00002"])]
+    kept = sum(len(p.base_files) for p in reader.partitions())
+    assert kept < total
+    # empty IN never prunes (Spark folds it to false anyway)
+    reader2 = LakeBatchReader({"path": t.path})
+    reader2.pushed = [("commit", "in", [])]
+    assert sum(len(p.base_files) for p in reader2.partitions()) == total
+    # cross-type filter value never prunes (unprovable, kept for Spark)
+    reader3 = LakeBatchReader({"path": t.path})
+    reader3.pushed = [("commit", "=", 42)]
+    assert sum(len(p.base_files) for p in reader3.partitions()) == total
+    register_lake_source(spark)
+    df = (spark.read.format("lake").option("path", t.path).load()
+          .filter("commit IN ('c00001', 'c00002')"))
+    assert _state(df) == _state(t.read().filter("commit IN ('c00001','c00002')"))
+
+
+def test_upsert_refuses_seq_op_columns(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    bad = ch(spark, [ins(1, "a", "f.py", "x")])  # carries seq/op already
+    with pytest.raises(ValueError, match="seq/op are"):
+        t.upsert(bad)

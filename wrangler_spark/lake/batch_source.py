@@ -147,10 +147,13 @@ def _can_match(fstats: dict | None, aliases: dict, filters: list) -> bool:
             continue
         mn, mx = st[0], st[1]
         vals = list(val) if op == "in" else [val]
+        if not vals:
+            continue  # empty IN: Spark folds it to false; never prune on it
         if not all(isinstance(x, (str, int, float)) and not isinstance(x, bool) for x in vals):
             continue
-        if mn is not None and not all(
-            isinstance(x, str) == isinstance(mn, str) for x in vals
+        bound = mn if mn is not None else mx
+        if bound is not None and not all(
+            isinstance(x, str) == isinstance(bound, str) for x in vals
         ):
             continue  # cross-type compare is not provable
         def outside(v):
@@ -165,8 +168,11 @@ def _can_match(fstats: dict | None, aliases: dict, filters: list) -> bool:
             if op == ">=":
                 return mx is not None and mx < v
             return False
-        if all(outside(v) for v in vals):
-            return False
+        try:
+            if all(outside(v) for v in vals):
+                return False
+        except TypeError:
+            continue  # unprovable comparison: keep the file
     return True
 
 

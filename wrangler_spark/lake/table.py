@@ -1555,6 +1555,12 @@ class LakeTable:
         int64 has ~2^22 such batches of headroom) and intentionally
         FENCING — raw CDC events with smaller seqs arriving later lose
         LWW to this batch, exactly like `delete_where` tombstones."""
+        clash = {c for c in df.columns if c.lower() in ("seq", "op")}
+        if clash:
+            raise ValueError(
+                f"upsert: drop column(s) {sorted(clash)} first — seq/op are "
+                "assigned by the engine (use merge() for raw change events)"
+            )
         base = int(self.snap.get("properties", {}).get("max_seq", 0))
         events = df.select(
             (F.lit(base) + F.monotonically_increasing_id() + 1).alias("seq"),
