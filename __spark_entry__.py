@@ -1902,6 +1902,72 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["lake_source"] = q_lake_source
 
+    def q_corpus_pipeline(spark, d):
+        """Composed corpus-prep funnel (pipeline/corpus.py
+        prepare_corpus): annotate -> quality gate -> exact dedup ->
+        minhash near-dup clustering -> benchmark decontamination ->
+        chunk -> pack, in one lazy composition. The minhash stage is
+        not SQL-expressible, so the oracle pins the exact SQL-derivable
+        invariants of the funnel's OUTPUT: retained docs carry no
+        duplicate text, every self-benchmark doc (the decontamination
+        source, doc_id % 97 == 0 with >= 13 tokens) is gone, chunking
+        reconstructs each retained doc's token count exactly, and no
+        pack exceeds its budget."""
+        from wrangler_spark.pipeline.corpus import prepare_corpus
+
+        docs = _t(spark, d, "documents").select("doc_id", "text")
+        bench = docs.filter(F.col("doc_id") % 97 == 0).select("text")
+        ct, ov, budget = 64, 16, 256
+        res = prepare_corpus(
+            docs, benchmark=bench, min_quality=0.3,
+            num_hashes=32, bands=16, shingle_k=5,
+            chunk_tokens=ct, chunk_overlap=ov,
+            pack_budget=budget, pack_shards=8,
+        )
+        final = res.docs.cache()
+        chunks = res.chunks.cache()
+        n_input = docs.count()
+        gated_nonempty = int(final.count() > 0)
+        dup_viol = (
+            final.groupBy("text").count().filter(F.col("count") > 1).count()
+        )
+        # decontamination check, independent of the decontaminate()
+        # code path: benchmark members are self-contaminated, so none
+        # with a full n-gram window may survive
+        eff_tok = F.size(
+            F.filter(F.split(F.trim(F.col("text")), r"\s+"), lambda t: t != "")
+        )
+        selfbench = final.filter(
+            (F.col("doc_id") % 97 == 0) & (eff_tok >= 13)
+        ).count()
+        per_doc = chunks.groupBy("doc_id").agg(
+            F.count("*").alias("nc"),
+            F.max(F.struct("chunk_idx", "n_chunk_tokens")).alias("last"),
+        )
+        covered = (ct - ov) * (F.col("nc") - 1) + F.col("last.n_chunk_tokens")
+        conserve_viol = (
+            final.select("doc_id", eff_tok.alias("eff"))
+            .join(per_doc, "doc_id", "left")
+            .filter(F.coalesce(covered, F.lit(0)) != F.col("eff"))
+            .count()
+        )
+        budget_viol = (
+            res.packed.groupBy("shard", "pack_id")
+            .agg(F.sum("n_chunk_tokens").alias("tok"))
+            .filter(F.col("tok") > budget)
+            .count()
+        )
+        chunks.unpersist()
+        final.unpersist()
+        return spark.createDataFrame(
+            [(n_input, gated_nonempty, dup_viol, selfbench,
+              conserve_viol, budget_viol)],
+            "n_input long, gated_nonempty long, exact_dup_violations long, "
+            "selfbench_retained long, conservation_violations long, "
+            "budget_violations long",
+        )
+    q["corpus_pipeline"] = q_corpus_pipeline
+
     return q
 
 
@@ -2706,5 +2772,16 @@ def oracle_sql() -> dict[str, str]:
             "FROM events) "
             "SELECT user_id, event_type, value, props FROM d "
             "WHERE rn = 1 AND op <> 'delete'"
+        ),
+        # corpus_pipeline: the composed funnel's SQL-derivable exact
+        # invariants (see q_corpus_pipeline docstring)
+        "corpus_pipeline": (
+            "SELECT CAST(count(*) AS BIGINT) AS n_input, "
+            "CAST(1 AS BIGINT) AS gated_nonempty, "
+            "CAST(0 AS BIGINT) AS exact_dup_violations, "
+            "CAST(0 AS BIGINT) AS selfbench_retained, "
+            "CAST(0 AS BIGINT) AS conservation_violations, "
+            "CAST(0 AS BIGINT) AS budget_violations "
+            "FROM documents"
         ),
     }
