@@ -445,7 +445,6 @@ def merge_into(
 
     new_version = table.version + 1
     _t1 = _time.time()
-    bucket_files = table.write_buckets(merged, new_version, pre_partitioned=pre_partitioned)
     # change-data files (Delta CDF equivalent): persist THIS commit's
     # POST-IMAGE — batch winners that actually beat the base — so
     # table_changes over the window is O(changes), never a full
@@ -456,11 +455,41 @@ def merge_into(
     # has no seq to reject a stale candidate with — so cow files must
     # not carry them. (mor change files remain within-batch winners by
     # construction; their guard lives at read time.)
+    #
+    # Written BEFORE the bucket write, and in the broadcast path the
+    # bucket write's union re-reads the (winners-sized) change files
+    # instead of recomputing their lineage: capturing the changelog
+    # costs one small parquet round-trip, not a second column-pruned
+    # base scan + anti-join per epoch. An interrupted merge leaves
+    # them as unreferenced staging files — the commit below is what
+    # publishes them; GC reclaims orphans.
     change_rels: list[str] | None
     if str(table.snap.get("properties", {}).get("changelog.enabled", "true")).lower() != "false":
         change_rels = table.write_change_files(post_image, new_version)
+        if winners_broadcast and change_rels:
+            import os as _os
+
+            from pyspark.sql import types as _T
+
+            cdf_schema = _T.StructType(
+                list(schema.fields)
+                + [
+                    _T.StructField("__seq", _T.LongType()),
+                    _T.StructField("__deleted", _T.BooleanType()),
+                ]
+            )
+            changed_back = table.spark.read.schema(cdf_schema).parquet(
+                *[_os.path.join(table.path, r) for r in change_rels]
+            )
+            changed_back = changed_back.withColumn(
+                "__b", table.bucket_expr(changed_back)
+            )
+            merged = base_keep.unionByName(
+                changed_back.repartition(F.col("__b"))
+            )
     else:
         change_rels = None
+    bucket_files = table.write_buckets(merged, new_version, pre_partitioned=pre_partitioned)
     _t_write = _time.time() - _t1
     # buckets that were affected but ended up empty (all keys deleted)
     for b in affected:
