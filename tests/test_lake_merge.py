@@ -458,3 +458,57 @@ def test_widen_through_alias():
     names = {f.name: f.dataType.simpleString() for f in schema.fields}
     assert names == {"k": "string", "size_b": "bigint"}
     assert aliases == {"size_b": ["size"]}
+
+
+def test_crash_between_cdf_and_bucket_write_is_replayable(spark, table, monkeypatch):
+    """The reuse ordering writes change-data files BEFORE the bucket
+    write (merge.py); a crash between the two must leave the epoch
+    unfenced and replayable, the orphaned CDF staging invisible to
+    readers and reclaimable by remove_orphans, and the changelog for
+    committed versions intact after GC."""
+    import os
+
+    table.merge(ch(spark, [(1, "insert", "r1", "a.py", "c1", "python", "v1")]), epoch=0)
+    v0 = table.version
+
+    def _files(root):
+        out = set()
+        for dirpath, _dirs, names in os.walk(root):
+            out.update(
+                os.path.join(dirpath, n) for n in names if n.endswith(".parquet")
+            )
+        return out
+
+    before = _files(table.path)
+    orig = LakeTable.write_buckets
+
+    def boom(self, *a, **k):
+        raise RuntimeError("injected crash after CDF write")
+
+    monkeypatch.setattr(LakeTable, "write_buckets", boom)
+    batch1 = [(2, "update", "r1", "a.py", "c2", "python", "v2")]
+    with pytest.raises(RuntimeError, match="injected"):
+        table.merge(ch(spark, batch1), epoch=1)
+    monkeypatch.setattr(LakeTable, "write_buckets", orig)
+
+    # nothing committed: version unchanged, epoch 1 unfenced
+    assert table.version == v0
+    assert 1 not in table.committed_epochs
+    # the crashed attempt left CDF staging files on disk, unreferenced
+    orphans = _files(table.path) - before
+    assert orphans, "crash should leave orphaned change-data staging"
+    assert table.read().collect()[0]["content"] == "v1"
+
+    # replaying the SAME epoch converges
+    t2 = LakeTable.load(spark, table.path)
+    t2.merge(ch(spark, batch1), epoch=1)
+    assert t2.read().collect()[0]["content"] == "v2"
+
+    # GC reclaims the orphaned staging; committed changelog survives
+    t2.remove_orphans(older_than_s=0)
+    left = _files(t2.path)
+    assert not (orphans & left), "orphaned CDF staging must be collected"
+    # the window's NET change per key: the epoch-1 update supersedes
+    # the epoch-0 insert, served from the retry's committed change files
+    changes = t2.table_changes(0, t2.version).collect()
+    assert len(changes) == 1 and changes[0]["content"] == "v2"
