@@ -46,6 +46,12 @@ oracle recomputes the pairs AND the transitive closure, so the fold
 strictly adds checked surface). ngram_jaccard keeps its round-3 body
 and oracle at 51+.
 
+Round-4 fourth rotation: set_variable folds into precondition (same
+row-scoped variable recipe, observable dbl/wv columns) to promote
+corpus_pipeline — the composed corpus-prep funnel — into the checked
+50 as a first-class oracle-backed row. set_variable keeps its body and
+oracle at 51+.
+
 Round-4 fourth rotation: flatten → split_to_columns (the zip-explode
 now runs inside that composite's recipe, nested before its
 split-to-rows explode, with both exploded columns in the checked
@@ -115,10 +121,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def q_precondition(spark, d):
         """Plugin-level JEXL precondition (skip-if-true) ahead of the
-        recipe — reference Wrangler.java:414-421 / Precondition.java."""
+        recipe — reference Wrangler.java:414-421 / Precondition.java.
+        folds: set-variable / increment-variable (transient row-scoped
+        variables, reference SetVariable/IncrementVariable) — dbl/wv
+        make both observable in the output."""
         ok, _ = __import__("wrangler_spark").execute(
             spark,
-            ["keep :doc_id,:lang"],
+            [
+                "set-variable v exp:{n_chars * 2}",
+                "increment-variable w 3 exp:{n_chars % 2 == 0}",
+                "set-column :dbl exp:{v + 1}",
+                "set-column :wv exp:{w}",
+                "keep :doc_id,:lang,:dbl,:wv",
+            ],
             _t(spark, d, "documents"),
             precondition='lang == "en"',
         )
@@ -1287,18 +1302,71 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return top.select("q_id", "vec_id", "rank")
     q["ann_topk"] = q_ann_topk
 
-    def q_set_variable(spark, d):
-        return _run(
-            spark, _t(spark, d, "documents"),
-            [
-                "set-variable v exp:{n_chars * 2}",
-                "increment-variable w 3 exp:{n_chars % 2 == 0}",
-                "set-column :dbl exp:{v + 1}",
-                "set-column :wv exp:{w}",
-                "keep :doc_id,:dbl,:wv",
-            ],
+    def q_corpus_pipeline(spark, d):
+        """Composed corpus-prep funnel (pipeline/corpus.py
+        prepare_corpus): annotate -> quality gate -> exact dedup ->
+        minhash near-dup clustering -> benchmark decontamination ->
+        chunk -> pack, in one lazy composition. The minhash stage is
+        not SQL-expressible, so the oracle pins the exact SQL-derivable
+        invariants of the funnel's OUTPUT: retained docs carry no
+        duplicate text, every self-benchmark doc (the decontamination
+        source, doc_id % 97 == 0 with >= 13 tokens) is gone, chunking
+        reconstructs each retained doc's token count exactly, and no
+        pack exceeds its budget."""
+        from wrangler_spark.pipeline.corpus import prepare_corpus
+
+        docs = _t(spark, d, "documents").select("doc_id", "text")
+        bench = docs.filter(F.col("doc_id") % 97 == 0).select("text")
+        ct, ov, budget = 64, 16, 256
+        res = prepare_corpus(
+            docs, benchmark=bench, min_quality=0.3,
+            num_hashes=32, bands=16, shingle_k=5,
+            chunk_tokens=ct, chunk_overlap=ov,
+            pack_budget=budget, pack_shards=8,
         )
-    q["set_variable"] = q_set_variable
+        final = res.docs.cache()
+        chunks = res.chunks.cache()
+        n_input = docs.count()
+        gated_nonempty = int(final.count() > 0)
+        dup_viol = (
+            final.groupBy("text").count().filter(F.col("count") > 1).count()
+        )
+        # decontamination check, independent of the decontaminate()
+        # code path: benchmark members are self-contaminated, so none
+        # with a full n-gram window may survive
+        eff_tok = F.size(
+            F.filter(F.split(F.trim(F.col("text")), r"\s+"), lambda t: t != "")
+        )
+        selfbench = final.filter(
+            (F.col("doc_id") % 97 == 0) & (eff_tok >= 13)
+        ).count()
+        per_doc = chunks.groupBy("doc_id").agg(
+            F.count("*").alias("nc"),
+            F.max(F.struct("chunk_idx", "n_chunk_tokens")).alias("last"),
+        )
+        covered = (ct - ov) * (F.col("nc") - 1) + F.col("last.n_chunk_tokens")
+        conserve_viol = (
+            final.select("doc_id", eff_tok.alias("eff"))
+            .join(per_doc, "doc_id", "left")
+            .filter(F.coalesce(covered, F.lit(0)) != F.col("eff"))
+            .count()
+        )
+        budget_viol = (
+            res.packed.groupBy("shard", "pack_id")
+            .agg(F.sum("n_chunk_tokens").alias("tok"))
+            .filter(F.col("tok") > budget)
+            .count()
+        )
+        chunks.unpersist()
+        final.unpersist()
+        return spark.createDataFrame(
+            [(n_input, gated_nonempty, dup_viol, selfbench,
+              conserve_viol, budget_viol)],
+            "n_input long, gated_nonempty long, exact_dup_violations long, "
+            "selfbench_retained long, conservation_violations long, "
+            "budget_violations long",
+        )
+    q["corpus_pipeline"] = q_corpus_pipeline
 
     def q_lake_dml(spark, d):
         """Predicate DML + general MERGE (round 4): replay the event
@@ -1505,6 +1573,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # round-4 folds (keep → rename_copy, text_metric → fill_null,
     # text_stats → quality): former keys stay resolvable by name with
     # their round-3 bodies and oracles, same hedge rationale as above.
+    def q_set_variable(spark, d):
+        """hedge: folded into precondition (round-4 third rotation)."""
+        return _run(
+            spark, _t(spark, d, "documents"),
+            [
+                "set-variable v exp:{n_chars * 2}",
+                "increment-variable w 3 exp:{n_chars % 2 == 0}",
+                "set-column :dbl exp:{v + 1}",
+                "set-column :wv exp:{w}",
+                "keep :doc_id,:dbl,:wv",
+            ],
+        )
+    q["set_variable"] = q_set_variable
+
+
     def q_legacy_keep(spark, d):
         return _run(
             spark, _t(spark, d, "documents"),
@@ -1902,71 +1985,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["lake_source"] = q_lake_source
 
-    def q_corpus_pipeline(spark, d):
-        """Composed corpus-prep funnel (pipeline/corpus.py
-        prepare_corpus): annotate -> quality gate -> exact dedup ->
-        minhash near-dup clustering -> benchmark decontamination ->
-        chunk -> pack, in one lazy composition. The minhash stage is
-        not SQL-expressible, so the oracle pins the exact SQL-derivable
-        invariants of the funnel's OUTPUT: retained docs carry no
-        duplicate text, every self-benchmark doc (the decontamination
-        source, doc_id % 97 == 0 with >= 13 tokens) is gone, chunking
-        reconstructs each retained doc's token count exactly, and no
-        pack exceeds its budget."""
-        from wrangler_spark.pipeline.corpus import prepare_corpus
-
-        docs = _t(spark, d, "documents").select("doc_id", "text")
-        bench = docs.filter(F.col("doc_id") % 97 == 0).select("text")
-        ct, ov, budget = 64, 16, 256
-        res = prepare_corpus(
-            docs, benchmark=bench, min_quality=0.3,
-            num_hashes=32, bands=16, shingle_k=5,
-            chunk_tokens=ct, chunk_overlap=ov,
-            pack_budget=budget, pack_shards=8,
-        )
-        final = res.docs.cache()
-        chunks = res.chunks.cache()
-        n_input = docs.count()
-        gated_nonempty = int(final.count() > 0)
-        dup_viol = (
-            final.groupBy("text").count().filter(F.col("count") > 1).count()
-        )
-        # decontamination check, independent of the decontaminate()
-        # code path: benchmark members are self-contaminated, so none
-        # with a full n-gram window may survive
-        eff_tok = F.size(
-            F.filter(F.split(F.trim(F.col("text")), r"\s+"), lambda t: t != "")
-        )
-        selfbench = final.filter(
-            (F.col("doc_id") % 97 == 0) & (eff_tok >= 13)
-        ).count()
-        per_doc = chunks.groupBy("doc_id").agg(
-            F.count("*").alias("nc"),
-            F.max(F.struct("chunk_idx", "n_chunk_tokens")).alias("last"),
-        )
-        covered = (ct - ov) * (F.col("nc") - 1) + F.col("last.n_chunk_tokens")
-        conserve_viol = (
-            final.select("doc_id", eff_tok.alias("eff"))
-            .join(per_doc, "doc_id", "left")
-            .filter(F.coalesce(covered, F.lit(0)) != F.col("eff"))
-            .count()
-        )
-        budget_viol = (
-            res.packed.groupBy("shard", "pack_id")
-            .agg(F.sum("n_chunk_tokens").alias("tok"))
-            .filter(F.col("tok") > budget)
-            .count()
-        )
-        chunks.unpersist()
-        final.unpersist()
-        return spark.createDataFrame(
-            [(n_input, gated_nonempty, dup_viol, selfbench,
-              conserve_viol, budget_viol)],
-            "n_input long, gated_nonempty long, exact_dup_violations long, "
-            "selfbench_retained long, conservation_violations long, "
-            "budget_violations long",
-        )
-    q["corpus_pipeline"] = q_corpus_pipeline
 
     return q
 
@@ -1978,7 +1996,9 @@ def oracle_sql() -> dict[str, str]:
         # ---- previously-unverified round-2 queries
         # precondition skips rows where the JEXL condition is true
         "precondition": (
-            "SELECT doc_id, lang FROM documents WHERE lang IS DISTINCT FROM 'en'"
+            "SELECT doc_id, lang, n_chars * 2 + 1 AS dbl, "
+            "CAST(CASE WHEN n_chars % 2 = 0 THEN 3 ELSE 0 END AS BIGINT) AS wv "
+            "FROM documents WHERE lang IS DISTINCT FROM 'en'"
         ),
         # per-column profile, long format (one SELECT per column)
         "profile": (
