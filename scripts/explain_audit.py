@@ -156,7 +156,11 @@ def main() -> None:
         "max-seq) projection (BroadcastHashJoin with the base on the "
         "streamed side) — the base payload provably never shuffles; the "
         "changed-row side (bounded by the epoch's distinct keys) is the "
-        "only Exchange before the bucket-partitioned write.",
+        "only Exchange before the bucket-partitioned write, and it is a "
+        "plain `Scan parquet` of THIS commit's already-written "
+        "change-data files (the CDF-reuse path): changelog capture adds "
+        "zero recompute to the merge — one base scan total, same as "
+        "changelog off.",
         sink[0],
     ))
     sink2: list = []

@@ -432,17 +432,6 @@ def merge_into(
         )
         post_image = changes_aligned.join(stale_keys, on=keys, how="left_anti")
 
-    if explain_sink is not None:
-        # plan-audit hook (scripts/explain_audit.py → PLANS.md): the
-        # formatted physical plan of the merge output, pre-write
-        import io as _io
-        from contextlib import redirect_stdout as _rs
-
-        _buf = _io.StringIO()
-        with _rs(_buf):
-            merged.explain("formatted")
-        explain_sink.append(_buf.getvalue())
-
     new_version = table.version + 1
     _t1 = _time.time()
     # change-data files (Delta CDF equivalent): persist THIS commit's
@@ -489,6 +478,18 @@ def merge_into(
             )
     else:
         change_rels = None
+    if explain_sink is not None:
+        # plan-audit hook (scripts/explain_audit.py → PLANS.md): the
+        # formatted physical plan of the merge output as WRITTEN —
+        # after the CDF-reuse rebuild, so the audited union shows the
+        # change-file re-read, not the recomputed lineage
+        import io as _io
+        from contextlib import redirect_stdout as _rs
+
+        _buf = _io.StringIO()
+        with _rs(_buf):
+            merged.explain("formatted")
+        explain_sink.append(_buf.getvalue())
     bucket_files = table.write_buckets(merged, new_version, pre_partitioned=pre_partitioned)
     _t_write = _time.time() - _t1
     # buckets that were affected but ended up empty (all keys deleted)
