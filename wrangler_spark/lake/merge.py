@@ -235,7 +235,16 @@ def merge_into(
     winners_broadcast = n_winners <= broadcast_keys_max
     build = F.broadcast(mx) if winners_broadcast else mx
     # join-back carries __b from the agg side for free
-    winners = changes.join(build, on=[*keys, seq_col], how="inner").cache()
+    # Cache the winner payload ONLY when a second action will re-read
+    # it: the degraded shuffle merge consumes it twice (merge join +
+    # brand-new anti-join) inside the bucket write on top of the CDF
+    # write. The broadcast and mor paths consume it exactly once (the
+    # CDF write feeds the merge union back via the written files), so
+    # caching there would materialize an epoch-sized payload in executor
+    # memory for zero reuse — a spill hazard at large epochs.
+    winners = changes.join(build, on=[*keys, seq_col], how="inner")
+    if not winners_broadcast and mode != "mor":
+        winners = winners.cache()
 
     # ---- metrics on the change batch (precomputed by the replayer's
     # watermark agg when available; one small agg job otherwise)
@@ -455,27 +464,33 @@ def merge_into(
     change_rels: list[str] | None
     if str(table.snap.get("properties", {}).get("changelog.enabled", "true")).lower() != "false":
         change_rels = table.write_change_files(post_image, new_version)
-        if winners_broadcast and change_rels:
-            import os as _os
+        if winners_broadcast:
+            if change_rels:
+                import os as _os
 
-            from pyspark.sql import types as _T
+                from pyspark.sql import types as _T
 
-            cdf_schema = _T.StructType(
-                list(schema.fields)
-                + [
-                    _T.StructField("__seq", _T.LongType()),
-                    _T.StructField("__deleted", _T.BooleanType()),
-                ]
-            )
-            changed_back = table.spark.read.schema(cdf_schema).parquet(
-                *[_os.path.join(table.path, r) for r in change_rels]
-            )
-            changed_back = changed_back.withColumn(
-                "__b", table.bucket_expr(changed_back)
-            )
-            merged = base_keep.unionByName(
-                changed_back.repartition(F.col("__b"))
-            )
+                cdf_schema = _T.StructType(
+                    list(schema.fields)
+                    + [
+                        _T.StructField("__seq", _T.LongType()),
+                        _T.StructField("__deleted", _T.BooleanType()),
+                    ]
+                )
+                changed_back = table.spark.read.schema(cdf_schema).parquet(
+                    *[_os.path.join(table.path, r) for r in change_rels]
+                )
+                changed_back = changed_back.withColumn(
+                    "__b", table.bucket_expr(changed_back)
+                )
+                merged = base_keep.unionByName(
+                    changed_back.repartition(F.col("__b"))
+                )
+            else:
+                # fully-stale epoch: zero winners beat the base — no
+                # change files were produced, so don't re-derive the
+                # (empty) changed side from the batch a second time
+                merged = base_keep
     else:
         change_rels = None
     if explain_sink is not None:
