@@ -159,8 +159,10 @@ def main() -> None:
         "only Exchange before the bucket-partitioned write, and it is a "
         "plain `Scan parquet` of THIS commit's already-written "
         "change-data files (the CDF-reuse path): changelog capture adds "
-        "zero recompute to the merge — one base scan total, same as "
-        "changelog off.",
+        "no second FULL base scan — the CDF write still runs its "
+        "key+seq-pruned losers probe (a column-pruned base join) before "
+        "the bucket write re-reads the files, so the epoch touches the "
+        "base twice, once pruned to (keys, __seq).",
         sink[0],
     ))
     sink2: list = []

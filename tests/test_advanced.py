@@ -64,7 +64,11 @@ def test_parse_as_avro_json_mode(spark):
 
 
 def test_parse_as_hl7(spark):
-    # repeated OBX segments must survive (occurrence list per segment)
+    # round-5: reference-faithful flattened columns
+    # (HL7Parser.java visitor -> JsParser.jsonFlatten naming); repeated
+    # OBX segments become a two-element array under body_hl7_OBX
+    import json
+
     msg = (
         "MSH|^~\\&|SND|FAC|RCV|FAC2\r"
         "PID|1||12345||DOE^JOHN\r"
@@ -73,21 +77,42 @@ def test_parse_as_hl7(spark):
     )
     df = spark.createDataFrame([(msg,)], "body string")
     ok, _ = execute(spark, ["parse-as-hl7 :body"], df)
-    m = ok.first()["body_hl7"]
-    assert m["MSH"][0][2] == "SND"
-    assert m["PID"][0][3] == "12345"
-    assert len(m["OBX"]) == 2
-    assert m["OBX"][0][5] == "95" and m["OBX"][1][5] == "14"
+    r = ok.first()
+    assert r["body_hl7_MSH_3"] == "SND"
+    assert r["body_hl7_PID_3"] == "12345"
+    # components flatten with 1-based keys
+    assert r["body_hl7_PID_5_1"] == "DOE" and r["body_hl7_PID_5_2"] == "JOHN"
+    obx = r["body_hl7_OBX"]
+    obx = json.loads(obx) if isinstance(obx, str) else obx
+    assert [o["5"] for o in obx] == ["95", "14"]
 
 
 def test_parse_as_hl7_components(spark):
+    # depth 2: segment objects flatten one level, composite fields stay
+    # as JSON objects (jsonFlatten depth cut-off)
+    import json
+
     msg = "MSH|^~\\&|SND\rPID|1||12345||DOE^JOHN^Q"
     df = spark.createDataFrame([(msg,)], "body string")
     ok, _ = execute(spark, ["parse-as-hl7 :body 2"], df)
-    m = ok.first()["body_hl7"]
-    # depth 2: fields split into components on ^
-    assert m["PID"][0][5] == ["DOE", "JOHN", "Q"]
-    assert m["PID"][0][3] == ["12345"]
+    r = ok.first()
+    assert r["body_hl7_PID_3"] == "12345"
+    comp = r["body_hl7_PID_5"]
+    comp = json.loads(comp) if isinstance(comp, str) else comp
+    assert comp == {"1": "DOE", "2": "JOHN", "3": "Q"}
+
+
+def test_parse_as_hl7_third_occurrence_dropped(spark):
+    # reference quirk (HL7Parser.java:192-203): the array conversion
+    # never appends — a third occurrence of a segment is dropped
+    import json
+
+    msg = "MSH|^~\\&|SND\rOBX|1\rOBX|2\rOBX|3"
+    df = spark.createDataFrame([(msg,)], "body string")
+    ok, _ = execute(spark, ["parse-as-hl7 :body"], df)
+    obx = ok.first()["body_hl7_OBX"]
+    obx = json.loads(obx) if isinstance(obx, str) else obx
+    assert [o["1"] for o in obx] == ["1", "2"]
 
 
 def test_invoke_http_local_server(spark):

@@ -88,9 +88,9 @@ def test_xlsx_reader_stdlib():
     payload = _mini_xlsx([["name", "qty"], ["apple", 3], ["pear", 7.5], [None, 1]])
     rows = _xlsx_rows(payload, "0")
     assert rows[0] == ["name", "qty"]
-    assert rows[1] == ["apple", "3"]
+    assert rows[1] == ["apple", "3.0"]  # POI double rendering (r5)
     assert rows[2] == ["pear", "7.5"]
-    assert rows[3] == [None, "1"]
+    assert rows[3] == [None, "1.0"]
     # by sheet name
     assert _xlsx_rows(payload, "S1")[0] == ["name", "qty"]
 
@@ -126,7 +126,9 @@ def test_parse_as_excel_stdlib(spark):
     rows = sorted(ok.collect(), key=lambda r: r["fwd"])
     # reference shape (ParseExcel.java): Excel-letter columns + fwd/bkd
     assert (rows[0]["A"], rows[0]["B"]) == ("h1", "h2")
-    assert (rows[1]["A"], rows[1]["B"]) == ("v1", "42")
+    # numeric cells render as POI String.valueOf(double) — "42.0"
+    # (round-5: pinned by the Directive_parse_excel e2e golden)
+    assert (rows[1]["A"], rows[1]["B"]) == ("v1", "42.0")
     assert rows[0]["fwd"] == 0 and rows[0]["bkd"] == len(rows) - 1
 
 

@@ -62,9 +62,20 @@ def test_parse_as_log(spark, one_col):
     df = one_col(line)
     ok, _ = execute(spark, ["parse-as-log :body 'common'"], df)
     r = ok.first()
-    assert r["remote_host"] == "127.0.0.1"
-    assert r["status_code"] == "200"
-    assert r["request_line"] == "GET /apache_pb.gif HTTP/1.0"
+    # round-5: the 'common'/'combined' formats emit the reference's
+    # httpdlog column surface (Directive_parse_log e2e golden pins the
+    # full set; spot checks here incl. a tz pair and the ISO week)
+    assert r["ip_connection_client_host"] == "127.0.0.1"
+    assert r["string_request_status_last"] == "200"
+    assert r["http_firstline_request_firstline"] == "GET /apache_pb.gif HTTP/1.0"
+    assert r["string_connection_client_user"] == "frank"
+    assert r["bytes_response_body_bytes_last"] == "2326"
+    assert r["time_hour_request_receive_time_hour"] == "13"
+    assert r["time_hour_request_receive_time_hour_utc"] == "20"
+    assert r["time_epoch_request_receive_time_epoch"] == "971211336000"
+    assert r["time_week_request_receive_time_weekofweekyear"] == "41"
+    assert r["time_year_request_receive_time_weekyear"] == "2000"
+    assert r["http_path_request_firstline_uri_path"] == "/apache_pb.gif"
 
 
 def test_parse_as_simple_date(spark, one_col):

@@ -849,3 +849,54 @@ def test_minhash_incremental_hot_bucket_star_guard(spark):
     )
     cl = {r["doc_id"]: r["cluster"] for r in dup_clusters(all_pairs).collect()}
     assert len(set(cl.values())) == 1 and cl[100] == 1
+
+
+def test_dedup_state_ingest_batch_equals_full_recompute(spark):
+    """Round-5 (verdict task #3): the composed incremental mode —
+    build_dedup_state once, ingest_batch per batch (persisted index
+    probe + cluster-label carry-forward) — must produce the identical
+    min-id cluster partition as a full recompute over corpus ∪ batch.
+    Includes the hard case: a new doc BRIDGING two previously-separate
+    corpus clusters, which must merge them."""
+    from wrangler_spark.pipeline.corpus import build_dedup_state, ingest_batch
+    from wrangler_spark.pipeline.dedup import dup_clusters, minhash_lsh_pairs
+
+    a = "the quick brown fox jumps over the lazy dog and runs far away today"
+    b = "ships and the open sea with sailors charting stars for many long weeks"
+    corpus_rows = [
+        (1, a), (2, a + " extra"),              # cluster A
+        (5, b), (6, b + " indeed"),             # cluster B
+        (9, "a lone unrelated document about parquet footers and row groups"),
+    ]
+    # 10/11 extend A; 12 is new-new dup of 10; 20 bridges A and B
+    new_rows = [
+        (10, a + " indeed"), (11, a + " indeed"),
+        (12, "completely fresh text that matches nothing else in this corpus"),
+        (20, a + " " + b),
+    ]
+    corpus = spark.createDataFrame(corpus_rows, "doc_id long, text string")
+    new = spark.createDataFrame(new_rows, "doc_id long, text string")
+    kw = dict(num_hashes=64, bands=32, shingle_k=3)
+
+    state = build_dedup_state(corpus, **kw)
+    state2 = ingest_batch(state, new)
+    inc = {r["doc_id"]: r["cluster"] for r in state2.clusters.collect()}
+
+    alldocs = corpus.union(new)
+    full = {
+        r["doc_id"]: r["cluster"]
+        for r in dup_clusters(
+            minhash_lsh_pairs(alldocs, **kw), alldocs.select("doc_id")
+        ).collect()
+    }
+    assert inc == full
+    assert set(inc) == {1, 2, 5, 6, 9, 10, 11, 12, 20}
+    # the bridge actually merged A and B (guards against a vacuous pass)
+    assert inc[1] == inc[5] == inc[20] == 1
+    assert inc[12] == 12 and inc[9] == 9
+    # the updated index equals a from-scratch rebuild (append-only state)
+    from wrangler_spark.pipeline.dedup import minhash_index
+
+    assert {
+        tuple(r) for r in state2.index.collect()
+    } == {tuple(r) for r in minhash_index(alldocs, **kw).collect()}

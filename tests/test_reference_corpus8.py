@@ -65,38 +65,64 @@ ORDERS = (
 
 
 def test_hl7_corpus_parses(spark):
-    """HL7ParserTest.testBasic over four of its messages: every message
-    parses, MSH is present, and segment content is faithful."""
+    """HL7ParserTest.testBasic over four of its messages — round-5:
+    asserted against the reference's FLATTENED column shape
+    (HL7Parser visitor -> jsonFlatten: body_hl7_<SEG>_<field>[_<comp>]
+    columns; repeated segments become a two-element array column).
+    Note: in a heterogeneous BATCH, a path that is composite in one
+    message and primitive in another (MSH-9 here) schema-merges to a
+    JSON string for the composite rows — a static-schema artifact the
+    reference's per-row dynamic rows don't have."""
+    import json
+
     msgs = [ADT04, ACK_SUCCESS, ACK_ERROR, ORDERS]
     df = spark.createDataFrame([(m,) for m in msgs], "body string")
     ok, _ = execute(spark, ["parse-as-hl7 body"], df)
     rows = ok.collect()
     assert len(rows) == 4
-    for r in rows:
-        assert "MSH" in r["body_hl7"], r["body"][:40]
+    assert all(r["body_hl7_MSH_1"] == "|" for r in rows)
 
-    by_type = {r["body_hl7"]["MSH"][0][8]: r for r in rows}
-    # ADT^A04: PID patient name field
-    assert by_type["ADT^A04"]["body_hl7"]["PID"][0][5] == "MOUSE^MICKEY^"
+    def mtype(r):
+        v = r["body_hl7_MSH_9"]
+        try:
+            o = json.loads(v)
+            return o["1"] + "^" + o["2"]
+        except (ValueError, TypeError, KeyError):
+            return v
+
+    by_type = {mtype(r): r for r in rows}
+    # ADT^A04: PID patient name components
+    adt = by_type["ADT^A04"]
+    assert adt["body_hl7_PID_5_1"] == "MOUSE"
+    assert adt["body_hl7_PID_5_2"] == "MICKEY"
     # ACKs: MSA ack code + text
-    assert by_type["ACK"]["body_hl7"]["MSA"][0][1] in ("AA", "AE")
-    acks = [r for r in rows if r["body_hl7"]["MSH"][0][8] == "ACK"]
-    codes = {r["body_hl7"]["MSA"][0][1]: r["body_hl7"]["MSA"][0][3] for r in acks}
+    acks = [r for r in rows if mtype(r) == "ACK"]
+    codes = {r["body_hl7_MSA_1"]: r["body_hl7_MSA_3"] for r in acks}
     assert codes == {"AA": "Success", "AE": "Error processing record!"}
-    # ORM^O01: repeated OBR segments preserved as separate occurrences
-    orm = by_type["ORM^O01"]["body_hl7"]
-    assert len(orm["OBR"]) == 2
-    assert orm["OBR"][0][4] == "123^CREATININE"
-    assert orm["OBR"][1][4] == "80061^LIPID PROFILE"
-    assert len(orm["DG1"]) == 2
+    # ORM^O01: repeated OBR segments preserved as a two-element array
+    orm = by_type["ORM^O01"]
+    obr = orm["body_hl7_OBR"]
+    obr = json.loads(obr) if isinstance(obr, str) else obr
+    assert len(obr) == 2
+    assert obr[0]["4"]["1"] == "123" and obr[0]["4"]["2"] == "CREATININE"
+    assert obr[1]["4"]["1"] == "80061" and obr[1]["4"]["2"] == "LIPID PROFILE"
+    dg1 = orm["body_hl7_DG1"]
+    dg1 = json.loads(dg1) if isinstance(dg1, str) else dg1
+    assert len(dg1) == 2
 
 
 def test_hl7_component_depth(spark):
-    """depth 2 splits fields on the component separator."""
+    """depth 2: one flatten level below the segment — composite fields
+    stay as JSON objects (jsonFlatten depth cut-off), empty components
+    are skipped (visitPopulatedElements)."""
+    import json
+
     df = spark.createDataFrame([(ADT04,)], "body string")
     ok, _ = execute(spark, ["parse-as-hl7 body 2"], df)
-    hl7 = ok.first()["body_hl7"]
-    assert hl7["PID"][0][5] == ["MOUSE", "MICKEY", ""]
+    r = ok.first()
+    comp = r["body_hl7_PID_5"]
+    comp = json.loads(comp) if isinstance(comp, str) else comp
+    assert comp == {"1": "MOUSE", "2": "MICKEY"}
 
 
 # -------------------------------------------------------- ParseAvroTest

@@ -739,10 +739,42 @@ def _xlsx_rows(payload: bytes, sheet: str) -> list[list[str | None]]:
                         fmt = style_date_fmt[int(sidx)]
                         if fmt:
                             val = _serial_to_text(val, fmt)
+                        else:
+                            val = _java_double_str(val)
+                    else:
+                        val = _java_double_str(val)
             cells[i] = val
         rows.append(cells)
     width = max((len(r) for r in rows), default=0)
     return [r + [None] * (width - len(r)) for r in rows]
+
+
+def _java_double_str(text: str) -> str:
+    """Render a numeric cell the way the reference does —
+    `String.valueOf(cell.getNumericCellValue())` (ParseExcel.java:167):
+    Java double toString gives "3.0" for 3, plain decimal in
+    [1e-3, 1e7), scientific ("1.0E8") outside. Pinned by the
+    Directive_parse_excel e2e golden ("8838.0", "12345.0")."""
+    import math
+
+    try:
+        d = float(text)
+    except (TypeError, ValueError):
+        return text
+    if math.isnan(d) or math.isinf(d):
+        return str(d)
+    m = abs(d)
+    if m == 0.0:
+        return "0.0" if math.copysign(1, d) > 0 else "-0.0"
+    if 1e-3 <= m < 1e7:
+        s = repr(d)
+        return s if "." in s else s + ".0"
+    exp = math.floor(math.log10(m))
+    mant = d / (10.0 ** exp)
+    ms = repr(mant)
+    if "." not in ms:
+        ms += ".0"
+    return f"{ms}E{exp}"
 
 
 def _xl_letters(n: int) -> list[str]:
@@ -772,10 +804,17 @@ def _xlsx_cells(payload: bytes, sheet: str) -> list[list[str | None]] | None:
             book = pd.read_excel(io.BytesIO(payload), sheet_name=sh, header=None)
         except (ValueError, IndexError, KeyError):
             return None
-        return [
-            [None if pd.isna(v) else str(v) for v in row]
-            for _, row in book.iterrows()
-        ]
+        def _cell(v):
+            if pd.isna(v):
+                return None
+            # POI getNumericCellValue() returns double and the reference
+            # renders String.valueOf(double) — "3" displays as "3.0"
+            # (pinned by the Directive_parse_excel e2e golden)
+            if isinstance(v, (int, float)) and not isinstance(v, bool):
+                return str(float(v))
+            return str(v)
+
+        return [[_cell(v) for v in row] for _, row in book.iterrows()]
     except ImportError:
         try:
             return _xlsx_rows(bytes(payload), sheet)
@@ -795,9 +834,18 @@ def parse_as_excel(call: DirectiveCall):
     pandas+openpyxl when available, else the pure-stdlib zip+XML
     reader. The output WIDTH is fixed from a one-payload driver peek
     (Spark schemas are static; the reference's per-row dynamic width
-    becomes: peek width N, later rows pad/truncate to N)."""
+    becomes: peek width N, later rows pad/truncate to N).
+
+    Third arg `first-row-as-header` (ParseExcel.java:78,90-92,155-160):
+    the first row's values become the data rows' column names (per
+    column index, letter fallback), the header row is not emitted,
+    and — mirroring the reference's counter exactly — `fwd` starts at
+    1 for the first data row (the header consumed fwd 0) while `bkd`
+    still ends at 0 on the last row (pinned by the
+    Directive_parse_excel e2e golden via `merge name bkd`)."""
     col = call.col(0)
     sheet = call.text(1, default="0")
+    header = call.bool_(2, default=False)
 
     def tr(df: DataFrame, ctx: RecipeContext) -> DataFrame:
         from collections.abc import Iterator
@@ -809,6 +857,12 @@ def parse_as_excel(call: DirectiveCall):
         peek = _xlsx_cells(bytes(first[0][0]), sheet) if first else None
         n_cols = max((len(r) for r in peek), default=0) if peek else 0
         letters = _xl_letters(n_cols)
+        if header and peek:
+            hdr = next((r for r in peek if any(v is not None for v in r)), [])
+            letters = [
+                (hdr[j] if j < len(hdr) and hdr[j] is not None else letters[j])
+                for j in range(n_cols)
+            ]
 
         @pandas_udf(T.BooleanType())
         def sheet_missing(v: pd.Series) -> pd.Series:
@@ -834,13 +888,18 @@ def parse_as_excel(call: DirectiveCall):
                     cells_rows = _xlsx_cells(bytes(payload), sheet)
                     if cells_rows is None:
                         continue  # routed to error by the fork above
+                    if header:
+                        cells_rows = cells_rows[1:]
                     total = len(cells_rows)
                     for i, cells in enumerate(cells_rows):
                         rec = {
                             letters[j]: (cells[j] if j < len(cells) else None)
                             for j in range(n_cols)
                         }
-                        rec["fwd"] = i
+                        # header mode: fwd counts from 1 (the header row
+                        # consumed counter 0 — reference quirk), bkd is
+                        # data rows remaining either way
+                        rec["fwd"] = i + 1 if header else i
                         rec["bkd"] = total - 1 - i
                         rows.append(rec)
                 yield pd.DataFrame(rows, columns=letters + ["fwd", "bkd"])
@@ -854,38 +913,88 @@ def parse_as_excel(call: DirectiveCall):
 def parse_as_hl7(call: DirectiveCall):
     """parse-as-hl7 :col [depth] (reference parser/HL7Parser.java).
 
-    Native HL7v2 pipe-format decoder, pure Column expressions:
-    - depth 1 (default): `<col>_hl7` = map<segment, array<occurrence>>
-      where each occurrence is the segment's field array — REPEATED
-      segments (e.g. multiple OBX) are preserved as separate
-      occurrences (a plain map-from-entries would collide on them).
-    - depth ≥ 2: fields are further split on the component separator
-      `^` → map<segment, array<array<array<string>>>>.
+    Round-5 rework to the reference's OBSERVABLE shape (pinned by the
+    Directive_parse_hl7 e2e golden): the HAPI visitor builds a segments
+    JSON — `{SEG: {field: value | {component: value}}}` — and
+    `JsParser.jsonFlatten(segments, col + "_hl7", 1, depth, row)`
+    flattens it into `<col>_hl7_<SEG>_<field>[_<component>]` COLUMNS.
+    Here the segments JSON is built in an Arrow-batched pandas UDF and
+    flattened by this package's parse-as-json path (same jsonFlatten
+    naming). Visitor semantics mirrored exactly
+    (HL7Parser.java:185-242):
+    - only populated fields/components appear;
+    - a field containing `^` becomes a component object (1-based keys),
+      except MSH-2 (the encoding-characters field, which HAPI models as
+      one primitive);
+    - MSH field numbering starts at MSH-2 for the first encoded field
+      (MSH-1 is the field separator itself, emitted as "1": "|");
+    - on field REPETITION (`~`) the last repetition wins (JsonObject
+      addProperty/add overwrite);
+    - a repeated segment becomes a two-element array — and occurrences
+      beyond the second are DROPPED, mirroring the reference's
+      `if (!(object instanceof JsonArray))` conversion that never
+      appends to an existing array (HL7Parser.java:192-203);
+    - default depth is unbounded (Integer.MAX_VALUE in the reference).
     """
     col = call.col(0)
-    depth = int(call.text(1, default="1"))
+    depth = int(call.text(1, default=str(2**31 - 1)))
 
     def tr(df: DataFrame, ctx: RecipeContext) -> DataFrame:
+        import json as _json
+
         c = _require(df, col)
-        segs = F.filter(
-            F.split(F.col(c).cast("string"), r"[\r\n]+"),
-            lambda s: F.length(s) >= 3,
-        )
-        keys = F.array_distinct(F.transform(segs, lambda s: F.substring(s, 1, 3)))
 
-        def fields_of(seg):
-            f_ = F.split(seg, r"\|")
-            if depth >= 2:
-                return F.transform(f_, lambda x: F.split(x, r"\^"))
-            return f_
+        @pandas_udf(T.StringType())
+        def hl7_segments_json(v: pd.Series) -> pd.Series:
+            def seg_obj(name: str, fields: list[str]) -> dict:
+                obj: dict = {}
+                if name == "MSH":
+                    obj["1"] = "|"
+                for i, raw in enumerate(fields):
+                    idx = i + 2 if name == "MSH" else i + 1
+                    if raw == "":
+                        continue
+                    if name == "MSH" and idx == 2:
+                        obj["2"] = raw  # encoding chars: one primitive
+                        continue
+                    rep = raw.split("~")[-1]  # last repetition wins
+                    if rep == "":
+                        continue
+                    if "^" in rep:
+                        comps = {
+                            str(ci): cv
+                            for ci, cv in enumerate(rep.split("^"), 1)
+                            if cv != ""
+                        }
+                        if comps:
+                            obj[str(idx)] = comps
+                    else:
+                        obj[str(idx)] = rep
+                return obj
 
-        vals = F.transform(
-            keys,
-            lambda k: F.transform(
-                F.filter(segs, lambda s: F.substring(s, 1, 3) == k), fields_of
-            ),
-        )
-        return df.withColumn(f"{c}_hl7", F.map_from_arrays(keys, vals))
+            def conv(x):
+                if x is None:
+                    return None
+                segments: dict = {}
+                for line in (s for s in x.replace("\n", "\r").split("\r") if s.strip()):
+                    parts = line.split("|")
+                    name = parts[0]
+                    if not name:
+                        continue
+                    o = seg_obj(name, parts[1:])
+                    if name not in segments:
+                        segments[name] = o
+                    elif not isinstance(segments[name], list):
+                        segments[name] = [segments[name], o]
+                    # else: 3rd+ occurrence dropped (reference behavior)
+                return _json.dumps(segments)
+
+            return v.map(conv)
+
+        out = df.withColumn(f"{c}_hl7", hl7_segments_json(F.col(c).cast("string")))
+        from wrangler_spark.directives.parsers import parse_as_json_inline
+
+        return parse_as_json_inline(out, f"{c}_hl7", depth)
 
     return tr
 
@@ -967,13 +1076,28 @@ def stemming(call: DirectiveCall):
 
         @pandas_udf(T.ArrayType(T.StringType()))
         def stem_arr(v: pd.Series) -> pd.Series:
+            import re as _re
+
             from wrangler_spark.directives._porter import stem
+
+            # reference tokenization, two layers: Stemming.java:96 splits
+            # a string phrase on \W+, then PorterStemmer.process():633
+            # extracts maximal LETTER runs from each token (lowercased)
+            # and stems each run — so "abc01@mail.com" stems to
+            # [abc, mail, com] (digits dropped), pinned by the
+            # Directive_parse_xmltojson e2e golden file.
+            letters = _re.compile(r"[^\W\d_]+")
 
             def run(x):
                 if x is None:
                     return None
-                toks = list(x) if not isinstance(x, str) else x.split()
-                return [stem(t.lower()) for t in toks if t]
+                toks = _re.split(r"\W+", x) if isinstance(x, str) else list(x)
+                return [
+                    stem(m.group(0).lower())
+                    for t in toks
+                    if t
+                    for m in letters.finditer(t)
+                ]
 
             return v.map(run)
 

@@ -55,7 +55,12 @@ def catalog_lookup(call: DirectiveCall):
 
     def tr(df: DataFrame, ctx: RecipeContext) -> DataFrame:
         c = _require(df, col)
-        name = f"{c}_{catalog.lower().replace('-', '_')}_description"
+        # output named from the directive ARGUMENT as written, not the
+        # case-insensitively resolved column (reference CatalogLookup
+        # uses its `column` field verbatim — `catalog-lookup ICD-9 :Body`
+        # over a column `body` yields `Body_icd_9_description`, pinned
+        # by the Directive_parse_log e2e golden)
+        name = f"{col}_{catalog.lower().replace('-', '_')}_description"
         if catalog in ctx.lookups:
             lk = ctx.lookups[catalog]
             key_col, val_col = lk.columns[0], lk.columns[1]

@@ -302,19 +302,127 @@ def parse_as_fixed_length(call: DirectiveCall):
 
 
 _LOG_PATTERNS = {
-    # Apache HTTPD common + combined (reference parser/ParseLog.java wraps
-    # the httpdlog parser; we compile the standard formats to one regex)
+    # Apache HTTPD common + combined regexes (the reference
+    # parser/ParseLog.java drives the nl.basjes httpdlog parser; these
+    # compile its standard formats to one regex — the COLUMN surface for
+    # these two formats is built reference-faithfully below)
     "common": (
         r'^(\S+) (\S+) (\S+) \[([^\]]+)\] "([^"]*)" (\d{3}|-) (\d+|-)',
-        ["remote_host", "remote_logname", "remote_user", "request_time",
-         "request_line", "status_code", "response_size"],
+        None,
     ),
     "combined": (
         r'^(\S+) (\S+) (\S+) \[([^\]]+)\] "([^"]*)" (\d{3}|-) (\d+|-) "([^"]*)" "([^"]*)"',
-        ["remote_host", "remote_logname", "remote_user", "request_time",
-         "request_line", "status_code", "response_size", "referrer", "user_agent"],
+        None,
     ),
 }
+
+
+def _httpd_ref_columns(s, fmt: str) -> dict:
+    """The full httpdlog column surface the reference emits for the
+    'common'/'combined' formats: one column per dissected path, named
+    `type_path` lowercased with non-alnum → '_' (ParseLog.LogLine
+    .setValue:130-137; 'original'/'bytesclf'/'cookie' paths filtered
+    there) — e.g. `TIME.DAY:request.receive.time.day` →
+    `time_day_request_receive_time_day`. Every dissectable path appears
+    in base AND `.last` form, time units in local (the log's own
+    offset) AND `_utc` variants. Values are strings, unpadded numbers
+    (basjes TimeStampDissector uses the field getters). Pinned
+    column-by-column by the Directive_parse_log e2e golden file."""
+    pattern, _ = _LOG_PATTERNS[fmt]
+
+    def g(i):
+        return F.when(s.rlike(pattern), F.regexp_extract(s, pattern, i))
+
+    def dash_null(c):
+        return F.when(c == "-", F.lit(None).cast("string")).otherwise(c)
+
+    cols: dict = {}
+    host = g(1)
+    cols["ip_connection_client_host"] = host
+    cols["ip_connection_client_host_last"] = host
+    logname = dash_null(g(2))
+    cols["number_connection_client_logname"] = logname
+    cols["number_connection_client_logname_last"] = logname
+    user = dash_null(g(3))
+    cols["string_connection_client_user"] = user
+    cols["string_connection_client_user_last"] = user
+
+    stamp = g(4)
+    cols["time_stamp_request_receive_time"] = stamp
+    cols["time_stamp_request_receive_time_last"] = stamp
+    # local wall-clock = the timestamp as written (its own offset);
+    # utc = the instant rendered in UTC (session tz is UTC)
+    local_ts = F.to_timestamp(
+        F.substring_index(stamp, " ", 1), "dd/MMM/yyyy:HH:mm:ss"
+    )
+    utc_ts = F.to_timestamp(stamp, "dd/MMM/yyyy:HH:mm:ss Z")
+    def iso_weekyear(t):
+        # ISO week-year = calendar year of the Thursday of t's ISO week
+        # (weekofyear() is ISO, so the pair stays consistent)
+        d = F.to_date(t)
+        iso_dow = ((F.dayofweek(d) + 5) % 7) + 1  # Mon=1 .. Sun=7
+        return F.year(F.date_add(d, 4 - iso_dow)).cast("string")
+
+    units = [
+        ("date", "date", lambda t: F.date_format(t, "yyyy-MM-dd")),
+        ("time", "time", lambda t: F.date_format(t, "HH:mm:ss")),
+        ("day", "day", lambda t: F.dayofmonth(t).cast("string")),
+        ("month", "month", lambda t: F.month(t).cast("string")),
+        ("monthname", "monthname", lambda t: F.date_format(t, "MMMM")),
+        ("year", "year", lambda t: F.year(t).cast("string")),
+        ("week", "weekofweekyear", lambda t: F.weekofyear(t).cast("string")),
+        ("year", "weekyear", iso_weekyear),
+        ("hour", "hour", lambda t: F.hour(t).cast("string")),
+        ("minute", "minute", lambda t: F.minute(t).cast("string")),
+        ("second", "second", lambda t: F.second(t).cast("string")),
+        ("millisecond", "millisecond",
+         lambda t: F.when(t.isNotNull(), F.lit("0"))),
+    ]
+    for typ, name, fn in units:
+        vloc = fn(local_ts)
+        vutc = fn(utc_ts)
+        cols[f"time_{typ}_request_receive_time_{name}"] = vloc
+        cols[f"time_{typ}_request_receive_time_{name}_utc"] = vutc
+        cols[f"time_{typ}_request_receive_time_last_{name}"] = vloc
+        cols[f"time_{typ}_request_receive_time_last_{name}_utc"] = vutc
+    epoch = (F.unix_timestamp(utc_ts) * 1000).cast("string")
+    cols["time_epoch_request_receive_time_epoch"] = epoch
+    cols["time_epoch_request_receive_time_last_epoch"] = epoch
+
+    firstline = g(5)
+    parts = F.split(firstline, " ")
+    method = F.element_at(parts, 1)
+    uri = F.element_at(parts, 2)
+    proto = F.element_at(parts, 3)
+    cols["http_firstline_request_firstline"] = firstline
+    cols["http_method_request_firstline_method"] = method
+    cols["http_uri_request_firstline_uri"] = uri
+    cols["http_path_request_firstline_uri_path"] = F.regexp_extract(uri, r"^([^?#]*)", 1)
+    cols["http_querystring_request_firstline_uri_query"] = F.when(
+        uri.contains("?"), F.regexp_extract(uri, r"\?([^#]*)", 1)
+    )
+    cols["http_ref_request_firstline_uri_ref"] = F.when(
+        uri.contains("#"), F.regexp_extract(uri, r"#(.*)$", 1)
+    )
+    cols["http_protocol_request_firstline_protocol"] = F.substring_index(proto, "/", 1)
+    cols["http_protocol_version_request_firstline_protocol"] = proto
+    cols["http_protocol_version_request_firstline_protocol_version"] = (
+        F.substring_index(proto, "/", -1)
+    )
+
+    cols["string_request_status_last"] = g(6)
+    bytes_ = dash_null(g(7))
+    cols["bytes_response_body_bytes"] = bytes_
+    cols["bytes_response_body_bytes_last"] = bytes_
+
+    if fmt == "combined":
+        ref = dash_null(g(8))
+        cols["http_uri_request_referer"] = ref
+        cols["http_uri_request_referer_last"] = ref
+        ua = dash_null(g(9))
+        cols["http_useragent_request_user_agent"] = ua
+        cols["http_useragent_request_user_agent_last"] = ua
+    return cols
 
 
 @directive("parse-as-log")
@@ -322,8 +430,16 @@ def parse_as_log(call: DirectiveCall):
     col = call.col(0)
     fmt = _fmt_arg(call, 1).strip() if call.has(1) else "common"
     if fmt in _LOG_PATTERNS:
-        pattern, names = _LOG_PATTERNS[fmt]
-    elif "%" in fmt:
+        # reference-faithful httpdlog column surface for the standard
+        # formats (see _httpd_ref_columns)
+        def tr_ref(df: DataFrame, ctx: RecipeContext) -> DataFrame:
+            c = _require(df, col)
+            s = F.col(c).cast("string")
+            cols = _httpd_ref_columns(s, fmt)
+            return df.withColumns(cols)
+
+        return tr_ref
+    if "%" in fmt:
         # httpd LogFormat tokenizer (reference ParseLog.java drives
         # nl.basjes httpdlog-parser; this covers its test formats):
         # %h %l %u %t %r %>s %s %b %D %T %m %q %U %v %p plus
@@ -597,11 +713,20 @@ def parse_xml_to_json(call: DirectiveCall):
 
         @pandas_udf(T.StringType())
         def xml2json(v: pd.Series) -> pd.Series:
+            import re as _re
+
+            # org.json XML.parse treats <? ... ?> as a meta block and
+            # SKIPS it without validating — including malformed prologs
+            # like `<?xml version=1.0?>` (unquoted attrs), which strict
+            # ET parsing rejects (pinned by the Directive_parse_xmltojson
+            # e2e golden input). Strip them before parsing.
+            meta = _re.compile(r"<\?.*?\?>", _re.S)
+
             def conv(x):
                 if x is None:
                     return None
                 try:
-                    root = ET.fromstring(x)
+                    root = ET.fromstring(meta.sub("", x).strip())
                     return _json.dumps({root.tag: elem_to_obj(root)})
                 except Exception:
                     return None

@@ -219,13 +219,34 @@ def send_to_error_and_continue(call: DirectiveCall):
 
 @directive("split-to-rows")
 def split_to_rows(call: DirectiveCall):
-    """split-to-rows :col 'sep' — 1→N explode (reference row/SplitToRows.java)."""
+    """split-to-rows :col 'sep' — 1→N explode (reference
+    row/SplitToRows.java:89 `String.split(regex)`): Java's limit-0
+    split DROPS trailing empty strings ("hello".split("o") → ["hell"],
+    "ooo".split("o") → [] → zero output rows), except the length-0
+    input which yields one "" row — pinned by the Directive_parse_excel
+    e2e golden (`split-to-rows :name 'o'` must not emit a trailing
+    empty-name row)."""
     col = call.col(0)
     sep = call.text(1)
 
     def tr(df: DataFrame, ctx: RecipeContext) -> DataFrame:
         c = _require(df, col)
-        return df.withColumn(c, F.explode(F.split(F.col(c).cast("string"), sep)))
+        s = F.col(c).cast("string")
+        arr = F.split(s, sep)
+        # index of the last non-empty element (0 when all empty)
+        last = F.aggregate(
+            F.zip_with(
+                arr,
+                F.sequence(F.lit(1), F.size(arr)),
+                lambda v, i: F.when(v != "", i).otherwise(F.lit(0)),
+            ),
+            F.lit(0),
+            lambda acc, x: F.greatest(acc, x),
+        )
+        trimmed = F.when(s == "", F.array(F.lit(""))).otherwise(
+            F.slice(arr, 1, last)
+        )
+        return df.withColumn(c, F.explode(trimmed))
 
     return tr
 

@@ -599,7 +599,12 @@ def _py_sim_udf(method: str):
             l = lcsubstr(s1, s2)
         tot = len(s1) + len(s2)
         d = float(tot - 2 * l)
-        return (2.0 * l / tot) if tot else 1.0, d
+        # simmetrics LongestCommonSubsequence/Substring.compare():
+        # lcs / max(|a|,|b|) (NOT Dice 2l/(n+m)) — pinned by the
+        # Directive_parse_xmltojson e2e golden (5/14 for
+        # "abc01@mail.com" vs "abc01"); distance stays n+m-2·lcs
+        m = max(len(s1), len(s2))
+        return (float(l) / m) if m else 1.0, d
 
     @pandas_udf(T.ArrayType(T.FloatType()))
     def run(a: pd.Series, b: pd.Series) -> pd.Series:

@@ -34,7 +34,7 @@ _TOKEN_RE = re.compile(
   | (?P<num>\d+\.\d+([eE][+-]?\d+)?[dDfFbB]?|\d+[lLdDfFbB]?|\.\d+)
   | (?P<str>'(\\.|[^'\\])*'|"(\\.|[^"\\])*")
   | (?P<ident>[A-Za-z_][A-Za-z0-9_]*)
-  | (?P<op>=~|!~|==|!=|<=|>=|&&|\|\||[-+*/%!<>?:().,;=\[\]{}])
+  | (?P<op>=~|!~|=\^|=\$|!\^|!\$|==|!=|<=|>=|&&|\|\||[-+*/%!<>?:().,;=\[\]{}])
     """,
     re.VERBOSE,
 )
@@ -252,7 +252,7 @@ class _Parser:
     def equality(self):
         e = self.relational()
         while True:
-            op = self.eat_op("==", "!=", "=~", "!~")
+            op = self.eat_op("==", "!=", "=~", "!~", "=^", "=$", "!^", "!$")
             if not op:
                 return e
             e = Bin(op, e, self.relational())
@@ -516,6 +516,13 @@ def compile_node(node, schema: T.StructType | None, variables: dict[str, TypedCo
                 else:
                     m = le.col.cast("string").rlike(ri.col.cast("string"))
                 return TypedCol(~m if op == "!~" else m, T.BooleanType())
+            if op in ("=^", "!^", "=$", "!$"):
+                # commons-jexl3 starts-with / ends-with operators
+                # (JexlOperator.STARTSWITH/ENDSWITH) — used by the
+                # reference e2e recipes (`host =$ "1"`)
+                ls, rs = le.col.cast("string"), ri.col.cast("string")
+                m = ls.startswith(rs) if op[1] == "^" else ls.endswith(rs)
+                return TypedCol(~m if op[0] == "!" else m, T.BooleanType())
             if op == "+":
                 if le.is_string or ri.is_string:
                     # JEXL string concatenation

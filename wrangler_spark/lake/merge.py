@@ -477,6 +477,16 @@ def merge_into(
                         _T.StructField("__deleted", _T.BooleanType()),
                     ]
                 )
+                # Read-after-write assumption (documented, round-4
+                # ADVICE): the bucket write re-reads change files this
+                # same merge just wrote, so the table store must be
+                # read-after-write consistent for new objects — true of
+                # the local/posix FS this lake targets and of S3/GCS
+                # since 2020/always. A torn write cannot pass silently:
+                # parquet footer validation fails the read, and
+                # write_change_files raises on write failure, so the
+                # epoch aborts unfenced (replayable) rather than
+                # dropping changed rows.
                 changed_back = table.spark.read.schema(cdf_schema).parquet(
                     *[_os.path.join(table.path, r) for r in change_rels]
                 )

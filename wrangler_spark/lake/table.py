@@ -1273,6 +1273,16 @@ class LakeTable:
             self.snap.get("properties", {}).get("mor.read.broadcast_bytes", 64 << 20)
         )
         if self.delta_bytes(buckets) <= limit:
+            # Round 5: materialize the delta-winner subtree ONCE. It
+            # feeds three branches of the resolved plan (the broadcast
+            # key set, the base-keep join, and the delta-take side), and
+            # exchange reuse does not cover the differing projections —
+            # measured pre-compaction resolved reads recomputed the
+            # delta scan + max-seq agg up to 4× (BENCH_r04
+            # mor_sparse_epoch: 4.76 s vs 0.51 s cow on 683K rows).
+            # Bounded memory: this path only runs when pending delta
+            # bytes ≤ the broadcast limit (default 64 MB).
+            dwin = dwin.localCheckpoint(eager=True)
             dkeys = F.broadcast(
                 dwin.select(
                     *[F.col(k).alias(f"__d_{k}") for k in keys],
@@ -1392,11 +1402,23 @@ class LakeTable:
         )
         staging = os.path.join(self.path, staging_rel)
         df.drop("__b").write.mode("overwrite").parquet(staging)
-        return [
-            os.path.join(staging_rel, fn)
-            for fn in os.listdir(staging)
-            if fn.endswith(".parquet")
-        ]
+        # prune zero-row part files (Spark writes one even for an empty
+        # post-image): a fully-stale epoch then returns [] — a KNOWN
+        # empty change set, so the merge's fully-stale fast path can
+        # fire and the commit manifest never carries dataless files.
+        # Footer-only row counts, driver-side, O(part files).
+        import pyarrow.parquet as _pq
+
+        rels = []
+        for fn in os.listdir(staging):
+            if not fn.endswith(".parquet"):
+                continue
+            full = os.path.join(staging, fn)
+            if _pq.ParquetFile(full).metadata.num_rows == 0:
+                os.remove(full)
+                continue
+            rels.append(os.path.join(staging_rel, fn))
+        return rels
 
     # ------------------------------------------------------------ commit
     def commit(

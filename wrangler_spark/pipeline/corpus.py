@@ -46,7 +46,9 @@ from wrangler_spark.pipeline.dedup import (
     dup_clusters,
     exact_dedup,
     keep_best_per_cluster,
+    minhash_index,
     minhash_lsh_pairs,
+    minhash_lsh_pairs_incremental,
 )
 from wrangler_spark.pipeline.text import (
     chunk_documents,
@@ -83,6 +85,103 @@ class CorpusResult:
             ("packs", self.packed.select("shard", "pack_id").distinct().count()),
         ]
         return spark.createDataFrame(rows, "stage string, rows long")
+
+
+@dataclass
+class DedupState:
+    """Persistable incremental-dedup state — the shape a daily 100 TB
+    ingest actually runs: signature the corpus ONCE, then each new batch
+    probes the persisted index and carries the cluster labels forward,
+    so corpus TEXT is never re-shingled.
+
+    Members (both ordinary DataFrames — write them out as parquet,
+    `index` partitioned/bucketed by (band, bucket) for co-located
+    probes, and reload to resume):
+      - index:    one (id, band, bucket) row per doc per band
+                  (`minhash_index` schema)
+      - clusters: one (id, cluster) row per ingested doc; cluster =
+                  min member id of the doc's near-dup component
+
+    The LSH parameters are pinned on the state because the affine hash
+    family is deterministic in them — probing with different parameters
+    would silently miss every corpus duplicate."""
+
+    index: DataFrame
+    clusters: DataFrame
+    text_col: str = "text"
+    id_col: str = "doc_id"
+    num_hashes: int = 64
+    bands: int = 16
+    shingle_k: int = 5
+    max_bucket: int = 1000
+
+
+def build_dedup_state(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 5,
+    max_bucket: int = 1000,
+) -> DedupState:
+    """Initial ingest: full signature pass + LSH pairs + components.
+    One-time cost over the seed corpus; after this every batch is
+    O(batch) via `ingest_batch`."""
+    index = minhash_index(docs, text_col, id_col, num_hashes, bands, shingle_k)
+    pairs = minhash_lsh_pairs(
+        docs, text_col=text_col, id_col=id_col, num_hashes=num_hashes,
+        bands=bands, shingle_k=shingle_k, max_bucket=max_bucket,
+    )
+    clusters = dup_clusters(pairs, docs.select(id_col), id_col=id_col)
+    return DedupState(
+        index=index, clusters=clusters, text_col=text_col, id_col=id_col,
+        num_hashes=num_hashes, bands=bands, shingle_k=shingle_k,
+        max_bucket=max_bucket,
+    )
+
+
+def ingest_batch(state: DedupState, new_docs: DataFrame) -> DedupState:
+    """Incremental ingest: probe the new batch against the persisted
+    index (`minhash_lsh_pairs_incremental` — corpus side touched only
+    at the batch's (band, bucket) keys, corpus text never read), then
+    carry the existing cluster labels forward as (cluster ↔ member)
+    edges and re-run hash-min components over carry-edges ∪ new pairs.
+
+    Equivalence to a full recompute on corpus ∪ batch (the invariant
+    the `dedup_incremental` driver key checks): the old labels preserve
+    exactly the connectivity of the old pair graph (each component
+    stays connected through its min-id representative), and the
+    incremental probe emits every pair involving a new doc, so the
+    union's components equal the full pass's — a new doc bridging two
+    previously-separate clusters merges them here just as it would in
+    the full pass. The star guard changes pair SHAPE on hot buckets in
+    either path, never bucket connectivity, so the resulting PARTITION
+    (and its min-id labels) is identical.
+
+    Cost shape at 100 TB: batch text is shingled once; everything else
+    is skinny-row joins — (id, band, bucket) index probes at batch
+    keys, (id, label) propagation rounds — independent of corpus text
+    bytes."""
+    pairs, new_idx = minhash_lsh_pairs_incremental(
+        new_docs, state.index, text_col=state.text_col, id_col=state.id_col,
+        num_hashes=state.num_hashes, bands=state.bands,
+        shingle_k=state.shingle_k, max_bucket=state.max_bucket,
+    )
+    id_col = state.id_col
+    carry = state.clusters.filter(F.col("cluster") != F.col(id_col)).select(
+        F.col("cluster").alias("id_a"), F.col(id_col).alias("id_b")
+    )
+    all_ids = state.clusters.select(id_col).unionByName(new_docs.select(id_col))
+    clusters = dup_clusters(
+        pairs.unionByName(carry), all_ids, id_col=id_col
+    )
+    return DedupState(
+        index=state.index.unionByName(new_idx), clusters=clusters,
+        text_col=state.text_col, id_col=id_col,
+        num_hashes=state.num_hashes, bands=state.bands,
+        shingle_k=state.shingle_k, max_bucket=state.max_bucket,
+    )
 
 
 def prepare_corpus(
