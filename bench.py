@@ -326,8 +326,19 @@ def run_mor_sparse_epoch(spark) -> dict:
                 spark, os.path.join(base, mode), repo_files_schema(),
                 ["repo", "path"], num_buckets=64,
             )
+            # untimed seed ALWAYS lands as copy-on-write base files:
+            # the scenario under test is "big base table + one sparse
+            # delta epoch" (this function's docstring). Round 5 found
+            # the previous code seeded the mor arm in mor mode too, so
+            # its 2M-row "table" was 100% pending deltas (zero base
+            # files, 80 MB of deltas > the broadcast limit) and
+            # resolved_read measured the degraded full-table
+            # delta-resolution path instead of the steady state the
+            # compaction cadence maintains.
+            rp_seed = Replayer(tbl, os.path.join(base, f"ck_seed_{mode}"))
+            rp_seed.replay(ev, epochs=[0])
+            tbl = LakeTable.load(spark, os.path.join(base, mode))
             rp = Replayer(tbl, os.path.join(base, f"ck_{mode}"), mode=mode)
-            rp.replay(ev, epochs=[0])  # untimed seed
             before = _live_rels(tbl)
             t0 = time.time()
             rp.replay(ev, epochs=[1])
