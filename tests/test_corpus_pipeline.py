@@ -109,3 +109,51 @@ def test_lang_gate(spark, planted):
     )
     ids = {r.doc_id for r in res.gated.select("doc_id").collect()}
     assert 5 not in ids, "stopword-free garbage must not lang-id as en"
+
+
+def test_prepare_corpus_incremental_mode(spark):
+    """Round-5 incremental mode: prepare_corpus(dedup_state=...) over a
+    NEW BATCH only — near-dups of already-ingested corpus docs drop,
+    new within-batch dup groups keep their best member, unique new docs
+    pass, and the returned clusters cover corpus ∪ batch with the same
+    labels a full recompute gives."""
+    from pyspark.sql import functions as F
+
+    from wrangler_spark.pipeline.corpus import build_dedup_state, prepare_corpus
+    from wrangler_spark.pipeline.dedup import dup_clusters, minhash_lsh_pairs
+
+    corpus = spark.createDataFrame(
+        [(1, GOOD), (5, GOOD2)], "doc_id long, text string"
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, GOOD + " tail"),      # near-dup of corpus doc 1 -> drop
+            (11, BENCH_SNIPPET + " a b c d e f g h i j k l m n o p q"),
+            (12, BENCH_SNIPPET + " a b c d e f g h i j k l m n o p q!"),
+            # ^ new within-batch near-dup pair -> keep exactly one
+            (13, "an entirely fresh document about glaciers, moraines and "
+                 "the slow creep of ancient ice across quiet valleys."),
+        ],
+        "doc_id long, text string",
+    )
+    state = build_dedup_state(corpus, shingle_k=3)
+    res = prepare_corpus(
+        batch, min_quality=0.0, shingle_k=3, dedup_state=state,
+        chunk_tokens=64, chunk_overlap=8, pack_budget=256, pack_shards=4,
+    )
+    kept = sorted(r["doc_id"] for r in res.docs.select("doc_id").collect())
+    assert 10 not in kept, "near-dup of existing corpus content must drop"
+    assert 13 in kept
+    assert len([k for k in kept if k in (11, 12)]) == 1, (
+        "within-batch dup pair keeps exactly one member"
+    )
+    # the carried-forward clusters equal a full recompute over all docs
+    alldocs = corpus.union(batch)
+    full = {
+        r["doc_id"]: r["cluster"]
+        for r in dup_clusters(
+            minhash_lsh_pairs(alldocs, shingle_k=3), alldocs.select("doc_id")
+        ).collect()
+    }
+    inc = {r["doc_id"]: r["cluster"] for r in res.clusters.collect()}
+    assert inc == full

@@ -201,11 +201,26 @@ def prepare_corpus(
     chunk_overlap: int = 64,
     pack_budget: int = 2048,
     pack_shards: int = 256,
+    dedup_state: DedupState | None = None,
 ) -> CorpusResult:
     """Compose the full corpus-prep funnel; see module docstring for
     the per-stage scale shape. `benchmark` (optional) is the eval set
     to decontaminate against — any doc sharing a `decontaminate_n`-gram
-    with it is dropped."""
+    with it is dropped.
+
+    Incremental mode (round 5): pass `dedup_state` (a persisted
+    `DedupState` from a previous run over the existing corpus) and
+    `docs` as ONLY THE NEW BATCH — the near-dup stage then runs
+    `ingest_batch` (persisted-index probe + cluster-label
+    carry-forward) instead of re-signaturing the whole corpus, and the
+    returned `clusters` covers corpus ∪ batch while every other stage
+    (gate, exact dedup, canonical selection, decontam, chunk, pack)
+    runs over the batch docs alone — the shape a daily 100 TB ingest
+    actually runs. Canonical selection keeps the best member of each
+    cluster AMONG THE BATCH (prior-corpus docs were already retained
+    or dropped when they were ingested; re-litigating them would mean
+    rewriting history). The LSH parameters must match the state's —
+    they are taken FROM the state when one is given."""
     annotated = docs.withColumn("lang", lang_id_expr(F.col(text_col))).withColumn(
         "quality", quality_score_expr(F.col(text_col))
     ).withColumn("n_tokens", token_count_expr(F.col(text_col)).cast("int"))
@@ -217,13 +232,41 @@ def prepare_corpus(
 
     exact = exact_dedup(gated, text_col=text_col, id_col=id_col)
 
-    pairs = minhash_lsh_pairs(
-        exact, text_col=text_col, id_col=id_col,
-        num_hashes=num_hashes, bands=bands, shingle_k=shingle_k,
-        max_bucket=max_bucket,
-    )
-    clusters = dup_clusters(pairs, id_col=id_col)
-    kept = keep_best_per_cluster(exact, clusters, score=F.col("quality"), id_col=id_col)
+    if dedup_state is not None:
+        new_state = ingest_batch(
+            dedup_state, exact.select(id_col, text_col)
+        )
+        clusters = new_state.clusters
+        # daily-ingest retention policy: a batch doc whose cluster
+        # contains ANY prior-corpus doc is a near-dup of already-
+        # retained (or already-rejected) content — drop it; clusters
+        # formed entirely within the batch keep their best member,
+        # same as the full pass.
+        touches_corpus = (
+            clusters.join(dedup_state.clusters.select(id_col), id_col, "left_semi")
+            .select("cluster")
+            .distinct()
+        )
+        batch_members = clusters.join(exact.select(id_col), id_col, "left_semi")
+        dup_of_corpus = batch_members.join(
+            touches_corpus, "cluster", "left_semi"
+        ).select(id_col)
+        # (keep_best treats docs absent from `clusters` as always-kept
+        # singletons, so corpus-dup batch docs must leave `exact`
+        # itself, not just the cluster table)
+        exact_new = exact.join(dup_of_corpus, id_col, "left_anti")
+        batch_only = batch_members.join(touches_corpus, "cluster", "left_anti")
+        kept = keep_best_per_cluster(
+            exact_new, batch_only, score=F.col("quality"), id_col=id_col
+        )
+    else:
+        pairs = minhash_lsh_pairs(
+            exact, text_col=text_col, id_col=id_col,
+            num_hashes=num_hashes, bands=bands, shingle_k=shingle_k,
+            max_bucket=max_bucket,
+        )
+        clusters = dup_clusters(pairs, id_col=id_col)
+        kept = keep_best_per_cluster(exact, clusters, score=F.col("quality"), id_col=id_col)
 
     if benchmark is not None:
         flagged = decontaminate(
