@@ -284,3 +284,36 @@ def test_golden_parse_log(spark):
     ]
     got = run_case(spark, "id long, body string", rows, recipe)
     assert_rows_equal(got, load_expected("Directive_parse_log"))
+
+
+def test_golden_wrangler_groupby(spark):
+    """The BQ2BQwithWrnglerNGrpby pipeline: wrangler recipe (drop /
+    uppercase / int-wrapping set-type / find-and-replace / JEXL length
+    + regex-match + null filters) followed by the GroupByAggregate
+    plugin stage (groupByFields city,firstname,lastname,state,zipcode,
+    id; aggregates cityFirst:First(city)) — reproduced as a Spark
+    groupBy over the recipe output."""
+    from pyspark.sql import functions as F
+
+    recipe = recipe_of("BQ2BQwithWrnglerNGrpby-cdap-data-pipeline (1).json")
+    rows = [
+        ("5", "Frank", "Underwood", "1609 Far St.", "San Diego", "CA", 2977876770, 19061512345),
+        ("1", "Douglas", "Williams", "1 Vista Montana", "San Jose", "CA", 9513498885, 35834612345),
+        ("4", "Walter", "White", "3828 Piermont Dr", "Orlando", "FL", 7349864532, 7829812345),
+        ("3", "Hugh", "Jackman", "5, Cool Way", "Manhattan", "NY", 6726312345, 1695412345),
+        ("7", "Sarthak", "Dash", "123 Far St.", "New York", "NY", 2345365523, 1324812345),
+        ("6", "Serena", "Woods", "123 Far St.", "Las Vegas", "NV", 4533456734, 78919612345),
+        ("2", "David", "Johnson", "3 Baypointe Parkway", "Houston", "TX", 1738378970, 1451412345),
+        ("8", "Rahul", "Dash", "22 MG Road.", "Bangalore", "KA", None, 94864612345),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "id string, firstname string, lastname string, streetAddress string, "
+        "city string, state string, zipcode long, phoneNumber long",
+    )
+    ok, _ = execute(spark, recipe, df)
+    out = ok.groupBy(
+        "city", "firstname", "lastname", "state", "zipcode", "id"
+    ).agg(F.first("city").alias("cityFirst"))
+    got = [_canon_row(r.asDict(recursive=True)) for r in out.collect()]
+    assert_rows_equal(got, load_expected("Directive_wrangler_GroupBy"))

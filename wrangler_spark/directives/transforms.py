@@ -93,14 +93,18 @@ def find_and_replace(call: DirectiveCall):
     (reference transformation/FindAndReplace.java)."""
     cols = call.cols(0)
     sed = call.text(1)
-    m = re.match(r"^s/((?:[^/\\]|\\.)*)/((?:[^/\\]|\\.)*)/([gi]*)$", sed) or re.match(
+    # flags per unix4j sed (the reference executes the expression via
+    # Unix4j.echo(value).sed(pattern), FindAndReplace.java:85): `g`
+    # global, and case-insensitivity spelled `I` (GNU sed) or `i` —
+    # the e2e GroupBy pipeline uses 's/St./Street/Ig'
+    m = re.match(r"^s/((?:[^/\\]|\\.)*)/((?:[^/\\]|\\.)*)/([gIi]*)$", sed) or re.match(
         r"^s/((?:[^/\\]|\\.)*)/((?:[^/\\]|\\.)*)$", sed
     )
     if not m:
         raise UsageError(f"find-and-replace: bad sed expression {sed!r}")
     pat, repl = m.group(1), m.group(2)
     flags = m.group(3) if m.lastindex and m.lastindex >= 3 else "g"
-    if "i" in flags:
+    if "i" in flags.lower():
         pat = "(?i)" + pat
     repl_spark = re.sub(r"\\(\d)", r"$\1", repl)  # \1 → $1 (Java refs)
 
