@@ -1221,7 +1221,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "table-lookup :c_nationkey nations",
             "catalog-lookup nations2 :c_nationkey",
             "data-model-map-column m 1 balance :c_acctbal",
-            "keep :c_custkey,:c_nationkey_lookup,:c_nationkey_nations2_description,:balance",
+            "keep :c_custkey,:c_nationkey_n_name,:c_nationkey_nations2_description,:balance",
         ])
         ok, _ = rec.apply(
             cust,
@@ -2559,7 +2559,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM events"
         ),
         "table_lookup": (
-            "SELECT c_custkey, n.n_name AS c_nationkey_lookup, "
+            "SELECT c_custkey, n.n_name AS c_nationkey_n_name, "
             "n2.n_name AS c_nationkey_nations2_description, "
             "CAST(c.c_acctbal AS DOUBLE) AS balance FROM customer c "
             "LEFT JOIN nation n ON CAST(c.c_nationkey AS VARCHAR) = CAST(n.n_nationkey AS VARCHAR) "

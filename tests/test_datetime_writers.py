@@ -59,5 +59,34 @@ def test_table_lookup(spark):
 
     ctx = RecipeContext(spark=spark, lookups={"fruits": lk})
     ok, _ = compile_recipe(["table-lookup :k fruits"]).apply(df, ctx)
-    rows = {r["k"]: r["k_lookup"] for r in ok.collect()}
+    rows = {r["k"]: r["k_value"] for r in ok.collect()}
     assert rows == {"a": "Apple", "zz": None}
+
+
+def test_table_lookup_multi_column_reference_pin(spark):
+    """Mirrors wrangler-service TableLookupTest: `table-lookup fname
+    lookupTable` over a lookup row {age, city} appends fname_age AND
+    fname_city (every looked-up column, string values —
+    lookup/TableLookup.java:121-123)."""
+    from wrangler_spark import compile_recipe
+    from wrangler_spark.recipe.registry import RecipeContext
+
+    df = spark.createDataFrame(
+        [("bob,anderson",), ("joe,mchall",)], "test_ws string"
+    )
+    lk = spark.createDataFrame(
+        [("bob", 21, "Los Angeles, CA"), ("joe", 34, "Palo Alto, CA")],
+        "key string, age int, city string",
+    )
+    ctx = RecipeContext(spark=spark, lookups={"lookupTable": lk})
+    ok, _ = compile_recipe([
+        "split-to-columns :test_ws ,",
+        "drop :test_ws",
+        "rename :test_ws_1 :fname",
+        "rename :test_ws_2 :lname",
+        "table-lookup :fname lookupTable",
+    ]).apply(df, ctx)
+    rows = sorted(ok.collect(), key=lambda r: r["fname"])
+    assert [r["fname"] for r in rows] == ["bob", "joe"]
+    assert [r["fname_age"] for r in rows] == ["21", "34"]  # string, like Bytes.toString
+    assert [r["fname_city"] for r in rows] == ["Los Angeles, CA", "Palo Alto, CA"]

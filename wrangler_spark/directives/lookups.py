@@ -20,9 +20,15 @@ from wrangler_spark.directives.column_ops import _require
 
 @directive("table-lookup")
 def table_lookup(call: DirectiveCall):
-    """table-lookup :col <dataset> — value column of the lookup dataset is
-    appended as `<col>_lookup`. The dataset comes from ctx.lookups
-    (registered by the host, like CDAP provides the Table dataset)."""
+    """table-lookup :col <dataset> — EVERY non-key column of the looked-up
+    row is appended as `<col>_<name>`, string-typed, exactly like the
+    reference (lookup/TableLookup.java:121-123: `row.add(column + "_" +
+    Bytes.toString(entry.getKey()), Bytes.toString(entry.getValue()))`,
+    pinned by TableLookupTest: `table-lookup fname lookupTable` over a
+    {age, city} table yields fname_age + fname_city). Output names use
+    the directive ARGUMENT verbatim, like the Java `column` field. The
+    dataset comes from ctx.lookups (registered by the host, like CDAP
+    provides the Table dataset); the first column is the row key."""
     col = call.col(0)
     dataset = call.text(1)
 
@@ -31,10 +37,13 @@ def table_lookup(call: DirectiveCall):
         if dataset not in ctx.lookups:
             raise UsageError(f"table-lookup: dataset {dataset!r} not registered")
         lk = ctx.lookups[dataset]
-        key_col, val_col = lk.columns[0], lk.columns[1]
+        key_col = lk.columns[0]
         lk2 = lk.select(
             F.col(key_col).cast("string").alias("__wr_lk_key"),
-            F.col(val_col).alias(f"{c}_lookup"),
+            *[
+                F.col(v).cast("string").alias(f"{col}_{v}")
+                for v in lk.columns[1:]
+            ],
         ).dropDuplicates(["__wr_lk_key"])
         out = df.join(
             broadcast(lk2), df[c].cast("string") == lk2["__wr_lk_key"], "left"
