@@ -2991,19 +2991,40 @@ def oracle_sql() -> dict[str, str]:
         # corpus_pipeline: the composed funnel's SQL-derivable exact
         # invariants (see q_corpus_pipeline docstring)
         "corpus_pipeline": (
-            # gated_nonempty = 1 is a property of the GENERATED documents
-            # table at the tested SFs (some docs always pass the
-            # quality-0.3 gate and survive dedup + decontam), not of the
-            # engine: deriving it relationally would replicate the whole
-            # funnel (the minhash stage is not SQL-expressible). If data
-            # generation ever changes such that nothing passes the gate,
-            # update this constant alongside it (round-4 ADVICE note).
-            "SELECT CAST(count(*) AS BIGINT) AS n_input, "
-            "CAST(1 AS BIGINT) AS gated_nonempty, "
+            # gated_nonempty derived FROM THE DATA (round-4 ADVICE):
+            # recompute the funnel's quality gate (quality_score_expr,
+            # same formula as the `quality` oracle) relationally and
+            # expect a non-empty output iff some doc passes the gate
+            # without being a >=13-token self-benchmark member (those
+            # are removed by decontamination; dedup keeps one
+            # representative per cluster, so a surviving candidate
+            # implies a non-empty result). The minhash stages remain
+            # non-SQL-expressible — the other invariant columns stay
+            # exact zeros by construction.
+            "WITH m AS (SELECT doc_id, coalesce(text, '') AS s, "
+            "length(coalesce(text, '')) AS n, "
+            "length(regexp_replace(coalesce(text, ''), '[^A-Za-zÀ-ÿ]', '', 'g')) AS n_alpha, "
+            "length(regexp_replace(coalesce(text, ''), '[^.,;:!?]', '', 'g')) AS n_punct, "
+            "CASE WHEN length(trim(coalesce(text, ''))) = 0 THEN 0 "
+            "ELSE len(string_split_regex(trim(coalesce(text, '')), '\\s+')) END AS n_words, "
+            "len(list_intersect(list_distinct(string_split_regex("
+            "lower(trim(regexp_replace(coalesce(text, ''), '[^\\w\\s'']', ' ', 'g'))), '\\s+')), "
+            "['the','and','of','to','in','is','that','it','for','was'])) AS h_en "
+            "FROM documents), "
+            "g AS (SELECT doc_id, n_words, "
+            "0.3 * (CASE WHEN n BETWEEN 50 AND 100000 THEN 1.0 "
+            "WHEN n BETWEEN 20 AND 49 THEN 0.5 ELSE 0.0 END) + "
+            "0.3 * (CASE WHEN n > 0 THEN n_alpha / n ELSE 0.0 END) + "
+            "0.2 * least(1.0, h_en / 3.0) + "
+            "0.2 * (CASE WHEN n_words > 0 THEN least(1.0, 5.0 * n_punct / n_words) "
+            "ELSE 0.0 END) AS quality FROM m) "
+            "SELECT CAST((SELECT count(*) FROM documents) AS BIGINT) AS n_input, "
+            "CAST(CASE WHEN EXISTS (SELECT 1 FROM g WHERE quality >= 0.3 "
+            "AND n_words >= 1 AND NOT (doc_id % 97 = 0 AND n_words >= 13)) "
+            "THEN 1 ELSE 0 END AS BIGINT) AS gated_nonempty, "
             "CAST(0 AS BIGINT) AS exact_dup_violations, "
             "CAST(0 AS BIGINT) AS selfbench_retained, "
             "CAST(0 AS BIGINT) AS conservation_violations, "
-            "CAST(0 AS BIGINT) AS budget_violations "
-            "FROM documents"
+            "CAST(0 AS BIGINT) AS budget_violations"
         ),
     }

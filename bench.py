@@ -696,13 +696,25 @@ def main() -> None:
     bw_gate_wait_sec = float(os.environ.get("BENCH_BW_GATE_WAIT", "60"))
     bw_gate_probes: list[dict] = []
 
+    # absolute floor on the 1-proc probe reading: a depressed
+    # single-proc bandwidth (healthy windows measure 10-15 GB/s) means
+    # something is pinning a core, which would slow the small-level
+    # replay and INFLATE measured efficiency — such windows must not
+    # count as gated even when the ratio looks healthy (observed: a
+    # 3.87x ratio probe whose n1 leg read 3.7 GB/s).
+    bw_floor = float(os.environ.get("BENCH_BW_N1_FLOOR", "7.0"))
+
     def _bw_window() -> tuple[float, bool]:
         nonlocal bw_gate_waits
         while True:
             p = _stream_bandwidth(n_small, n_big)
             ratio = round(p[str(n_big)] / max(p[str(n_small)], 0.1), 3)
-            bw_gate_probes.append({"GBps": p, "speedup": ratio})
-            if ratio >= bw_gate:
+            floor_ok = p[str(n_small)] >= bw_floor
+            bw_gate_probes.append(
+                {"GBps": p, "speedup": ratio,
+                 **({} if floor_ok else {"n1_floor_failed": True})}
+            )
+            if ratio >= bw_gate and floor_ok:
                 return ratio, True
             if bw_gate_waits <= 0:
                 return ratio, False

@@ -61,6 +61,13 @@ def main() -> None:
                     help="min post-pair probe speedup for the pair to qualify"
                          " (window must not collapse mid-pair)")
     ap.add_argument("--eff-bar", type=float, default=0.8)
+    ap.add_argument("--min-n1-gbps", type=float, default=7.0,
+                    help="absolute floor on the 1-proc probe bandwidth: a "
+                         "depressed single-proc reading (healthy windows "
+                         "measure 10-15 GB/s) means something is pinning a "
+                         "core, which would slow the N=1 replay and INFLATE "
+                         "measured efficiency — such windows must not "
+                         "qualify even if the ratio looks healthy")
     ap.add_argument("--interval", type=float, default=120.0)
     ap.add_argument("--hours", type=float, default=5.0)
     ap.add_argument("--n-small", type=int, default=1)
@@ -85,10 +92,15 @@ def main() -> None:
     best_eff = 0.0
 
     def probe() -> float:
+        """Gate reading: the ratio, or 0.0 when the 1-proc absolute
+        bandwidth is below the floor (ratio inflated by a pinned core,
+        not a healthy window) — recorded as measured either way."""
         p = bench._stream_bandwidth(args.n_small, args.n_big)
         r = round(p[str(args.n_big)] / max(p[str(args.n_small)], 0.1), 3)
-        _log({"type": "probe", "GBps": p, "speedup": r})
-        return r
+        floor_ok = p[str(args.n_small)] >= args.min_n1_gbps
+        _log({"type": "probe", "GBps": p, "speedup": r,
+              **({} if floor_ok else {"n1_floor_failed": True})})
+        return r if floor_ok else 0.0
 
     try:
         while time.time() < deadline:
