@@ -258,15 +258,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         unfilter, WAV RIFF+PCM) inside mapInPandas, and check the
         recovered geometry against the closed-form oracle. (The fake
         decode stub path keeps its pytest coverage in
-        tests/test_pipeline.py.)"""
-        from wrangler_spark.pipeline.multimodal import extract_features, synthesize_real_media
+        tests/test_pipeline.py.)
+
+        Round 5 fold: resize_images — every image payload is resized to
+        9x5 (decode -> nearest-neighbor -> PNG re-encode) and the
+        RESIZED payload decoded AGAIN by extract_features, so rw/rh pin
+        the full decode->resize->encode->decode round trip (audio rows
+        pass through with null rw/rh)."""
+        from wrangler_spark.pipeline.multimodal import (
+            extract_features, resize_images, synthesize_real_media,
+        )
 
         ids = _t(spark, d, "documents").filter(F.col("doc_id") < 60).select(
             F.col("doc_id").alias("media_id")
         )
         media = synthesize_real_media(ids)
         feats = extract_features(media, fake=False)
-        return feats.select("media_id", "kind", "width", "height", "n_frames")
+        rdims = (
+            extract_features(
+                resize_images(media, 9, 5, fake=True), fake=False
+            )
+            .filter(F.col("kind") == "image")
+            .select(
+                "media_id",
+                F.col("width").alias("rw"),
+                F.col("height").alias("rh"),
+            )
+        )
+        return feats.join(rdims, "media_id", "left").select(
+            "media_id", "kind", "width", "height", "n_frames", "rw", "rh"
+        )
     q["multimodal_real"] = q_multimodal_real
 
     def q_windowed_counts(spark, d):
@@ -2204,7 +2225,9 @@ def oracle_sql() -> dict[str, str]:
             " CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,"
             " CAST(CASE WHEN doc_id % 2 = 0 THEN 4 + doc_id % 13 ELSE 8000 END AS INTEGER) AS width,"
             " CAST(CASE WHEN doc_id % 2 = 0 THEN 3 + doc_id % 7 ELSE 1 END AS INTEGER) AS height,"
-            " CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 100 + doc_id % 50 END AS INTEGER) AS n_frames"
+            " CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 100 + doc_id % 50 END AS INTEGER) AS n_frames,"
+            " CAST(CASE WHEN doc_id % 2 = 0 THEN 9 END AS INTEGER) AS rw,"
+            " CAST(CASE WHEN doc_id % 2 = 0 THEN 5 END AS INTEGER) AS rh"
             " FROM documents WHERE doc_id < 60"
         ),
         # append-mode watermarked windows = batch window agg restricted

@@ -900,3 +900,74 @@ def test_dedup_state_ingest_batch_equals_full_recompute(spark):
     assert {
         tuple(r) for r in state2.index.collect()
     } == {tuple(r) for r in minhash_index(alldocs, **kw).collect()}
+
+
+# ---------------------------------------------------------------- round 5:
+# real nearest-neighbor image resize (decode -> sample -> re-encode)
+
+
+def test_resize_images_real_png_roundtrip():
+    """Pure-Python resize: gradient PNG halved, decoded back — output is
+    a valid PNG at target dims whose pixels equal the source at the
+    nearest-neighbor mapped positions."""
+    from wrangler_spark.pipeline.multimodal import (
+        _decode_png_pixels, _encode_png_raw, encode_png, _PNG_CHANNELS,
+    )
+
+    src = encode_png(8, 6, lambda x, y: (x * 30, y * 40, (x + y) * 10))
+    sw, sh, ctype, px = _decode_png_pixels(src)
+    assert (sw, sh) == (8, 6)
+    # simulate what resize_images does for one payload
+    bpp = _PNG_CHANNELS[ctype]
+    tw, th = 4, 3
+    xs = [min(int(x * sw / tw), sw - 1) for x in range(tw)]
+    ys = [min(int(y * sh / th), sh - 1) for y in range(th)]
+    npx = bytearray()
+    for sy in ys:
+        for sx in xs:
+            o = sy * sw * bpp + sx * bpp
+            npx += px[o:o + bpp]
+    out = _encode_png_raw(tw, th, ctype, bytes(npx))
+    rw, rh, rctype, rpx = _decode_png_pixels(out)
+    assert (rw, rh, rctype) == (tw, th, ctype)
+    # nearest-neighbor: pixel (0,0) of output == source (0,0); (1,1) == source (2,2)
+    assert rpx[:3] == px[:3]
+    o_out = (1 * tw + 1) * bpp
+    o_src = (2 * sw + 2) * bpp
+    assert rpx[o_out:o_out + bpp] == px[o_src:o_src + bpp]
+
+
+def test_resize_images_spark(spark):
+    """resize_images over mapInPandas: every image payload comes back as
+    a decodable PNG at the target size; audio passes through untouched;
+    non-PNG images raise without fake=True."""
+    import pytest
+    from wrangler_spark.pipeline.multimodal import (
+        extract_features, resize_images, synthesize_real_media,
+    )
+
+    ids = spark.range(12).select(F.col("id").alias("media_id"))
+    media = synthesize_real_media(ids)
+    resized = resize_images(media, 5, 4)
+    rows = {r["media_id"]: r for r in resized.collect()}
+    assert len(rows) == 12
+    audio_payloads = {
+        r["media_id"]: bytes(r["payload"]) for r in media.collect() if r["kind"] == "audio"
+    }
+    for mid, r in rows.items():
+        if mid % 2 == 0:
+            assert r["resized"] and (r["width"], r["height"]) == (5, 4)
+        else:
+            assert not r["resized"] and r["width"] is None
+            assert bytes(r["payload"]) == audio_payloads[mid]
+    # the resized payloads are REAL PNGs: a second decode pass agrees
+    feats = extract_features(resized.filter(F.col("kind") == "image"), fake=False)
+    for r in feats.collect():
+        assert (r["width"], r["height"]) == (5, 4)
+    # non-PNG image payload without fake -> NotImplementedError
+    bad = spark.createDataFrame(
+        [(99, "image", bytearray(b"JPEGish"))], "media_id long, kind string, payload binary"
+    )
+    with pytest.raises(Exception, match="NotImplementedError|resize for non-PNG"):
+        resize_images(bad, 5, 4).collect()
+    assert resize_images(bad, 5, 4, fake=True).first()["resized"] is False

@@ -54,10 +54,11 @@ _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 _PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
 
 
-def _decode_png(payload: bytes):
-    """Pure-stdlib PNG decode: IHDR parse, IDAT inflate, scanline
-    unfilter (types 0 None / 1 Sub / 2 Up / 3 Average / 4 Paeth),
-    8-bin intensity histogram feature. 8-bit, non-interlaced only."""
+def _decode_png_pixels(payload: bytes):
+    """Pure-stdlib PNG decode to raw pixels: IHDR parse, IDAT inflate,
+    scanline unfilter (types 0 None / 1 Sub / 2 Up / 3 Average /
+    4 Paeth). 8-bit, non-interlaced only. Returns (w, h, ctype, px)
+    where px is h*w*bpp unfiltered bytes."""
     import struct
     import zlib
 
@@ -108,7 +109,13 @@ def _decode_png(payload: bytes):
                 line[i] = (line[i] + pred) & 0xFF
         px[y * stride:(y + 1) * stride] = line
         prev = line
-    # 8-bin intensity histogram over all channel bytes, normalized
+    return w, h, ctype, px
+
+
+def _decode_png(payload: bytes):
+    """PNG decode + 8-bin normalized intensity-histogram feature
+    (decode itself in _decode_png_pixels)."""
+    w, h, _ctype, px = _decode_png_pixels(payload)
     hist = [0] * 8
     for v in px:
         hist[v >> 5] += 1
@@ -214,6 +221,119 @@ def frame_sample(df: DataFrame, every_n: int = 5, fake: bool = True) -> DataFram
     feats = extract_features(df, fake=fake)
     idx = F.sequence(F.lit(0), F.greatest(F.col("n_frames") - 1, F.lit(0)), F.lit(every_n))
     return feats.select("media_id", "kind", F.explode(idx).alias("frame_idx"))
+
+
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("resized", T.BooleanType()),
+    ]
+)
+
+
+def _encode_png_raw(width: int, height: int, ctype: int, px: bytes) -> bytes:
+    """Re-encode unfiltered pixel bytes (any supported color type) as a
+    valid 8-bit PNG, filter 0 per scanline."""
+    import struct
+    import zlib
+
+    bpp = _PNG_CHANNELS[ctype]
+    stride = width * bpp
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    raw = bytearray()
+    for y in range(height):
+        raw.append(0)
+        raw += px[y * stride:(y + 1) * stride]
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, ctype, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def resize_images(
+    df: DataFrame, width: int, height: int, fake: bool = False
+) -> DataFrame:
+    """Nearest-neighbor image resize over Arrow batches (mapInPandas).
+
+    REAL for 8-bit non-interlaced PNG payloads: pure-stdlib decode
+    (_decode_png_pixels) → nearest-neighbor sample → PNG re-encode,
+    so the output payload is itself a decodable PNG at the target
+    dimensions (round-trip pinned in tests). Other image formats need
+    codecs not present in this container: they raise
+    NotImplementedError unless fake=True, which passes the payload
+    through and stamps the target dims (the documented stub shape).
+    Non-image kinds pass through untouched (resized=false, null dims).
+
+    Scale shape: map-local (no shuffle, no driver collect); memory is
+    bounded by Arrow batch size × decoded pixel buffer. The reference
+    has no media plane — this extends SURVEY.md §6's multimodal
+    columns per the large-scale-training-pipeline requirement."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "media_id": pdf["media_id"],
+                "kind": pdf["kind"],
+                "payload": [],
+                "width": [],
+                "height": [],
+                "resized": [],
+            }
+            for payload, kind in zip(pdf["payload"], pdf["kind"]):
+                b = bytes(payload) if payload is not None else b""
+                if kind != "image":
+                    out["payload"].append(b)
+                    out["width"].append(None)
+                    out["height"].append(None)
+                    out["resized"].append(False)
+                    continue
+                if b[:8] == _PNG_SIG:
+                    sw, sh, ctype, px = _decode_png_pixels(b)
+                    bpp = _PNG_CHANNELS[ctype]
+                    sstride = sw * bpp
+                    xs = [min(int(x * sw / width), sw - 1) for x in range(width)]
+                    ys = [min(int(y * sh / height), sh - 1) for y in range(height)]
+                    npx = bytearray(width * height * bpp)
+                    pos = 0
+                    for sy in ys:
+                        row = sy * sstride
+                        for sx in xs:
+                            o = row + sx * bpp
+                            npx[pos:pos + bpp] = px[o:o + bpp]
+                            pos += bpp
+                    out["payload"].append(_encode_png_raw(width, height, ctype, bytes(npx)))
+                    out["width"].append(width)
+                    out["height"].append(height)
+                    out["resized"].append(True)
+                elif fake:
+                    out["payload"].append(b)
+                    out["width"].append(width)
+                    out["height"].append(height)
+                    out["resized"].append(False)
+                else:
+                    raise NotImplementedError(
+                        "resize for non-PNG images requires image libs not "
+                        "present in this container — pass fake=True for the "
+                        "pass-through stub"
+                    )
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(run, RESIZE_SCHEMA)
 
 
 def encode_png(width: int, height: int, pixel_fn) -> bytes:
