@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import re
 
+import pandas as pd
 from pyspark.sql import DataFrame, functions as F, types as T
 
 from wrangler_spark.errors import SchemaError, UsageError
@@ -303,6 +304,54 @@ def set_type(call: DirectiveCall):
                     c,
                     F.when(F.col(c).isNotNull(), F.lower(F.col(c)) == "true"),
                 )
+        if t_spark == "binary" and numeric_src:
+            # reference Bytes.toBytes(<numeric>): big-endian two's
+            # complement at the source width; float/double encode their
+            # IEEE bit patterns (SetTypeTest.testToBytes fixtures, e.g.
+            # int 10000 -> {0,0,39,16}, float 10000f -> {70,28,64,0}).
+            if isinstance(src, T.DecimalType):
+                # Bytes.toBytes(BigDecimal): 4-byte BE scale + the
+                # minimal signed BigInteger.toByteArray() unscaled
+                # bytes ({0,0,0,0,39,16} for 10000 scale 0). Arbitrary
+                # precision → Arrow-batched UDF (cold-path conversion).
+                import struct as _struct
+
+                from pyspark.sql.functions import pandas_udf
+
+                dec_scale = src.scale
+
+                @pandas_udf("binary")
+                def _dec_bytes(s: pd.Series) -> pd.Series:
+                    def enc(v):
+                        if v is None:
+                            return None
+                        unscaled = int(v.scaleb(dec_scale))
+                        nb = max(1, (unscaled.bit_length() + 8) // 8)
+                        return _struct.pack(">i", dec_scale) + unscaled.to_bytes(
+                            nb, "big", signed=True
+                        )
+
+                    return s.map(enc)
+
+                return df.withColumn(c, _dec_bytes(F.col(c)))
+            width = {
+                T.ByteType: 1, T.ShortType: 2, T.IntegerType: 4,
+                T.LongType: 8, T.FloatType: 4, T.DoubleType: 8,
+            }[type(src)]
+            bits = F.col(c).cast("bigint")
+            if isinstance(src, T.FloatType):
+                bits = F.expr(
+                    f"reflect('java.lang.Float', 'floatToIntBits', cast(`{c}` as float))"
+                ).cast("bigint")
+            elif isinstance(src, T.DoubleType):
+                bits = F.expr(
+                    f"reflect('java.lang.Double', 'doubleToLongBits', `{c}`)"
+                ).cast("bigint")
+            # hex of the 64-bit two's complement, low `width` bytes
+            h = F.lpad(F.hex(bits), 16, "0")
+            return df.withColumn(
+                c, F.unhex(F.substring(h, -2 * width, 2 * width))
+            )
         if isinstance(src, T.BinaryType) and t_spark in (
             "tinyint", "smallint", "int", "bigint", "float", "double"
         ):

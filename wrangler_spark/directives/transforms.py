@@ -74,11 +74,19 @@ _simple("url-decode", F.url_decode)
 
 @directive("fill-null-or-empty")
 def fill_null_or_empty(call: DirectiveCall):
+    """fill-null-or-empty :col <value> — a MISSING column is ADDED with
+    the fill value for every row (reference transformation/
+    FillNullOrEmpty.java:77-80, pinned by
+    FillNullOrEmptyTest.testColumnNotPresent)."""
     col = call.col(0)
     value = call.text(1)
 
     def tr(df: DataFrame, ctx: RecipeContext) -> DataFrame:
-        c = _require(df, col)
+        from wrangler_spark.directives.column_ops import _resolve
+
+        c = _resolve(df, col)
+        if c is None:
+            return df.withColumn(col, F.lit(value))
         s = F.col(c).cast("string")
         return df.withColumn(
             c, F.when(s.isNull() | (s == ""), F.lit(value)).otherwise(s)
@@ -127,7 +135,14 @@ def extract_regex_groups(call: DirectiveCall):
     fewer matches null-pad."""
     col = call.col(0)
     regex = call.text(1)
-    ngroups = re.compile(regex).groups
+    try:
+        ngroups = re.compile(regex).groups
+    except re.error:
+        # the regex executes JVM-side (java.util.regex), which accepts
+        # constructs Python re rejects (\p{XDigit}, possessive
+        # quantifiers) — fall back to a textual capturing-group count:
+        # unescaped '(' not followed by '?'
+        ngroups = len(re.findall(r"(?<!\\)\((?!\?)", regex))
 
     def tr(df: DataFrame, ctx: RecipeContext) -> DataFrame:
         c = _require(df, col)
