@@ -474,3 +474,44 @@ def test_set_type_to_bytes_negative_values(spark):
     r = ok.first()
     assert bytes(r["a"]) == b"\xff\xff\xff\xff"
     assert bytes(r["b"]) == b"\xff\xfe"
+
+
+# ----------------------------------------------------- SendToErrorTest
+
+
+def _calories(spark):
+    return spark.createDataFrame([(10,), (0,), (-10,)], "field_calories_cnt int")
+
+
+def test_send_to_error_integer_field(spark):
+    # testIntegerField: 1 error, 2 pass
+    ok, err = execute(spark, ["send-to-error field_calories_cnt < 0"], _calories(spark))
+    assert (ok.count(), err.count()) == (2, 1)
+
+
+def test_send_to_error_missing_variables(spark):
+    # testMissingVariables: a condition referencing a nonexistent column
+    # sends NOTHING to error — all rows pass through
+    ok, err = execute(
+        spark,
+        ["send-to-error field_calories_cnt < 0 && field_not_exist == 'test'"],
+        _calories(spark),
+    )
+    assert (ok.count(), err.count()) == (3, 0)
+
+
+def test_send_to_error_with_message_metric_and_both(spark):
+    # testSendToErrorWithMessage / WithMetric / WithMetricAndMessage:
+    # the optional [metric] ['message'] args parse and the exact
+    # reference message format lands on the error channel
+    for directive in [
+        "send-to-error exp:{field_calories_cnt < 0} 'Test Message';",
+        "send-to-error exp:{field_calories_cnt < 0} test 'Test Message';",
+        "send-to-error exp:{field_calories_cnt < 0} test;",
+    ]:
+        ok, err = execute(spark, [directive], _calories(spark))
+        assert (ok.count(), err.count()) == (2, 1)
+        if "'Test Message'" in directive:
+            assert err.first()["message"] == (
+                "Test Message (ecode: 1, directive: send-to-error)"
+            )
